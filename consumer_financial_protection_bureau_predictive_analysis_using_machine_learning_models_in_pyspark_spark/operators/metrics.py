@@ -1,0 +1,119 @@
+"""Evaluation-metric operators (SURVEY §2.10 `binary_metrics`,
+`confusion_matrix`; §2.9 M19 replacement).
+
+Reference behavior:
+- TP/FP/TN/FN via four separate SQL-string filter+count jobs (reference
+  timely_LR.py:157-160), then precision/recall arithmetic on the driver
+  (timely_LR.py:169-170), emitted as a (metric, value) table
+  (timely_LR.py:164-171);
+- confusion matrix via the RDD MulticlassMetrics API, requiring a
+  FloatType cast, a global orderBy, and a DataFrame→RDD→Python hop
+  (reference decision_tree_final_class_8.py:318-336).
+
+Ours stays in DataFrame land: ONE ``groupBy(label, prediction).count()``
+job yields the full confusion matrix; every binary/multiclass metric is
+column arithmetic over that tiny result.  No RDD hop, no global sort, one
+shuffle of |classes|² rows instead of four full-table scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def confusion_counts(
+    df: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """Long-form confusion matrix: (label, prediction, n) — the DataFrame-
+    native replacement for MulticlassMetrics (M19)."""
+    return (
+        df.groupBy(F.col(label_col).alias("label"), F.col(pred_col).alias("prediction"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def confusion_matrix(
+    df: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """Wide confusion matrix via pivot (rows=label, cols=prediction)."""
+    return (
+        confusion_counts(df, label_col, pred_col)
+        .groupBy("label")
+        .pivot("prediction")
+        .sum("n")
+        .na.fill(0)
+        .orderBy("label")
+    )
+
+
+def binary_metrics(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "prediction",
+    positive=1.0,
+) -> DataFrame:
+    """(metric, value) table: tp/fp/tn/fn/precision/recall/f1/accuracy.
+
+    Replaces the reference's four independent count() jobs
+    (timely_LR.py:157-160) with one conditional aggregation — a single scan
+    with map-side partial aggregation, which is the difference between 4×
+    and 1× I/O at 100 TB.
+    """
+    lbl, prd, pos = F.col(label_col), F.col(pred_col), F.lit(positive)
+    agg = df.agg(
+        F.sum(F.when((prd == pos) & (lbl == pos), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((prd == pos) & (lbl != pos), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((prd != pos) & (lbl != pos), 1).otherwise(0)).alias("tn"),
+        F.sum(F.when((prd != pos) & (lbl == pos), 1).otherwise(0)).alias("fn"),
+    )
+    tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
+    wide = agg.select(
+        tp.cast("double").alias("tp"),
+        fp.cast("double").alias("fp"),
+        tn.cast("double").alias("tn"),
+        fn.cast("double").alias("fn"),
+        (tp / F.nullif(tp + fp, F.lit(0))).alias("precision"),
+        (tp / F.nullif(tp + fn, F.lit(0))).alias("recall"),
+        ((tp + tn) / F.nullif(tp + fp + tn + fn, F.lit(0))).alias("accuracy"),
+    ).withColumn(
+        "f1",
+        2 * F.col("precision") * F.col("recall")
+        / F.nullif(F.col("precision") + F.col("recall"), F.lit(0)),
+    )
+    # Tidy (metric, value) long form — the reference's output shape
+    # (timely_LR.py:164-171), kept oracle-checkable.
+    metrics = ["tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return wide.selectExpr(f"stack({len(metrics)}, {stack}) AS (metric, value)")
+
+
+def per_class_metrics(
+    df: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """Per-class precision/recall from the long confusion matrix — the
+    distributed rewrite of the reference's driver-side NumPy row/column sums
+    (decision_tree_final_class_8.py:341-349)."""
+    cm = confusion_counts(df, label_col, pred_col)
+    row_tot = cm.groupBy("label").agg(F.sum("n").alias("n_label"))
+    col_tot = (
+        cm.groupBy("prediction")
+        .agg(F.sum("n").alias("n_pred"))
+        .withColumnRenamed("prediction", "label")
+    )
+    diag = cm.filter(F.col("label") == F.col("prediction")).select(
+        "label", F.col("n").alias("tp")
+    )
+    return (
+        row_tot.join(diag, on="label", how="left")
+        .join(col_tot, on="label", how="left")
+        .na.fill({"tp": 0, "n_pred": 0})
+        .select(
+            "label",
+            F.col("tp").cast("double").alias("tp"),
+            F.col("n_label").cast("double").alias("n_label"),
+            (F.col("tp") / F.nullif(F.col("n_pred"), F.lit(0))).alias("precision"),
+            (F.col("tp") / F.nullif(F.col("n_label"), F.lit(0))).alias("recall"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,80 @@
+"""Sampling / rebalancing operators (SURVEY §2.6 U1-U4, §2.10).
+
+Reference behavior:
+- binary oversample: ratio = majority.count/minority.count → sample the
+  minority with replacement at that fraction → union (reference
+  timely_LR.py:88-96, timely_SVM.py:95);
+- 8-class rebalance to a fixed per-class target: 8 separate filters, 8
+  counts, 8 samples, 9-way union fold seeded from an empty frame (reference
+  decision_tree_final_class_8.py:154-194).
+
+Scale rewrite (SURVEY §4.3): the reference's pattern is 8 full scans + 8
+unions.  Ours computes all class counts in ONE aggregation job, then does ONE
+``sample_fraction``-per-class pass via a rand() filter keyed by class — a
+single scan, no union fold.  Same semantics (per-class Bernoulli/Poisson
+sampling, fixed seed), O(1) scans instead of O(classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def class_counts(df: DataFrame, label_col: str) -> dict[str, int]:
+    """All per-class counts in one job (replaces the reference's 8 separate
+    ``count()`` actions at decision_tree_final_class_8.py:166-175)."""
+    rows = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    return {r[label_col]: r["n"] for r in rows}
+
+
+def oversample_binary(
+    df: DataFrame, label_col: str, minority_value, seed: int = 42
+) -> DataFrame:
+    """Composite `oversample_binary` (reference timely_LR.py:88-96):
+    upsample the minority class (with replacement) to parity, union back.
+    """
+    counts = class_counts(df, label_col)
+    minority_n = counts[minority_value]
+    majority_n = sum(n for v, n in counts.items() if v != minority_value)
+    ratio = majority_n / max(minority_n, 1)
+    minority = df.filter(F.col(label_col) == minority_value)
+    majority = df.filter(F.col(label_col) != minority_value)
+    over = minority.sample(withReplacement=True, fraction=ratio, seed=seed)
+    return majority.union(over)
+
+
+def rebalance_to_target(
+    df: DataFrame, label_col: str, target: int = 15_000, seed: int = 42
+) -> DataFrame:
+    """Composite `rebalance_to_target` (reference
+    decision_tree_final_class_8.py:154-194) as a single-pass operator.
+
+    For classes larger than the target this is stratified downsampling via
+    ``sampleBy`` fractions; classes below the target are upsampled with
+    replacement (separate Poisson sample, as `sampleBy` can't exceed 1.0).
+    One aggregation job for counts + one scan per direction — not one scan
+    per class like the reference.
+    """
+    counts = class_counts(df, label_col)
+    down_fracs = {v: min(1.0, target / n) for v, n in counts.items() if n >= target}
+    up_classes = {v: target / n for v, n in counts.items() if n < target}
+
+    out = df.stat.sampleBy(label_col, fractions=down_fracs, seed=seed)
+    if up_classes:
+        # One union of the upsampled small classes; the small side is tiny by
+        # construction (classes under the target).
+        small = df.filter(F.col(label_col).isin(list(up_classes)))
+        for v, frac in up_classes.items():
+            up = small.filter(F.col(label_col) == v).sample(
+                withReplacement=True, fraction=frac, seed=seed
+            )
+            out = out.union(up)
+    return out
+
+
+def train_test_split(
+    df: DataFrame, weights: list[float] | None = None, seed: int = 42
+) -> list[DataFrame]:
+    """70/30 split, seed=42 (U4; reference timely_LR.py:100)."""
+    return df.randomSplit(weights or [0.7, 0.3], seed=seed)

@@ -1,0 +1,47 @@
+"""Sources (SURVEY §2.1, S1/S2).
+
+The reference's only source is inferred-schema NDJSON (reference init.py:13,
+timely_LR.py:31).  The engine reads Parquet as the canonical columnar store
+(vectorized reader, row-group pruning, pushed filters) and keeps a
+schema-pinned PERMISSIVE JSON reader for reference parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in schemas.TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for the SQL front end."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_complaints_json(spark: SparkSession, path: str) -> DataFrame:
+    """Reference-parity complaints reader (S1).
+
+    The reference uses ``spark.read.json(path)`` with schema inference and
+    keeps ``_corrupt_record`` (reference init.py:13, timely_LR.py:31,
+    decision_tree_final_class_8.py:47).  Inference is a full extra data pass,
+    so the engine pins the schema and keeps PERMISSIVE corrupt-record capture
+    for the same bad-row semantics.
+    """
+    return (
+        spark.read.schema(schemas.COMPLAINTS_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", schemas.CORRUPT_COL)
+        .json(path)
+    )

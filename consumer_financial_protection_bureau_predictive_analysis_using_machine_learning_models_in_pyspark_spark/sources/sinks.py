@@ -1,0 +1,46 @@
+"""Sinks (SURVEY §2.1 S3/S4).
+
+The reference only ever ``show()``s or collects to pandas/NumPy on the
+driver.  At 100 TB the canonical sink is partitioned Parquet; the pandas
+hop stays, but only for final small results (metrics tables, confusion
+matrices, feature importances).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned Parquet sink.
+
+    ``partition_by`` should be a low-cardinality column (e.g. year/month of
+    date_received) so partition pruning serves the dominant filter; pair with
+    ``maxRecordsPerFile`` to bound file sizes at scale.
+    """
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def to_pandas_small(df: DataFrame, limit: int = 100_000):
+    """Driver-side collect for *final small results only* (S4).
+
+    Guard-railed: refuses anything larger than ``limit`` rows so a
+    misrouted 100 TB frame can't flatten the driver.
+    """
+    n = df.limit(limit + 1).count()
+    if n > limit:
+        raise ValueError(
+            f"to_pandas_small: result has >{limit} rows; write_parquet instead"
+        )
+    return df.toPandas()
