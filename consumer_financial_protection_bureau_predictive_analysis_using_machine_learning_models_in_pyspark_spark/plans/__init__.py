@@ -1,0 +1,11 @@
+"""Query catalog package.
+
+Importing this package populates ``catalog.CATALOG`` with every registered
+query (core + extensions).  ``__spark_entry__`` and the tests consume the
+catalog through here.
+"""
+
+from . import catalog  # noqa: F401  (defines the registry + core queries)
+from . import relational_ext  # noqa: F401
+
+CATALOG = catalog.CATALOG

@@ -1,0 +1,357 @@
+"""Extended relational surface (SURVEY §2.4-2.6 beyond-parity rows):
+window functions / top-k, set operations, cube & rollup, JSON extraction,
+event-time windows, sessionization, SQL front end, seeded sampling.
+
+Registered into the same CATALOG as the core queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import sampling, windows as W
+from ..sources import fixtures, readers
+from ..streaming import windows as SW
+from .catalog import _CLEANED_CTE, _cleaned, _t, register
+
+
+# ---------------------------------------------------------------------------
+# Window functions / top-k (W-rows; the reference has only a global orderBy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_companies_per_state",
+    fixtures.complaints_cte(
+        """
+SELECT state, company, n, rank FROM (
+  SELECT state, company, n,
+         ROW_NUMBER() OVER (PARTITION BY state ORDER BY n DESC, company) AS rank
+  FROM (SELECT state, company, COUNT(*) AS n
+        FROM cleaned GROUP BY state, company) g
+) r WHERE rank <= 3
+""",
+        {"cleaned": _CLEANED_CTE},
+    ),
+    "window", "topk",
+)
+def topk_companies_per_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (SURVEY §2.5 extension): top 3
+    companies by complaint volume per state, deterministic tiebreak."""
+    counts = (
+        _cleaned(spark, sf_dir)
+        .groupBy("state", "company")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return W.top_k_per_group(
+        counts, ["state"], [F.col("n").desc(), F.col("company")], k=3
+    ).select("state", "company", "n", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "orders_running_total",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+""",
+    "window", "running-agg",
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total — keyed running aggregate (no global
+    window; partitions by customer so it scales with the key space)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@register(
+    "events_ordinal",
+    """
+SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS ordinal
+FROM events WHERE event_type = 'purchase'
+""",
+    "window", "ordinal",
+)
+def events_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True row ordinal via row_number (W3) — the principled replacement for
+    the reference's RDD zipWithIndex (init.py:29).  A global window is a
+    single-task sort, so at scale this is only for small filtered frames;
+    the shuffle-free alternative is monotonically_increasing_id
+    (operators.windows.with_ordinal)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.select(
+        "event_id", F.row_number().over(Window.orderBy("event_id")).alias("ordinal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U-rows; intersect/except are the dedup building blocks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_in_both_statuses",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    "setop", "intersect",
+)
+def customers_in_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@register(
+    "customers_only_finished",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+""",
+    "setop", "except",
+)
+def customers_only_finished(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    rest = o.filter(F.col("o_orderstatus") != "F").select("o_custkey")
+    return f.subtract(rest)
+
+
+@register(
+    "union_order_sample_frames",
+    """
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+""",
+    "setop", "union",
+)
+def union_order_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional union (U1; reference timely_LR.py:96 appends the
+    oversampled minority the same way)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return o.filter(F.col("o_orderstatus") == "F").union(
+        o.filter(F.col("o_orderstatus") == "P")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation (cube / rollup — free from Spark, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_cube",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "agg", "cube",
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "orders_rollup_by_date",
+    """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS year,
+       EXTRACT(MONTH FROM o_orderdate) AS month,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate))
+""",
+    "agg", "rollup",
+)
+def orders_rollup_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup(
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.month("o_orderdate").cast("long").alias("month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction + event-time windows + sessionization (events table;
+# SURVEY §2.7 note + §2.11 extension surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_props_extract",
+    """
+SELECT event_id, event_type,
+       CAST(props ->> '$.k' AS BIGINT) AS prop_k
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+""",
+    "json", "filter",
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (`from_json`/`get_json_object` on events.props —
+    the natural home for semi-structured columns, SURVEY §2.7)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+@register(
+    "events_hourly_agg",
+    """
+SELECT CAST(date_trunc('hour', ts) AS STRING) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    "window-agg", "streaming-compatible",
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation (streaming-compatible shape: the same
+    transformation runs under readStream + watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    out = SW.tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 600000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(MIN(ts) AS STRING) AS session_start,
+       CAST(MAX(ts) AS STRING) AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+""",
+    "session", "window", "streaming-compatible",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization, 10-minute gap (gaps-and-islands; streaming
+    equivalent is F.session_window)."""
+    ev = _t(spark, sf_dir, "events")
+    stats = SW.session_stats(ev, "ts", ["user_id"], gap_seconds=600)
+    return stats.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL front end (SURVEY §3.4: public API = DataFrame combinators + SQL)
+# ---------------------------------------------------------------------------
+
+_NATION_REVENUE_SQL = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""".strip()
+
+
+@register("sql_nation_revenue", _NATION_REVENUE_SQL, "sql-frontend", "join", "agg")
+def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end: temp views + spark.sql running literally the same
+    text as the oracle — Catalyst and DuckDB plan the identical declarative
+    query."""
+    readers.register_views(spark, sf_dir)
+    return spark.sql(_NATION_REVENUE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Seeded sampling / rebalancing (U3/U4): rows-only checks — Spark's
+# Bernoulli/Poisson samplers are seeded per-partition, so exact row sets are
+# engine-specific by design (SURVEY §5, §7 risk (a)).
+# ---------------------------------------------------------------------------
+
+
+@register("complaints_rebalance_8class", None, "sampling", "rows-only")
+def complaints_rebalance_8class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass rebalance-to-target (reference
+    decision_tree_final_class_8.py:154-194 does 8 scans + 8 unions; ours is
+    one sampleBy + one upsample union)."""
+    df = _cleaned(spark, sf_dir)
+    return sampling.rebalance_to_target(df, "company_response", target=500, seed=42)
+
+
+@register("complaints_oversample_timely", None, "sampling", "rows-only")
+def complaints_oversample_timely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary minority oversample to parity (reference timely_LR.py:88-96)."""
+    df = _cleaned(spark, sf_dir).select("complaint_id", "timely")
+    return sampling.oversample_binary(df, "timely", minority_value="No", seed=42)
+
+
+@register("complaints_train_test_split", None, "sampling", "rows-only")
+def complaints_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """70/30 randomSplit seed=42 (reference timely_LR.py:100); returns the
+    train side."""
+    df = _cleaned(spark, sf_dir).select("complaint_id", "timely")
+    train, _test = sampling.train_test_split(df, seed=42)
+    return train

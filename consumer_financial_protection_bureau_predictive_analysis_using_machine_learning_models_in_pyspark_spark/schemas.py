@@ -145,6 +145,21 @@ LINEITEM_SCHEMA = T.StructType(
     ]
 )
 
+# The events parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects ([PARQUET_TYPE_ILLEGAL]).  The engine reads it as raw int64
+# nanoseconds and reconstructs a TIMESTAMP_NTZ (see readers.load_table) —
+# pure epoch arithmetic, deterministic under any session timezone.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

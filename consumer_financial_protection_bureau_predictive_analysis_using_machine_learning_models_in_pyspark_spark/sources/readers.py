@@ -17,7 +17,32 @@ from .. import schemas
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md)."""
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# TIMESTAMP_NTZ epoch reconstruction from int64 nanoseconds, truncating to
+# microseconds exactly like DuckDB/Arrow do.  Split into whole seconds +
+# microsecond remainder so every double stays exactly representable.
+_NS_TO_NTZ = (
+    "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    " + make_dt_interval(0, 0, 0, CAST(ts DIV 1000000000 AS DOUBLE))"
+    " + make_dt_interval(0, 0, 0, CAST((ts % 1000000000) DIV 1000 AS DOUBLE) / 1000000.0)"
+)
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects outright ([PARQUET_TYPE_ILLEGAL]).  Reading ts as int64 via an
+    explicit schema sidesteps it with no session conf, so this works under
+    the correctness driver's stock session too."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.schema(schemas.EVENTS_RAW_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    return raw.withColumn("ts", F.expr(_NS_TO_NTZ))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
