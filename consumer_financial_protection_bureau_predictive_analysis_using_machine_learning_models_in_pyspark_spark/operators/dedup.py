@@ -1,0 +1,199 @@
+"""Deduplication operators (beyond-reference extension surface; SURVEY §7.6).
+
+Five families, each a first-class named operator:
+
+- exact:        hash-groupBy on a content fingerprint — one shuffle of
+                (fingerprint, id), no text movement;
+- MinHash+LSH:  shingle → 56-bit hash → k permutations min-hash → band →
+                bucket-join → candidate pairs → exact-Jaccard verify.
+                Implemented in pure column arithmetic (md5 + mod-p affine
+                permutations) so it is deterministic AND oracle-checkable in
+                DuckDB — unlike MLlib's MinHashLSH whose hash seeds are
+                library-internal;
+- SimHash:      per-bit majority vote over token hashes → 32-bit fingerprint;
+                hamming-close fingerprints ≈ similar token distributions;
+- n-gram Jaccard: exact pairwise set similarity via an inverted-index
+                self-join (token/shingle explode), blocked by cheap keys;
+- embedding cosine near-dup lives in operators/similarity.py.
+
+Scale posture: everything is explode → hash-agg → equi-join — all
+shuffle-partitionable by doc/shingle key, no driver-side state.  LSH
+candidate generation is the only quadratic-risk step and it is bounded by
+band-bucket sizes; skewed buckets (a shingle shared by millions of docs) are
+handled by AQE skew-join or a bucket-size cap filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textfns as TF
+
+# Deterministic affine permutations mod p (shared with the DuckDB oracle —
+# plans/text_queries.py renders the same constants into SQL).
+N_PERMS = 16
+BAND_ROWS = 4  # 16 perms -> 4 bands x 4 rows
+PERMS = [
+    ((2 * i + 1) * 1103515245 % TF.HASH_P, (i * 12345 + 6789) % TF.HASH_P)
+    for i in range(N_PERMS)
+]
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the min id.
+
+    Returns (fingerprint, keep_id, n_copies) for duplicated groups only.
+    """
+    fp = TF.content_fingerprint(text_col).alias("fingerprint")
+    return (
+        df.select(fp, "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, h): distinct word-n-gram shingles hashed to [0, p)."""
+    toks = TF.tokens(text_col)
+    sh = TF.shingles(toks, n)
+    return (
+        df.select("doc_id", F.explode(sh).alias("s"))
+        .select("doc_id", TF.token_hash("s").alias("h"))
+    )
+
+
+def minhash_signatures(
+    spark: SparkSession, hashes: DataFrame
+) -> DataFrame:
+    """(doc_id, i, mh): min over shingles of (a_i*h + b_i) mod p.
+
+    The permutation table is 16 rows — broadcast, so the only shuffle is the
+    final (doc_id, i) aggregation with map-side partial min.
+    """
+    perms = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(PERMS)], "i int, a long, b long"
+    )
+    return (
+        hashes.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % TF.HASH_P).alias("mh"))
+    )
+
+
+def lsh_bands(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """(doc_id, band, key): concatenate each band's minhashes in row order.
+
+    Sort before join (array_sort over (i, mh) structs) keeps the key
+    deterministic regardless of aggregation order.
+    """
+    return (
+        sigs.withColumn("band", (F.col("i") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("key")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any band bucket — the
+    bucket-join.  Bucket sizes bound the pair blowup; at scale add a
+    ``count per (band,key) <= cap`` filter before the self-join."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, hashes: DataFrame
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs.
+
+    |A∩B| via join of distinct shingle hashes; |A∪B| = |A|+|B|-|A∩B|.
+    """
+    sizes = hashes.groupBy("doc_id").agg(F.countDistinct("h").alias("n"))
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), "h").distinct()
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), "h").distinct()
+    inter = (
+        pairs.join(ha, "doc_a")
+        .join(hb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dedup: shingle → sign → band → candidates →
+    exact-Jaccard verify ≥ threshold."""
+    hashes = shingle_hashes(df, text_col)
+    sigs = minhash_signatures(spark, hashes)
+    cands = lsh_candidate_pairs(lsh_bands(sigs))
+    return jaccard_on_pairs(cands, hashes).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash: per-bit majority vote over distinct token hashes → int
+    fingerprint.  One aggregation pass with `bits` conditional sums (no
+    per-bit explode)."""
+    toks = df.select(
+        "doc_id", F.explode(TF.distinct_tokens(text_col)).alias("t")
+    ).select("doc_id", TF.token_hash("t").alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def hamming_distance(a, b):
+    """Column expr: popcount of XOR — pair filter for simhash dedup."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,424 @@
+"""Catalog entries for text analysis, dedup, and similarity search
+(beyond-reference extension surface; SURVEY §7.6).
+
+Oracle discipline: the hash/permutation/hyperplane constants live in ONE
+place (operators.dedup / operators.similarity) and are rendered into the
+DuckDB SQL here, so both engines compute literally the same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textfns as TF
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..operators import text as TX
+from .catalog import _t, register
+
+P = TF.HASH_P
+
+# DuckDB mirrors of the shared hash builders.
+_D_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_D_HASH = f"CAST('0x' || substr(md5({{x}}), 1, 14) AS BIGINT) % {P}"
+_D_FP = (
+    "CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),"
+    " 1, 14) AS BIGINT)"
+)
+
+# Injected-duplicate corpus: the synthetic documents are all distinct, so
+# dedup queries run on documents ∪ a re-keyed 10% slice — deterministic and
+# SQL-expressible, guaranteeing real duplicate groups to find.
+_AUG_CTE = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+""".strip()
+
+
+def _aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.union(dup)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_token_stats",
+    f"""
+SELECT doc_id,
+       CAST(len({_D_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_D_TOKS})) AS BIGINT) AS n_distinct_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_estimate
+FROM documents
+""",
+    "text", "tokens",
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(_t(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TF.STOPWORDS_EN) + "]"
+
+
+@register(
+    "docs_quality_score",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_D_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+       ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+       ROUND(0.25 * least(1.0, length(text) / 500.0)
+           + 0.25 * (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE))
+           + 0.25 * (CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE))
+           + 0.25 * least(1.0, len(toks) / 100.0), 6) AS quality
+FROM t
+""",
+    "text", "quality",
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in TF.LANG_STOPWORDS[lang]) + "]"
+    return f"CAST(len(list_filter({_D_TOKS}, x -> list_contains({words}, x))) AS BIGINT)"
+
+
+@register(
+    "docs_language_id",
+    f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en')} AS score_en,
+         {_lang_score_sql('es')} AS score_es,
+         {_lang_score_sql('de')} AS score_de,
+         {_lang_score_sql('fr')} AS score_fr
+  FROM documents
+)
+SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+       CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+            WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+            WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM s
+""",
+    "text", "langid",
+)
+def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_fingerprints",
+    f"SELECT doc_id, {_D_FP} AS fingerprint FROM documents",
+    "text", "fingerprint",
+)
+def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH aug AS ({_AUG_CTE})
+SELECT {_D_FP} AS fingerprint,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM aug
+GROUP BY fingerprint
+HAVING COUNT(*) > 1
+""",
+    "dedup", "exact",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint — hash-groupBy, one shuffle of
+    (56-bit fp, id); the document text itself never moves."""
+    return DD.exact_dedup_groups(_aug(spark, sf_dir))
+
+
+_PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(DD.PERMS))
+
+_MINHASH_CTES = f"""
+WITH aug AS ({_AUG_CTE}),
+tok AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM aug
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))) AS s
+  FROM tok WHERE len(toks) >= 3
+),
+hashed AS (
+  SELECT doc_id, {_D_HASH.format(x='s')} AS h FROM sh
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+sigs AS (
+  SELECT doc_id, i, MIN((a * h + b) % {P}) AS mh
+  FROM hashed CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {DD.BAND_ROWS} AS band,
+         string_agg(CAST(mh AS STRING), ',' ORDER BY i) AS key
+  FROM sigs GROUP BY doc_id, i // {DD.BAND_ROWS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(DISTINCT h) AS n FROM hashed GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN (SELECT DISTINCT doc_id, h FROM hashed) ha ON ha.doc_id = c.doc_a
+  JOIN (SELECT DISTINCT doc_id, h FROM hashed) hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+  GROUP BY c.doc_a, c.doc_b
+)
+""".strip()
+
+_MINHASH_BODY = """
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+FROM cands c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE) >= 0.5
+""".strip()
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"{_MINHASH_CTES}\n{_MINHASH_BODY}",
+    "dedup", "minhash", "lsh",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dedup: 3-gram shingles → 16 affine-permutation
+    minhashes → 4 bands × 4 rows bucket-join → exact-Jaccard verify ≥ 0.5.
+
+    Pure column arithmetic (md5 + mod-p) — deterministic and fully
+    oracle-checked, unlike MLlib's MinHashLSH whose seeds are internal."""
+    return DD.minhash_dedup_pairs(spark, _aug(spark, sf_dir), threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_D_TOKS})) AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id, {_D_HASH.format(x='t')} AS h FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {terms} AS simhash FROM votes
+"""
+
+
+@register("dedup_simhash", _simhash_oracle(), "dedup", "simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (32-bit): per-bit majority over token hashes in
+    a single aggregation pass; hamming-close fingerprints ≈ near-dups."""
+    return DD.simhash_fingerprints(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
+    "dedup_jaccard_blocked",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))) AS s
+  FROM tok WHERE len(toks) >= 3
+),
+hashed AS (
+  SELECT doc_id, lang, {_D_HASH.format(x='s')} AS h FROM sh
+),
+sizes AS (SELECT doc_id, COUNT(DISTINCT h) AS n FROM hashed GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM (SELECT DISTINCT doc_id, lang, h FROM hashed WHERE doc_id % 10 = 0) a
+  JOIN (SELECT DISTINCT doc_id, lang, h FROM hashed) b
+    ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST(p.n_inter AS DOUBLE)
+             / CAST(sa.n + sb.n - p.n_inter AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_inter AS DOUBLE) / CAST(sa.n + sb.n - p.n_inter AS DOUBLE) >= 0.2
+""",
+    "dedup", "jaccard",
+)
+def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index self-join: probe slice
+    (doc_id % 10 = 0) vs all, blocked by lang, shared-shingle join, pairs
+    with jaccard ≥ 0.2.  The inverted index bounds work to pairs that share
+    at least one shingle — no quadratic cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TF.tokens("text")
+    sh = docs.select(
+        "doc_id", "lang", F.explode(TF.shingles(toks, 3)).alias("s")
+    ).select("doc_id", "lang", TF.token_hash("s").alias("h")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.countDistinct("h").alias("n"))
+    probes = sh.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"), "lang", "h"
+    )
+    others = sh.select(F.col("doc_id").alias("doc_b"), "lang", "h")
+    pairs = (
+        probes.join(others, ["lang", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.2)
+    )
+    return jac.select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_DIM = 64  # embeddings fixture dimension (all sf dirs)
+
+_ANN_DOT = f"""
+SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       SUM(CAST(CAST(p.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                AS DECIMAL(20,15))) AS dot_dec
+FROM embeddings p
+CROSS JOIN embeddings e
+CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+WHERE p.vec_id < 10 AND e.vec_id <> p.vec_id
+GROUP BY p.vec_id, e.vec_id
+""".strip()
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+WITH pairs AS ({_ANN_DOT})
+SELECT probe_id, neighbor_id,
+       ROUND(CAST(dot_dec AS DOUBLE), 6) AS cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY dot_dec DESC, neighbor_id) AS rank
+  FROM pairs
+) r WHERE rank <= 5
+""",
+    "similarity", "ann", "bruteforce",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for probes vec_id<10 (embeddings are
+    unit-norm, so dot == cosine).  Decimal-exact fold makes the ranking cut
+    deterministic across engines and partitionings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _hyperplane_sql(dim: int, n_planes: int, vec: str) -> str:
+    terms = []
+    for m in range(n_planes):
+        coeffs = [
+            (((m * 67 + j) * 2654435761) % P) / P - 0.5 for j in range(dim)
+        ]
+        dot = " + ".join(
+            f"CAST({vec}[{j + 1}] AS DOUBLE) * ({c!r})" for j, c in enumerate(coeffs)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {2**m} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {_hyperplane_sql(_DIM, 8, 'embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         SUM(CAST(CAST(p.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(20,15))) AS dot_dec
+  FROM bucketed p
+  JOIN bucketed e ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+  WHERE p.vec_id < 10
+  GROUP BY p.vec_id, e.vec_id
+)
+SELECT probe_id, neighbor_id,
+       ROUND(CAST(dot_dec AS DOUBLE), 6) AS cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY dot_dec DESC, neighbor_id) AS rank
+  FROM pairs
+) r WHERE rank <= 5
+""",
+    "similarity", "ann", "lsh",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5: 8 deterministic random hyperplanes →
+    256 sign buckets; probes score only their own bucket (the IVF-style
+    scale path — ~256× less work than brute force at equal probe count)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=_DIM, k=5, n_planes=8
+    )
