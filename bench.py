@@ -1,0 +1,91 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Query set: the flagship complaint pipeline plus one representative per
+operator family (relational agg/join/window, set ops, JSON/event-time,
+text analysis, dedup, similarity search, ML train+score) so a regression
+in any engine subsystem shows up in the headline number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q6_forecast_revenue",
+    "complaints_flagship",
+    "complaints_class_distribution",
+    "topk_companies_per_state",
+    "orders_running_total",
+    "lineitem_cube",
+    "events_hourly_agg",
+    "events_sessionize",
+    "events_props_extract",
+    # text / dedup / similarity (LLM-data-pipeline surface)
+    "docs_token_stats",
+    "docs_quality_score",
+    "docs_language_id",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    # ML (train + score, the reference's core workload)
+    "ml_timely_lr",
+    "ml_response_dt",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.session import (  # noqa: E501
+        get_session,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        CATALOG,
+    )
+
+    spark = get_session(master=f"local[{cpus}]", app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so q1 doesn't pay one-time session cost
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = CATALOG[name]
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""ML pipeline smoke + invariant tests (SURVEY §5): schema of outputs,
+metric ranges, rebalance targets, native-vs-UDF clean_text parity, LDA
+topic-shape invariants.  Fixed seeds everywhere (reference convention)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark import (  # noqa: E501
+    schemas,
+)
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.functions import (  # noqa: E501
+    textfns as TF,
+)
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.ml import (  # noqa: E501
+    nlp,
+    pipelines as ML,
+)
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+    sampling,
+)
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+    CATALOG,
+)
+
+
+@pytest.fixture(scope="module")
+def timely_metrics(spark, sf_dir):
+    return {
+        r["metric"]: r["value"]
+        for r in CATALOG["ml_timely_lr"].fn(spark, sf_dir).collect()
+    }
+
+
+def test_binary_metrics_ranges(timely_metrics):
+    m = timely_metrics
+    for k in ("precision", "recall", "accuracy", "f1"):
+        assert m[k] is None or 0.0 <= m[k] <= 1.0, (k, m[k])
+    assert m["tp"] + m["fp"] + m["tn"] + m["fn"] > 0
+
+
+def test_gbt_pipeline_fits(spark, sf_dir):
+    """GBT — README-parity model (reference README.md:38 claims it best but
+    ships no script)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.ml_queries import (  # noqa: E501
+        _timely_training_frame,
+    )
+
+    data = _timely_training_frame(spark, sf_dir).limit(2000)
+    train, test = sampling.train_test_split(data, seed=42)
+    fitted = ML.timely_pipeline("gbt").fit(train)
+    preds = fitted.transform(test)
+    a = ML.auc(preds)
+    assert 0.0 <= a <= 1.0
+
+
+def test_response_dt_confusion_shape(spark, sf_dir):
+    cm = CATALOG["ml_response_dt"].fn(spark, sf_dir)
+    rows = cm.collect()
+    assert 1 <= len(rows) <= 64  # 8 classes -> at most 8x8 cells
+    assert set(cm.columns) == {"label", "prediction", "n"}
+    assert all(r["n"] > 0 for r in rows)
+
+
+def test_rebalance_hits_target(spark, sf_dir):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.catalog import (  # noqa: E501
+        _cleaned,
+    )
+
+    df = _cleaned(spark, sf_dir)
+    out = sampling.rebalance_to_target(df, "company_response", target=200, seed=42)
+    counts = sampling.class_counts(out, "company_response")
+    assert len(counts) == 8
+    for v, n in counts.items():
+        assert 100 <= n <= 320, (v, n)  # Poisson/Bernoulli tolerance around 200
+
+
+def test_cv_and_tvs_smoke(spark, sf_dir):
+    """CrossValidator + TrainValidationSplit head-to-head (reference
+    decision_tree_final_class_8.py:246-249, 395-429), tiny grid."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.ml_queries import (  # noqa: E501
+        _response_training_frame,
+    )
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import ParamGridBuilder
+
+    data = _response_training_frame(spark, sf_dir).limit(1500).cache()
+    pipe = ML.response_pipeline("dt")
+    dt = pipe.getStages()[-1]
+    grid = ParamGridBuilder().addGrid(dt.maxDepth, [3, 5]).build()
+    ev = MulticlassClassificationEvaluator(metricName="accuracy")
+    cv_model = ML.cv_fit(pipe, data, grid, ev, folds=3)
+    tvs_model = ML.tvs_fit(pipe, data, grid, ev)
+    assert max(cv_model.avgMetrics) > 0
+    assert max(tvs_model.validationMetrics) > 0
+    data.unpersist()
+
+
+def test_random_grid_is_seeded_subset():
+    from pyspark.ml.tuning import ParamGridBuilder
+
+    pipe = ML.timely_pipeline("lr")
+    full = ML.lr_param_grid(pipe)
+    s1 = ML.random_grid(full, 5, seed=42)
+    s2 = ML.random_grid(full, 5, seed=42)
+    assert s1 == s2 and len(s1) == 5
+    assert all(g in full for g in s1)
+
+
+def _reference_clean_text(text: str) -> list[str]:
+    """Literal re-implementation of the reference UDF semantics
+    (complaints_narrative_LDA.py:44-57) for the parity property test."""
+    t = text.lower()
+    t = re.sub(r"x{2,}", " ", t)
+    t = re.sub(r"[^a-z\s]", " ", t)
+    return [w for w in t.strip().split() if len(w) > 1]
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "I was charged XXXX dollars on 01/02/2020!!",
+        "XXXX XXXX XXXX",
+        "a bb ccc",
+        "  Mixed CASE with   spaces\tand\ttabs  ",
+        "punctuation, only... !!!",
+        "exxxxtra letters inside wordsxx",
+    ],
+)
+def test_clean_text_native_matches_udf_semantics(spark, text):
+    df = spark.createDataFrame([(text,)], "narrative string")
+    got = df.select(TF.clean_text_tokens("narrative").alias("toks")).first()["toks"]
+    assert got == _reference_clean_text(text)
+
+
+def test_lda_topics_shape(spark, sf_dir):
+    topics = CATALOG["ml_lda_topics"].fn(spark, sf_dir)
+    rows = topics.collect()
+    assert len(rows) == 5 * 8  # k=5 topics x 8 terms
+    assert all(r["weight"] >= 0 for r in rows)
+    assert len({r["topic"] for r in rows}) == 5
+
+
+def test_nlp_features_schema(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    featurized, vocab = nlp.nlp_features(docs, "text", vocab_size=50, min_df=1.0)
+    assert "features" in featurized.columns
+    assert len(vocab) > 0
+    assert isinstance(
+        featurized.schema["cleaned"].dataType, T.ArrayType
+    )
