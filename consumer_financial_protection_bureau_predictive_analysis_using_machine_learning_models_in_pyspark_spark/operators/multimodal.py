@@ -1,0 +1,223 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` + typed metadata
+(beyond-reference extension: the reference is text/tabular only; a training-data
+pipeline at 100 TB carries media blobs through the same relational engine).
+
+Design:
+- media is an ordinary DataFrame column pair: ``content binary`` + a typed
+  ``meta`` struct per modality (width/height/channels, sample_rate/duration,
+  fps/n_frames).  Everything relational (filter, join, partition, dedup by
+  content hash) works unchanged; only decode touches the bytes.
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` so each Python worker sees a columnar batch, not a row.
+  The *codec* step is stubbed (PIL/librosa/ffmpeg are not in this container):
+  with the libs absent we either raise ``NotImplementedError`` (strict mode)
+  or substitute a DETERMINISTIC FAKE decode — pure byte statistics — so the
+  Spark-side plumbing (schema, batch shape, partitioning) is fully testable.
+- at scale: blobs ride in their own parquet column chunk; metadata-only
+  queries never read the bytes (columnar pruning), and decode stages
+  ``repartition`` by size so one 4 GB video doesn't straggle a task.
+
+The fixture has no media files, so ``media_table`` manufactures blobs
+deterministically from the ``documents`` table (utf-8 bytes of the text —
+NOT random, so the DuckDB oracle can reproduce byte lengths and hashes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+MODALITIES = ("image", "audio", "video")
+
+# One nullable struct per modality — exactly one is non-null per row, chosen
+# by the `modality` discriminator (parquet stores nulls for the others, ~free).
+MEDIA_META = (
+    "meta struct<"
+    "image: struct<width:int, height:int, channels:int>, "
+    "audio: struct<sample_rate:int, duration_ms:bigint>, "
+    "video: struct<fps:int, n_frames:int, width:int, height:int>>"
+)
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """documents → (media_id, modality, content binary, meta struct).
+
+    Deterministic fake corpus: content = utf-8 bytes of `text`; modality and
+    metadata derived arithmetically from doc_id so the oracle can recompute
+    them.  In production this is `spark.read.format('binaryFile')` or a
+    parquet table with a real binary column — same downstream schema.
+    """
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    d = docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.col("n_chars"),
+    )
+    meta = F.struct(
+        F.when(
+            F.col("modality") == "image",
+            F.struct(
+                (F.col("media_id") % 8 * 64 + 64).cast("int").alias("width"),
+                (F.col("media_id") % 4 * 64 + 64).cast("int").alias("height"),
+                F.lit(3).alias("channels"),
+            ),
+        ).alias("image"),
+        F.when(
+            F.col("modality") == "audio",
+            F.struct(
+                F.lit(16000).alias("sample_rate"),
+                (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
+            ),
+        ).alias("audio"),
+        F.when(
+            F.col("modality") == "video",
+            F.struct(
+                F.lit(24).alias("fps"),
+                (F.col("media_id") % 96 + 24).cast("int").alias("n_frames"),
+                F.lit(640).alias("width"),
+                F.lit(360).alias("height"),
+            ),
+        ).alias("video"),
+    )
+    return d.withColumn("meta", meta).drop("n_chars")
+
+
+def meta_stats(media: DataFrame) -> DataFrame:
+    """Per-modality profile WITHOUT touching the blob bytes beyond length —
+    at scale this reads only the meta/length column chunks (columnar
+    pruning); the binary chunk stays on disk."""
+    return (
+        media.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("content")).alias("total_bytes"),
+            F.round(F.avg(F.octet_length("content")), 4).alias("avg_bytes"),
+            F.sum(F.coalesce(F.col("meta.video.n_frames"), F.lit(0))).cast(
+                "bigint"
+            ).alias("total_frames"),
+        )
+        .orderBy("modality")
+    )
+
+
+def frame_index_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
+    """Video frame sampling as a pure metadata op: explode every_n-th frame
+    index from meta.video.n_frames.  The decode of those frames is the
+    mapInPandas stage below; the *selection* never touches bytes, so Catalyst
+    prunes the binary column out of this scan entirely."""
+    v = media.filter(F.col("modality") == "video")
+    return v.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.video.n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("byte_mod_sum", LongType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Arrow-batched decode → per-blob features via ``mapInPandas``.
+
+    The real path would open the blob with PIL/librosa/av inside the batch
+    loop.  Those codecs are absent here, so: strict=True raises
+    ``NotImplementedError`` (the production posture when a codec is missing —
+    fail loudly, don't fake data); strict=False computes DETERMINISTIC byte
+    statistics standing in for decoded features, keeping schema/batch
+    plumbing real and testable.
+
+    Scale: repartition upstream by ``octet_length(content)`` buckets if blob
+    sizes are wildly skewed; each task's Arrow batch is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # real codec path, absent in this container
+            import PIL.Image  # noqa: F401
+
+            have_codec = True
+        except ImportError:
+            have_codec = False
+        if strict and not have_codec:
+            raise NotImplementedError(
+                "media decode requires PIL/librosa/av; install codecs or "
+                "run with strict=False for byte-statistics fallback"
+            )
+        for pdf in it:
+            feats = pdf["content"].map(
+                lambda b: (len(b), float(sum(b)) / max(len(b), 1),
+                           int(sum(b) % 997))
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": feats.map(lambda t: t[0]).astype("int64"),
+                    "byte_mean": feats.map(lambda t: round(t[1], 6)),
+                    "byte_mod_sum": feats.map(lambda t: t[2]).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _batches, schema=DECODE_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("pixels", ArrayType(DoubleType())),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Image resize stage (mapInPandas).  Codec stubbed: emits a
+    deterministic (width×height) grid derived from the byte stream — the
+    tensor SHAPE contract (row-major float array, len == w*h) is what
+    downstream training pipelines consume, and is what tests pin."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        npix = width * height
+        for pdf in it:
+            def fake_resize(b: bytes) -> list[float]:
+                if len(b) == 0:
+                    return [0.0] * npix
+                return [float(b[i % len(b)]) / 255.0 for i in range(npix)]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": width,
+                    "out_height": height,
+                    "pixels": pdf["content"].map(fake_resize),
+                }
+            )
+
+    imgs = media.filter(F.col("modality") == "image").select("media_id", "content")
+    return imgs.mapInPandas(_batches, schema=RESIZE_SCHEMA)

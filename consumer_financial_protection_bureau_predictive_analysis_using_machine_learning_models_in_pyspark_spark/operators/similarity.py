@@ -99,6 +99,44 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket.cast("int")
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.15,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the dedup-family member of
+    this module): bucket the corpus by hyperplane signature once, self-join
+    WITHIN buckets (id1 < id2), keep pairs with cosine ≥ threshold.
+
+    Scale: the self-join is on the bucket key, so the shuffle is one
+    hash-partition of a narrow (id, vec, bucket) projection and each task
+    compares only its own bucket — O(Σ b_i²) instead of O(N²).  More planes
+    → smaller buckets → cheaper but lower recall (sign-agreement bound).
+    Returns (id1, id2, cosine) sorted-pair-unique.
+    """
+    b = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    l = b.select(F.col("id").alias("id1"), F.col("vec").alias("vec1"), "bucket")
+    r = b.select(F.col("id").alias("id2"), F.col("vec").alias("vec2"), "bucket")
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("dot_dec", dot_decimal(F.col("vec1"), F.col("vec2")))
+        .filter(F.col("dot_dec") >= threshold)
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("dot_dec").cast("double"), 6).alias("cosine"),
+        )
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -9,5 +9,6 @@ from . import catalog  # noqa: F401  (defines the registry + core queries)
 from . import relational_ext  # noqa: F401
 from . import text_queries  # noqa: F401
 from . import ml_queries  # noqa: F401
+from . import media_queries  # noqa: F401
 
 CATALOG = catalog.CATALOG

@@ -1,0 +1,114 @@
+"""Catalog entries for multimodal columns + embedding-cosine near-dup
+(beyond-reference extension surface; the reference is text/tabular only).
+
+The media corpus is manufactured deterministically from `documents`
+(operators.multimodal.media_table), so metadata-level queries have exact
+DuckDB oracles.  The decode/resize stages run real Arrow-batched
+``mapInPandas`` plumbing with a stubbed codec (byte statistics; see
+operators/multimodal.py) — byte-fold arithmetic over blobs is not
+reasonably ANSI-SQL-expressible, so those two are rows-only with value
+checks in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from .catalog import _t, register
+from .text_queries import _DIM, _hyperplane_sql
+
+# DuckDB mirror of media_table's deterministic derivations.
+_MEDIA_CTE = """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 96 + 24 AS INT)
+            ELSE NULL END AS n_frames
+FROM documents
+""".strip()
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.media_table(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "media_meta_stats",
+    f"""
+WITH media AS ({_MEDIA_CTE})
+SELECT modality,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(avg(n_bytes), 4) AS avg_bytes,
+       CAST(sum(COALESCE(n_frames, 0)) AS BIGINT) AS total_frames
+FROM media GROUP BY modality ORDER BY modality
+""",
+    "multimodal", "metadata",
+)
+def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality blob profile; reads only length+meta column chunks at
+    scale (binary chunk pruned by Catalyst column pruning)."""
+    return MM.meta_stats(_media(spark, sf_dir))
+
+
+@register(
+    "media_frame_sample",
+    f"""
+WITH media AS ({_MEDIA_CTE})
+SELECT media_id, CAST(unnest(range(0, n_frames, 8)) AS INT) AS frame_idx
+FROM media WHERE modality = 'video'
+""",
+    "multimodal", "video",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-8th-frame selection as pure metadata explode — the decode of
+    selected frames is a downstream mapInPandas stage."""
+    return MM.frame_index_sample(_media(spark, sf_dir), every_n=8)
+
+
+@register("media_decode_features", None, "multimodal", "decode")
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched blob decode (stubbed codec → deterministic byte stats).
+    Rows-only: per-byte folds over blobs aren't ANSI-SQL; value checks live
+    in tests/test_multimodal.py."""
+    return MM.decode_features(_media(spark, sf_dir))
+
+
+@register("media_resize_images", None, "multimodal", "image")
+def media_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage: mapInPandas emitting fixed-shape float tensors
+    (8×8), the contract a training loader consumes.  Rows-only (vector
+    payloads); shape/determinism pinned in tests."""
+    return MM.resize_images(_media(spark, sf_dir), width=8, height=8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {_hyperplane_sql(_DIM, 8, 'embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT l.vec_id AS id1, r.vec_id AS id2,
+         SUM(CAST(CAST(l.embedding[i.i] AS DOUBLE) * CAST(r.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(20,15))) AS dot_dec
+  FROM bucketed l
+  JOIN bucketed r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+  GROUP BY l.vec_id, r.vec_id
+)
+SELECT id1, id2, ROUND(CAST(dot_dec AS DOUBLE), 6) AS cosine
+FROM pairs WHERE dot_dec >= 0.15
+""",
+    "dedup", "embedding",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: hyperplane-bucketed self-join, pairs with
+    cosine ≥ 0.15 (completes the dedup family: exact / minhash / simhash /
+    jaccard / embedding)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_near_dup_pairs(emb, dim=_DIM, threshold=0.15, n_planes=8)
