@@ -10,5 +10,6 @@ from . import relational_ext  # noqa: F401
 from . import text_queries  # noqa: F401
 from . import ml_queries  # noqa: F401
 from . import media_queries  # noqa: F401
+from . import streaming_queries  # noqa: F401
 
 CATALOG = catalog.CATALOG

@@ -1,0 +1,165 @@
+"""Catalog entries that execute REAL Structured Streaming queries
+(readStream → watermarked stateful op → availableNow drain → memory sink)
+and return the drained result as a DataFrame.
+
+Oracle discipline: in append mode with availableNow, a stateful op emits
+exactly the windows/sessions whose end is at or below the FINAL watermark
+(max event time − delay); the DuckDB oracle reproduces that emission
+predicate in SQL, so the streaming path is value-checked end to end — not
+just "it ran".  The custom applyInPandasWithState operator is rows-only
+(per-key Python state is the genuinely-non-SQL case).
+
+Timezone discipline: event time rides as NTZ→LTZ cast + LTZ→string render,
+both under the SAME session timezone, so the naive wall-clock round-trips
+identically under any driver session tz (no DST transitions in the
+fixture's Jan-2024 span).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import jobs as SJ
+from .catalog import register
+
+_SINK_IDS = itertools.count()
+
+
+def _drain(spark: SparkSession, stream: DataFrame, mode: str = "append") -> DataFrame:
+    name = f"stream_sink_{os.getpid()}_{next(_SINK_IDS)}"
+    SJ.run_to_memory(stream, name, output_mode=mode)
+    return spark.table(name)
+
+
+@register(
+    "stream_windowed_counts",
+    """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT CAST(date_trunc('hour', ts) AS STRING) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+""",
+    "streaming", "window-agg", "watermark",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling counts, run AS A STREAM and drained; append
+    mode emits exactly the hours closed by the final watermark — the oracle
+    reproduces that emission predicate."""
+    out = _drain(spark, SJ.windowed_counts(SJ.read_events_stream(spark, sf_dir)))
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_session_stats",
+    """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+lagged AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, CAST(session_start AS STRING) AS session_start,
+       CAST(session_end AS STRING) AS session_end, n_events, sum_value
+FROM agg, wm WHERE session_end <= wm.w
+""",
+    "streaming", "session-window", "watermark",
+)
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30 min gap) under a stream; the oracle is the
+    gaps-and-islands batch twin restricted to sessions the final watermark
+    closed (session end = last event + gap)."""
+    out = _drain(
+        spark, SJ.session_windows(SJ.read_events_stream(spark, sf_dir))
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_dedup_events",
+    """
+SELECT event_id, CAST(ts AS STRING) AS ts, user_id, event_type, value
+FROM events
+""",
+    "streaming", "dedup", "watermark",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark keyed on event_id with a horizon
+    covering the fixture span: ids are unique, so the exactly-once repair
+    stage must reproduce the input exactly — which the oracle checks."""
+    stream = SJ.read_events_stream(spark, sf_dir)
+    out = _drain(
+        spark,
+        SJ.dedup_within_watermark(stream, keys=("event_id",), watermark="365 days"),
+    )
+    return out.select(
+        "event_id",
+        F.col("ts").cast("string").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@register("stream_running_user_stats", None, "streaming", "stateful", "custom")
+def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key state via applyInPandasWithState (update mode): final
+    emission per user == whole-history aggregate.  Rows-only: per-key Python
+    state is the genuinely-non-SQL streaming case; value checks live in
+    tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    out = _drain(
+        spark,
+        SJ.running_user_stats(SJ.read_events_stream(spark, sf_dir)),
+        mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+            F.col("max_ts").cast("string").alias("max_ts"),
+        )
+    )

@@ -1,0 +1,224 @@
+"""Structured Streaming jobs (beyond-reference extension; the reference is
+pure batch — SURVEY §2.11).
+
+Each job takes a STREAMING DataFrame (``spark.readStream``) and returns the
+transformed streaming frame; the caller owns the sink/trigger.  The batch
+twins in ``streaming.windows`` share the event-time shapes, so one logical
+definition serves both (test strategy: run the stream with
+``trigger(availableNow=True)`` to a memory sink and diff against the batch
+result).
+
+Scale posture:
+- every stateful op carries a WATERMARK — unbounded state is the streaming
+  analogue of a cartesian join; without one, 100 TB/day of events grows
+  state forever.
+- state-store keys are (key × window), so skewed users spread across
+  windows; shuffle partitions sized by ``spark.sql.shuffle.partitions``
+  as usual (state store is per-partition RocksDB on a real cluster).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1):
+    """File-source stream over the events parquet directory — the local
+    stand-in for Kafka (same DataFrame surface; swap `format('kafka')` +
+    from_json(value) in production).
+
+    Same TIMESTAMP(NANOS) workaround as sources.readers._load_events: read
+    ts as int64 and reconstruct TIMESTAMP_NTZ (Spark's parquet reader
+    rejects nanos outright).  The file source wants a DIRECTORY (it tails
+    new files), while the fixture is a single file — stage a symlink dir."""
+    import os
+    import tempfile
+
+    from .. import schemas
+    from ..sources.readers import _NS_TO_NTZ
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    raw = (
+        spark.readStream.schema(schemas.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stage)
+    )
+    # watermarks require TIMESTAMP (LTZ) — cast the reconstructed NTZ
+    # (session tz is UTC in get_session, so the instant is unchanged)
+    return raw.withColumn("ts", F.expr(_NS_TO_NTZ).cast("timestamp"))
+
+
+def windowed_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the canonical streaming agg.
+    Late events beyond `watermark` are dropped and their window's state
+    evicted (bounded state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal fold: exact, order-independent — same engine-wide
+            # numeric discipline as the batch catalog queries
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Native session windows (``F.session_window``): a session closes when
+    no event arrives within `gap`; watermark bounds open-session state.
+    Batch twin: streaming.windows.sessionize (gaps-and-islands)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key within
+    the watermark horizon (`dropDuplicatesWithinWatermark`), state evicted
+    after the horizon — the at-least-once → exactly-once repair stage in an
+    ingestion pipeline."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+RUNNING_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_ts", TimestampType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("max_ts", TimestampType()),
+    ]
+)
+
+
+def running_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum(value),
+    max(ts)) maintained across micro-batches via
+    ``applyInPandasWithState`` — the pattern for semantics Spark's built-in
+    aggs can't express (per-key model state, CEP, custom eviction).
+
+    State times out `watermark` past the event-time watermark
+    (EventTimeTimeout) so abandoned users are evicted."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, max_ts = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+        state.update((n, total, max_ts))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 7_200_000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "max_ts": [max_ts],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a stream to an in-memory table with availableNow (test/CI
+    harness; production uses kafka/delta/parquet sinks + a real trigger)."""
+    w = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()

@@ -1,0 +1,131 @@
+"""Structured Streaming jobs: drain with availableNow → memory sink, diff
+against the batch twin (SURVEY §2.11 extension surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (
+    readers,
+)
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.streaming import (
+    jobs as SJ,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_stream(spark):
+    return SJ.read_events_stream(spark, SF)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    # load_table handles the TIMESTAMP(NANOS) parquet; cast matches the
+    # stream reader's LTZ event-time type
+    df = readers.load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return df.cache()
+
+
+def _drain(spark, stream, name, mode="append"):
+    SJ.run_to_memory(stream, name, output_mode=mode)
+    return spark.table(name)
+
+
+def test_windowed_counts_matches_batch(spark, events_stream, events_batch):
+    out = _drain(spark, SJ.windowed_counts(events_stream), "t_wincounts")
+    batch = (
+        events_batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    # availableNow + append emits exactly the closed windows; all windows
+    # close once the source is exhausted except those above the final
+    # watermark. Compare on the intersection-complete prefix:
+    max_wm = out.agg(F.max("window_end")).first()[0]
+    b = batch.filter(F.col("window_end") <= max_wm)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, b.collect()))
+    assert out.count() > 0
+
+
+def test_session_windows_stream_runs(spark, events_stream):
+    out = _drain(spark, SJ.session_windows(events_stream), "t_sessions")
+    assert set(out.columns) == {
+        "user_id", "session_start", "session_end", "n_events", "sum_value",
+    }
+    # sessions are non-empty and well-ordered
+    bad = out.filter(
+        (F.col("n_events") <= 0) | (F.col("session_end") < F.col("session_start"))
+    ).count()
+    assert bad == 0 and out.count() > 0
+
+
+def test_dedup_within_watermark(spark, events_batch, tmp_path):
+    # duplicate the source: same events twice → streaming dedup keeps one
+    dup_dir = str(tmp_path / "dup_events")
+    events_batch.union(events_batch).repartition(4).write.parquet(dup_dir)
+    schema = events_batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dup_dir)
+    )
+    # horizon must cover the fixture's full time span: with a short
+    # watermark, rows in later files that are older than (max seen ts -
+    # horizon) are dropped as late data before dedup sees them
+    out = _drain(
+        spark,
+        SJ.dedup_within_watermark(stream, keys=("event_id",), watermark="365 days"),
+        "t_dedup",
+    )
+    n_unique = events_batch.select("event_id").distinct().count()
+    got = out.select("event_id").distinct().count()
+    assert got == n_unique
+    # each id exactly once (within-watermark exactness holds here: all dups
+    # arrive inside the horizon because the whole fixture spans < watermark
+    # OR dups are co-batched; assert no id appears twice)
+    assert out.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_running_user_stats_state(spark, events_stream, events_batch):
+    out = _drain(
+        spark, SJ.running_user_stats(events_stream), "t_runstats", mode="update"
+    )
+    # final state per user (last update emitted) == batch aggregate
+    final = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    batch = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.max("ts").alias("max_ts"),
+    )
+    diff = final.join(batch, "user_id").filter(
+        (final.n_events != batch.n_events)
+        | (F.abs(final.total_value - batch.total_value) > 1e-6)
+    )
+    assert diff.count() == 0
+    assert final.count() == batch.count()
