@@ -38,7 +38,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
+    # multimodal + streaming
+    "media_meta_stats",
+    "media_decode_features",
+    "stream_windowed_counts",
     # ML (train + score, the reference's core workload)
     "ml_timely_lr",
     "ml_response_dt",

@@ -55,13 +55,18 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, h): distinct word-n-gram shingles hashed to [0, p)."""
+    """(doc_id, h): DISTINCT word-n-gram shingles hashed to [0, p).
+
+    Distinctness is established in-row — hash the shingle array, then
+    ``array_distinct`` BEFORE the explode — so duplicate hashes never leave
+    the row (hash-level distinct matches the oracle's COUNT(DISTINCT h)
+    under collisions), no dedup shuffle is ever paid, and downstream set
+    ops (Jaccard sizes/intersections) trust the contract without their own
+    ``distinct()`` passes."""
     toks = TF.tokens(text_col)
     sh = TF.shingles(toks, n)
-    return (
-        df.select("doc_id", F.explode(sh).alias("s"))
-        .select("doc_id", TF.token_hash("s").alias("h"))
-    )
+    hashed = F.array_distinct(F.transform(sh, TF.token_hash))
+    return df.select("doc_id", F.explode(hashed).alias("h"))
 
 
 def minhash_signatures(
@@ -69,16 +74,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, i, mh): min over shingles of (a_i*h + b_i) mod p.
 
-    The permutation table is 16 rows — broadcast, so the only shuffle is the
-    final (doc_id, i) aggregation with map-side partial min.
-    """
-    perms = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(PERMS)], "i int, a long, b long"
-    )
-    return (
-        hashes.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % TF.HASH_P).alias("mh"))
+    ONE aggregation computes all 16 permutation minima as parallel agg
+    columns (map-side partial min), then unpivots with ``stack`` — no row
+    blowup.  The naive alternative (crossJoin against the 16-row permutation
+    table, then groupBy(doc_id, i)) shuffles 16× the shingle rows; at 100 TB
+    that multiplier is the whole job."""
+    mins = _perm_mins(hashes)
+    stack = ", ".join(f"{i}, m{i}" for i in range(N_PERMS))
+    return mins.selectExpr(
+        "doc_id", f"stack({N_PERMS}, {stack}) AS (i, mh)"
+    ).select("doc_id", F.col("i").cast("int").alias("i"), "mh")
+
+
+def _perm_mins(hashes: DataFrame) -> DataFrame:
+    """Wide per-doc signature: (doc_id, m0..m15) in one hash aggregation."""
+    return hashes.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % TF.HASH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(PERMS)
+        ]
     )
 
 
@@ -101,6 +115,30 @@ def lsh_bands(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
             ).alias("key")
         )
     )
+
+
+def minhash_band_keys(hashes: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """(doc_id, band, key) in ONE shuffle: the 16 permutation minima as
+    parallel aggregation columns, band keys concatenated in-row, bands
+    unpivoted with ``stack`` (a narrow projection).  Same key text as
+    lsh_bands(minhash_signatures(...)) — but 1 shuffle instead of 3."""
+    mins = _perm_mins(hashes)
+    n_bands = N_PERMS // band_rows
+    keys = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"m{j * band_rows + r}").cast("string")
+                for r in range(band_rows)
+            ],
+        ).alias(f"k{j}")
+        for j in range(n_bands)
+    ]
+    wide = mins.select("doc_id", *keys)
+    stack = ", ".join(f"{j}, k{j}" for j in range(n_bands))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack}) AS (band, key)"
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "key")
 
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
@@ -126,11 +164,15 @@ def jaccard_on_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given candidate pairs.
 
-    |A∩B| via join of distinct shingle hashes; |A∪B| = |A|+|B|-|A∩B|.
+    |A∩B| via join of shingle hashes; |A∪B| = |A|+|B|-|A∩B|.
+
+    CONTRACT: ``hashes`` rows are distinct per (doc_id, h) — guaranteed by
+    shingle_hashes.  That makes sizes a plain count and spares three
+    full-frame distinct shuffles (the dominant cost of the verify stage).
     """
-    sizes = hashes.groupBy("doc_id").agg(F.countDistinct("h").alias("n"))
-    ha = hashes.select(F.col("doc_id").alias("doc_a"), "h").distinct()
-    hb = hashes.select(F.col("doc_id").alias("doc_b"), "h").distinct()
+    sizes = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
         pairs.join(ha, "doc_a")
         .join(hb, ["doc_b", "h"])
@@ -161,10 +203,24 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: shingle → sign → band → candidates →
-    exact-Jaccard verify ≥ threshold."""
-    hashes = shingle_hashes(df, text_col)
-    sigs = minhash_signatures(spark, hashes)
-    cands = lsh_candidate_pairs(lsh_bands(sigs))
+    exact-Jaccard verify ≥ threshold.
+
+    The shingle-hash frame is persisted: it feeds the signature pass AND the
+    three Jaccard-verify joins, and recomputing the tokenize+md5 explode per
+    consumer dominates the job (at 100 TB this frame is a checkpoint).
+
+    The input is hash-repartitioned by doc_id first: shingling is CPU-bound
+    (md5 per shingle), so it must spread across every core even when the
+    source collapses to a few input splits; partitioning by the GROUP key
+    also lets the signature aggregation reuse the layout instead of
+    shuffling the exploded frame."""
+    from pyspark import StorageLevel
+
+    par = spark.sparkContext.defaultParallelism
+    hashes = shingle_hashes(df.repartition(par, "doc_id"), text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = lsh_candidate_pairs(minhash_band_keys(hashes))
     return jaccard_on_pairs(cands, hashes).filter(F.col("jaccard") >= threshold)
 
 

@@ -483,3 +483,51 @@ def complaints_per_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class precision/recall, distributed (replaces driver-side NumPy
     row/col sums at reference decision_tree_final_class_8.py:341-349)."""
     return M.per_class_metrics(_preds(spark, sf_dir), "company_response", "response_pred")
+
+
+# The 8 company_response classes (sources/fixtures.py) with stable slug
+# aliases for the wide pivot — pinned statically so the pivot never runs the
+# extra distinct-values job and both engines emit identical column names.
+_RESPONSE_CLASSES = [
+    ("Closed", "closed"),
+    ("Closed with explanation", "explanation"),
+    ("Closed with monetary relief", "monetary"),
+    ("Closed with non-monetary relief", "non_monetary"),
+    ("Closed with relief", "relief"),
+    ("Closed without relief", "without_relief"),
+    ("In progress", "in_progress"),
+    ("Untimely response", "untimely"),
+]
+
+
+@register(
+    "complaints_confusion_pivot",
+    fixtures.complaints_cte(
+        "SELECT company_response AS label,\n"
+        + ",\n".join(
+            f"  CAST(SUM(CASE WHEN response_pred = '{v}' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS {s}"
+            for v, s in _RESPONSE_CLASSES
+        )
+        + "\nFROM preds GROUP BY company_response ORDER BY company_response",
+        {"cleaned": _CLEANED_CTE, "preds": _PRED_CTE},
+    ),
+    "complaints", "metrics", "pivot",
+)
+def complaints_confusion_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide 8×8 confusion matrix via pivot — the COMPUTED replacement for
+    the reference's hand-transcribed matrices
+    (desicion_tree_confusion_matrix.py:16-31).  The pivot value list is
+    static, so Spark skips the distinct-values pre-job (one aggregation
+    total, load-bearing when the matrix feeds a plot at 100 TB)."""
+    cm = M.confusion_counts(_preds(spark, sf_dir), "company_response", "response_pred")
+    wide = (
+        cm.groupBy("label")
+        .pivot("prediction", [v for v, _ in _RESPONSE_CLASSES])
+        .sum("n")
+        .na.fill(0)
+    )
+    renamed = wide.select(
+        "label", *[F.col(f"`{v}`").alias(s) for v, s in _RESPONSE_CLASSES]
+    )
+    return renamed.orderBy("label")
