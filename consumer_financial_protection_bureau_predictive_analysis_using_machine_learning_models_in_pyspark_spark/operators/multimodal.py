@@ -167,22 +167,40 @@ def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 "media decode requires PIL/librosa/av; install codecs or "
                 "run with strict=False for byte-statistics fallback"
             )
+        import numpy as np
+
         for pdf in it:
-            feats = pdf["content"].map(
-                lambda b: (len(b), float(sum(b)) / max(len(b), 1),
-                           int(sum(b) % 997))
-            )
+            # vectorized byte fold (np.frombuffer is zero-copy) — a pure-
+            # Python sum() over the blob is ~50× slower per batch
+            def stats(b: bytes) -> tuple[int, float, int]:
+                n = len(b)
+                if n == 0:
+                    return (0, 0.0, 0)
+                s = int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64))
+                return (n, round(s / n, 6), s % 997)
+
+            feats = [stats(b) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": feats.map(lambda t: t[0]).astype("int64"),
-                    "byte_mean": feats.map(lambda t: round(t[1], 6)),
-                    "byte_mod_sum": feats.map(lambda t: t[2]).astype("int64"),
+                    "n_bytes": np.fromiter(
+                        (f[0] for f in feats), dtype="int64", count=len(feats)
+                    ),
+                    "byte_mean": [f[1] for f in feats],
+                    "byte_mod_sum": np.fromiter(
+                        (f[2] for f in feats), dtype="int64", count=len(feats)
+                    ),
                 }
             )
 
-    return media.select("media_id", "content").mapInPandas(
-        _batches, schema=DECODE_SCHEMA
+    sc = media.sparkSession.sparkContext
+    # decode is CPU-bound: spread blobs across every core even when the
+    # source collapses to a few input splits (narrow 2-col projection, so
+    # the repartition moves only id+bytes)
+    return (
+        media.select("media_id", "content")
+        .repartition(sc.defaultParallelism, "media_id")
+        .mapInPandas(_batches, schema=DECODE_SCHEMA)
     )
 
 

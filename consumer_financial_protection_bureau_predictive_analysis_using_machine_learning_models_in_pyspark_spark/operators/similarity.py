@@ -84,19 +84,44 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     deterministic pseudo-random hyperplanes.
 
     Plane m component j = ((m*67+j)*2654435761 mod p)/p - 0.5 — pure
-    arithmetic, reproducible anywhere (including the SQL oracle)."""
+    arithmetic, reproducible anywhere (including the SQL oracle).
+
+    The plane matrix rides as a nested array literal folded with
+    higher-order functions — the flat alternative (n_planes × dim explicit
+    `element_at` terms) builds a ~512-node expression tree whose codegen
+    compile dominates wall time at small row counts and recompiles per
+    stage.  Fold order is ascending j, identical to the SQL oracle's `+`
+    chain, so double addition is bit-identical."""
     P = 2_147_483_647
-    bucket = None
-    for m in range(n_planes):
-        coeffs = [(((m * 67 + j) * 2654435761) % P) / P - 0.5 for j in range(dim)]
-        dot = None
-        for j, cf in enumerate(coeffs):
-            term = F.element_at(vec, j + 1).cast("double") * F.lit(cf)
-            dot = term if dot is None else dot + term
-        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
-        term = bit * F.lit(2**m)
-        bucket = term if bucket is None else bucket + term
-    return bucket.cast("int")
+    planes = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit((((m * 67 + j) * 2654435761) % P) / P - 0.5)
+                    for j in range(dim)
+                ]
+            )
+            for m in range(n_planes)
+        ]
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0),
+        lambda acc, m: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.element_at(planes, m + 1),
+                    lambda x, c: x.cast("double") * c,
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            > 0,
+            F.pow(F.lit(2.0), m).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).cast("int")
 
 
 def cosine_near_dup_pairs(

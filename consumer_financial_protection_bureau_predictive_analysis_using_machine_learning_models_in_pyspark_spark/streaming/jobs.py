@@ -36,7 +36,9 @@ from pyspark.sql.types import (
 )
 
 
-def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1):
+def read_events_stream(
+    spark, sf_dir: str, max_files_per_trigger: int | None = None
+):
     """File-source stream over the events parquet directory — the local
     stand-in for Kafka (same DataFrame surface; swap `format('kafka')` +
     from_json(value) in production).
@@ -54,11 +56,10 @@ def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1):
     src = os.path.join(sf_dir, "events.parquet")
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(stage, "events.parquet"))
-    raw = (
-        spark.readStream.schema(schemas.EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(stage)
-    )
+    r = spark.readStream.schema(schemas.EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:  # None = drain the source in one micro-batch
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = r.parquet(stage)
     # watermarks require TIMESTAMP (LTZ) — cast the reconstructed NTZ
     # (session tz is UTC in get_session, so the instant is unchanged)
     return raw.withColumn("ts", F.expr(_NS_TO_NTZ).cast("timestamp"))
