@@ -253,3 +253,80 @@ def simhash_fingerprints(
 def hamming_distance(a, b):
     """Column expr: popcount of XOR — pair filter for simhash dedup."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate GROUPS from duplicate PAIRS: (doc_id, component) where
+    component = min doc_id reachable through pair edges — the step that
+    turns near-dup pair lists into keep/drop decisions for a corpus.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; labels only decrease, so the
+    fixpoint is the exact per-component min (deterministic — oracle-safe).
+    Rounds needed = graph diameter ≤ max_iter for dedup clusters (they are
+    tiny & dense; chains longer than 20 hops mean the threshold is wrong).
+
+    Scale posture: each round is one equi-join + one aggregation, both
+    shuffle-partitioned by node id; ``localCheckpoint`` truncates the plan
+    every round so lineage doesn't snowball (at 100 TB: checkpoint to
+    reliable storage, switch to alternating-star rounds à la the
+    Kiveris/GraphX large-star/small-star algorithm if diameters grow).
+    """
+    from pyspark import StorageLevel
+
+    # materialize pairs ONCE: the undirected edge union references it from
+    # two branches, and each propagation round scans the edges again
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    edges = p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    p.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+def canonical_docs(docs: DataFrame, components: DataFrame) -> DataFrame:
+    """The deduplicated corpus: anti-join out every non-canonical member
+    (component members with doc_id != component keep only their min-id
+    representative; docs in no duplicate pair pass through untouched).
+
+    The anti side is tiny relative to the corpus (only duplicate-cluster
+    members), so Spark broadcasts it — the corpus itself never shuffles.
+    """
+    losers = components.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")

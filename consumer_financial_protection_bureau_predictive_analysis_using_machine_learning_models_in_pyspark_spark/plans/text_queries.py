@@ -227,6 +227,64 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_dedup_pairs(spark, _aug(spark, sf_dir), threshold=0.5)
 
 
+# Duplicate-pair CTE (the minhash pipeline's output, named `dup_pairs`) +
+# recursive transitive closure — ANSI WITH RECURSIVE, which DuckDB runs.
+_COMPONENT_CTES = f"""
+{_MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
+dup_pairs AS (
+{_MINHASH_BODY}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM dup_pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+)
+""".strip()
+
+
+@register(
+    "dedup_components",
+    f"""
+{_COMPONENT_CTES}
+SELECT doc_id, component FROM comp
+""",
+    "dedup", "components", "iterative",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate GROUPS via iterative min-label
+    propagation (component = min reachable doc_id); the oracle computes the
+    same fixpoint with a recursive transitive closure."""
+    pairs = DD.minhash_dedup_pairs(spark, _aug(spark, sf_dir), threshold=0.5)
+    return DD.connected_components(pairs)
+
+
+@register(
+    "dedup_canonical_docs",
+    f"""
+{_COMPONENT_CTES}
+SELECT g.doc_id, g.text FROM aug g
+WHERE g.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+""",
+    "dedup", "components", "anti-join",
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: every duplicate cluster keeps its min-id
+    representative (broadcast anti-join; the corpus never shuffles)."""
+    aug = _aug(spark, sf_dir)
+    pairs = DD.minhash_dedup_pairs(spark, aug, threshold=0.5)
+    comps = DD.connected_components(pairs)
+    return DD.canonical_docs(aug, comps).select("doc_id", "text")
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"

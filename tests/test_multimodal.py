@@ -112,3 +112,32 @@ def test_frame_sample_prunes_binary_column(media, spark):
     # column pruning: the blob bytes must not appear in the scan for a
     # metadata-only query (load-bearing at 100 TB — blobs dominate bytes)
     assert "encode(text" not in plan
+
+
+def test_connected_components_transitive(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (
+        dedup as DD,
+    )
+
+    # chain 1-2-3 (transitive), pair 10-11, pair crossing via 3-10 absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {(r.doc_id, r.component) for r in DD.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_canonical_docs_keeps_min_and_untouched(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (
+        dedup as DD,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comps = DD.connected_components(pairs)
+    kept = {r.doc_id for r in DD.canonical_docs(docs, comps).collect()}
+    assert kept == {1, 10, 99}  # cluster reps + the doc in no pair
