@@ -50,6 +50,63 @@ def with_ordinal(df: DataFrame, name: str = "ordinal") -> DataFrame:
     return df.withColumn(name, F.monotonically_increasing_id())
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: each left row gets the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` within the same key — an operator
+    Spark has no primitive for (DuckDB/Trino spell it ASOF JOIN; kdb calls
+    it aj).
+
+    Spark-first formulation: UNION the tagged sides and carry the right
+    payload forward with ``last(ignorenulls)`` over (key ORDER BY ts, side)
+    — right rows sort before left rows at equal ts, so "at-or-before" is
+    inclusive.  ONE hash-partition shuffle by key + an in-partition sort;
+    no range-condition join (which Spark would plan as a broadcast
+    nested-loop or a cartesian at scale).
+
+    Right payload columns come back as ``asof_<col>`` plus ``asof_ts``;
+    rows with no prior right row keep nulls (left join semantics).
+    """
+    keys = list(on)
+    lhs = left.withColumn("_side", F.lit(1))
+    rhs = right.select(
+        *keys,
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("asof_ts"),
+        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+    )
+    u = lhs.unionByName(rhs, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(left_ts), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in value_cols
+        ],
+        F.last("asof_ts", ignorenulls=True).over(w).alias("_c_ts"),
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .drop("_side", "asof_ts", *[f"asof_{c}" for c in value_cols])
+        .select(
+            *left.columns,
+            F.col("_c_ts").alias("asof_ts"),
+            *[F.col(f"_c_{c}").alias(f"asof_{c}") for c in value_cols],
+        )
+    )
+
+
 def running_agg(
     df: DataFrame,
     partition_cols: Sequence[str],

@@ -355,3 +355,44 @@ def complaints_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _cleaned(spark, sf_dir).select("complaint_id", "timely")
     train, _test = sampling.train_test_split(df, seed=42)
     return train
+
+
+@register(
+    "events_asof_join",
+    """
+SELECT l.event_id,
+       CAST(l.ts AS STRING) AS ts,
+       l.user_id,
+       l.value AS click_value,
+       CAST(r.ts AS STRING) AS asof_ts,
+       r.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+""",
+    "join", "asof", "window",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every click gets the user's most recent
+    purchase at-or-before it (operators.windows.asof_join — union + carry-
+    forward window, ONE keyed shuffle; the oracle is DuckDB's native ASOF
+    JOIN, so two independent formulations must agree)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", F.col("value").alias("click_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = W.asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        F.col("ts").cast("string").alias("ts"),
+        "user_id",
+        "click_value",
+        F.col("asof_ts").cast("string").alias("asof_ts"),
+        F.col("asof_value").alias("asof_value"),
+    )

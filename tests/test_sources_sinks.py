@@ -78,3 +78,28 @@ def test_to_pandas_small_guard(spark):
     assert len(sinks.to_pandas_small(small)) == 10
     with pytest.raises(ValueError, match="write_parquet instead"):
         sinks.to_pandas_small(spark.range(50), limit=20)
+
+
+def test_asof_join_semantics(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (
+        windows as W,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")],
+        "user long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 900.0)],
+        "user long, ts long, v double",
+    )
+    out = {
+        (r.user, r.ts): (r.asof_ts, r.asof_v)
+        for r in W.asof_join(
+            left, right, on=["user"], left_ts="ts", right_ts="ts",
+            value_cols=["v"],
+        ).collect()
+    }
+    assert out[(1, 10)] == (10, 100.0)   # at-or-before is inclusive
+    assert out[(1, 20)] == (15, 150.0)   # most recent prior
+    assert out[(2, 5)] == (None, None)   # no prior right row -> nulls
