@@ -1,0 +1,65 @@
+"""Skew-handling operators (SURVEY §4.3 "salted aggregation fallback").
+
+AQE's skew-join splitting covers joins; aggregation over a pathological key
+distribution (one company = 30% of all complaints) still funnels each hot
+key through a single reducer.  Salting splits every key into ``n_salts``
+sub-keys for a partial aggregate, then merges the partials — two small
+shuffles instead of one straggler.
+
+Only algebraic aggregates decompose this way (count/sum/min/max, and avg as
+sum÷count); holistic ones (median, exact distinct) need sketches instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# spec: out_col -> (fn, in_col); fn ∈ {count, sum, min, max}
+_PARTIAL = {
+    "count": lambda c: F.count(F.lit(1)),
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+_MERGE = {
+    "count": F.sum,  # counts merge by summing
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    specs: dict[str, tuple[str, str | None]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation, result-identical to
+    ``df.groupBy(keys).agg(...)`` for algebraic aggregates.
+
+    The salt is derived from row identity (monotonic id mod n) — any
+    row-spreading function works because the merge stage is exact.  Partial
+    state per reducer shrinks from |hot key| to |hot key|/n_salts.
+    """
+    for out, (fn, _) in specs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"{out}: {fn} is not algebraic; use a sketch")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[
+            _PARTIAL[fn](col).alias(f"_p_{out}")
+            for out, (fn, col) in specs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _MERGE[fn](f"_p_{out}").alias(out)
+            for out, (fn, _) in specs.items()
+        ]
+    )

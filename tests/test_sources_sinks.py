@@ -103,3 +103,71 @@ def test_asof_join_semantics(spark):
     assert out[(1, 10)] == (10, 100.0)   # at-or-before is inclusive
     assert out[(1, 20)] == (15, 150.0)   # most recent prior
     assert out[(2, 5)] == (None, None)   # no prior right row -> nulls
+
+
+def test_salted_agg_matches_direct(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (
+        skew,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (
+        readers as R,
+    )
+
+    ev = R.load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        r.event_type: (r.n, round(r.total, 6), r.vmax)
+        for r in skew.salted_agg(
+            ev,
+            ["event_type"],
+            {"n": ("count", None), "total": ("sum", "value"),
+             "vmax": ("max", "value")},
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.total, 6), r.vmax)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][2] == want[k][2]
+        assert abs(got[k][1] - want[k][1]) < 1e-6  # float sum order differs
+
+
+def test_salted_agg_rejects_holistic(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (
+        skew,
+    )
+
+    with pytest.raises(ValueError, match="not algebraic"):
+        skew.salted_agg(spark.range(5), ["id"], {"m": ("median", "id")})
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (
+        sinks,
+    )
+
+    a = spark.range(1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(1000).withColumn("w", F.col("id") * 3)
+    sinks.write_bucketed(a, "bkt_a", ["id"], num_buckets=8)
+    sinks.write_bucketed(b, "bkt_b", ["id"], num_buckets=8)
+    try:
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        # force sort-merge (broadcast would trivially avoid the exchange and
+        # prove nothing about bucketing)
+        joined = ta.hint("merge").join(tb, "id").where(F.col("v") >= 0)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # bucketing supplies the join distribution: no Exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
