@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "events_hourly_agg",
     "events_sessionize",
     "events_props_extract",
+    "events_asof_join",
     # text / dedup / similarity (LLM-data-pipeline surface)
     "docs_token_stats",
     "docs_quality_score",

@@ -153,3 +153,22 @@ def test_nlp_features_schema(spark, sf_dir):
     assert isinstance(
         featurized.schema["cleaned"].dataType, T.ArrayType
     )
+
+
+def test_lda_em_optimizer_parity_path(spark):
+    """M12 parity: the reference runs optimizer='em' (complaints_narrative_
+    LDA.py:87); the engine exposes it through the same builder."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.ml import (
+        nlp,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    featurized, vocab = nlp.nlp_features(docs, "text", vocab_size=50, min_df=1.0)
+    topics, doc_topics = nlp.lda_topics(
+        spark, featurized, vocab, k=3, seed=123, optimizer="em",
+        max_iter=3, terms_per_topic=5,
+    )
+    rows = topics.collect()
+    assert {r.topic for r in rows} == {0, 1, 2}
+    assert all(r.weight > 0 for r in rows)
+    assert doc_topics.count() == 100
