@@ -211,3 +211,65 @@ def lsh_ann_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def cosine_topk_fast(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production-path exact top-k: one BLAS matmul per Arrow batch.
+
+    The probe matrix (small by contract — it is collected to the driver and
+    shipped in the task closure, the DataFrame analogue of the reference's
+    sc.broadcast at complaints_narrative_LDA.py:109) scores every corpus
+    batch with numpy `batch @ P.T`; each task emits only its LOCAL top-k
+    per probe, so the final shuffle carries ≤ k·probes rows per partition
+    into one global top-k window.  Same results as `cosine_topk` (float64
+    matmul vs decimal fold differ below output rounding); the decimal
+    version remains the oracle-exact baseline.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    prows = probes.select(id_col, vec_col).collect()
+    pids = np.array([r[0] for r in prows], dtype=np.int64)
+    pmat = np.array([r[1] for r in prows], dtype=np.float64)  # p × d
+
+    schema = "probe_id long, neighbor_id long, score double"
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)  # n × d
+            s = m @ pmat.T  # n × p
+            kk = min(k + 1, len(ids))  # +1: self-match removed downstream
+            top = np.argpartition(-s, kk - 1, axis=0)[:kk]  # kk × p
+            out = {
+                "probe_id": np.repeat(pids, kk),
+                "neighbor_id": ids[top].T.ravel(),
+                "score": np.take_along_axis(s, top, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round("score", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -480,3 +480,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < 10), dim=_DIM, k=5, n_planes=8
     )
+
+
+@register("ann_cosine_topk_fast", None, "similarity", "ann", "pandas-udf")
+def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS-matmul exact top-5 (mapInPandas, per-task local top-k, tiny
+    final shuffle) — the production fast path.  Rows-only: float64 matmul
+    and the decimal fold agree to well below output rounding, but not
+    bit-exactly before it; pair-level agreement with the decimal-exact
+    baseline is pinned in tests/test_sources_sinks.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_fast(emb, emb.filter(F.col("vec_id") < 10), k=5)
