@@ -163,3 +163,46 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_ts").cast("string").alias("max_ts"),
         )
     )
+
+
+@register(
+    "stream_click_purchase_join",
+    """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       CAST(c.ts AS STRING) AS click_ts,
+       c.value AS click_value,
+       p.event_id AS purchase_id,
+       CAST(p.ts AS STRING) AS purchase_ts,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts > c.ts - INTERVAL 1 HOUR
+ AND p.ts <= c.ts
+""",
+    "streaming", "stream-stream-join", "watermark",
+)
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks × same-user purchases
+    within the preceding hour), drained with availableNow; inner-join
+    emission is complete once the source is exhausted, so the batch range
+    join is the exact oracle."""
+    ev1 = SJ.read_events_stream(spark, sf_dir)
+    ev2 = SJ.read_events_stream(spark, sf_dir)
+    out = _drain(
+        spark,
+        SJ.click_purchase_join(
+            ev1.filter(F.col("event_type") == "click"),
+            ev2.filter(F.col("event_type") == "purchase"),
+        ),
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("click_ts").cast("string").alias("click_ts"),
+        "click_value",
+        "purchase_id",
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+        "purchase_value",
+    )

@@ -223,3 +223,40 @@ def run_to_memory(
         w = w.option("checkpointLocation", checkpoint)
     q = w.start()
     q.awaitTermination()
+
+
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each click matches the same
+    user's purchases in (click_ts - window, click_ts].
+
+    Both sides carry watermarks and the join predicate bounds event-time on
+    BOTH sides — that is what lets Spark evict join state (without the time
+    bound, both buffers grow forever).  State per side ≈ watermark-horizon
+    rows per user.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("purchase_ts") <= F.col("click_ts")),
+    ).select(
+        "click_id", "user_id", "click_ts", "click_value",
+        "purchase_id", "purchase_ts", "purchase_value",
+    )
