@@ -65,8 +65,13 @@ def main() -> None:
     spark = get_session(master=f"local[{cpus}]", app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so q1 doesn't pay one-time session cost
+    # warm the JVM + parquet footers so q1 doesn't pay one-time session cost,
+    # and spawn the Python worker pool (daemon fork + numpy/pandas import)
+    # so the first mapInPandas query measures steady-state throughput
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.range(64).repartition(int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

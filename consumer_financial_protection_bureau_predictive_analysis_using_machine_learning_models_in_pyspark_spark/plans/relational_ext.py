@@ -507,3 +507,37 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "events_value_quantiles",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(DISTINCT user_id) AS ndv_users
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+    "agg", "quantile", "sketch",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + exact distinct count per key
+    (Spark `percentile` == DuckDB `quantile_cont` definition-for-
+    definition).  The approximate twins for 100 TB — approx_percentile
+    (GK sketch) and approx_count_distinct (HLL) — run in
+    tests/test_plans.py with tolerance assertions against these exact
+    values; approximations are engine-specific, so they are not
+    oracle-hashable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.countDistinct("user_id").alias("ndv_users"),
+        )
+        .orderBy("event_type")
+    )

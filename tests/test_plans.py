@@ -61,3 +61,24 @@ def test_flagship_cross_join_is_scalar_only(spark):
     plan = _physical(spark, "complaints_flagship")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # the two fixture scalars
+
+
+def test_approx_aggs_close_to_exact(spark):
+    """The 100 TB path for holistic aggregates: GK-sketch percentiles and
+    HLL distinct counts, asserted within tolerance of the exact values."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (
+        readers as R,
+    )
+    from pyspark.sql import functions as F
+
+    ev = R.load_table(spark, SF, "events")
+    exact = ev.agg(
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.countDistinct("user_id").alias("ndv"),
+    ).first()
+    approx = ev.agg(
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("p95"),
+        F.approx_count_distinct("user_id", 0.02).alias("ndv"),
+    ).first()
+    assert abs(approx.p95 - exact.p95) / abs(exact.p95) < 0.05
+    assert abs(approx.ndv - exact.ndv) / exact.ndv < 0.05
