@@ -69,23 +69,24 @@ def timely_pipeline(
     claims GBT best at README.md:38 but ships no script)."""
     if model not in BINARY_MODELS:
         raise ValueError(f"model must be one of {sorted(BINARY_MODELS)}")
+    # ONE multi-column indexer fit = one counting pass over the train set
+    # for all categorical features (the reference fits one indexer per
+    # column — 4 separate jobs); per-column frequencies and therefore
+    # indices are identical either way
     stages = [
         StringIndexer(
-            inputCol=c,
-            outputCol=f"{c}_index",
+            inputCols=list(cat_cols),
+            outputCols=[f"{c}_index" for c in cat_cols],
             handleInvalid="keep",
             stringOrderType="frequencyDesc",
-        )
-        for c in cat_cols
-    ]
-    stages.append(
+        ),
         StringIndexer(
             inputCol="timely",
             outputCol="label",
             handleInvalid="skip",
             stringOrderType="frequencyDesc",
-        )
-    )
+        ),
+    ]
     stages.append(
         VectorAssembler(
             inputCols=[f"{c}_index" for c in cat_cols] + list(num_cols),

@@ -20,6 +20,19 @@ from ..operators import encode, metrics as M, sampling
 from .catalog import _cleaned, _t, register
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread an underpartitioned training frame across the cluster before
+    caching: iterative fits (L-BFGS, tree split search) run one
+    treeAggregate per iteration, so parallelism is capped by partition
+    count — a single-file source gives 1-2 partitions and leaves 30 cores
+    idle.  No-op when the frame is already at least defaultParallelism-wide
+    (the 100 TB case)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _timely_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean → date_parts → oversample minority (reference timely_LR.py
     prologue), cached post-sampling (the reference caches pre-balance)."""
@@ -27,7 +40,9 @@ def _timely_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = encode.date_parts(df, "date_received")
     df = df.select("product", "issue", "state", "submitted_via", "timely",
                    "year", "month", "day")
-    return sampling.oversample_binary(df, "timely", minority_value="No", seed=42)
+    return _parallelize(
+        sampling.oversample_binary(df, "timely", minority_value="No", seed=42)
+    )
 
 
 def _response_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +53,9 @@ def _response_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = encode.frequency_encode(df, "issue")
     df = df.select("product", "company_response", "frequency_company",
                    "frequency_issue")
-    return sampling.rebalance_to_target(df, "company_response", target=500, seed=42)
+    return _parallelize(
+        sampling.rebalance_to_target(df, "company_response", target=500, seed=42)
+    )
 
 
 def _binary_task(spark: SparkSession, sf_dir: str, model: str) -> DataFrame:
