@@ -491,3 +491,57 @@ def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline is pinned in tests/test_sources_sinks.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.cosine_topk_fast(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "docs_tfidf_keywords",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t
+),
+df AS (
+  SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t
+),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.t AS term,
+         ROUND(tf.tf * ln((nd.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df ON tf.t = df.t CROSS JOIN nd
+)
+SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+) r WHERE rk <= 3
+""",
+    "text", "tfidf", "topk",
+)
+def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by smoothed TF-IDF — the relational
+    formulation (explode → tf agg → df agg → broadcast df join → window
+    top-k).  The df side is |vocabulary| rows, so it broadcasts; the only
+    wide shuffle is the tf aggregation, partitioned by (doc, term)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(TF.tokens("text")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "t").select(
+        "doc_id",
+        F.col("t").alias("term"),
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
