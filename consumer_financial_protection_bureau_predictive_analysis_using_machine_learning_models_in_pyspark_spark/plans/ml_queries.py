@@ -84,6 +84,14 @@ def ml_timely_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _binary_task(spark, sf_dir, "svm")
 
 
+@register("ml_timely_gbt", None, "ml", "binary", "gbt")
+def ml_timely_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timely-response binary classification, GBTClassifier — the model the
+    reference's README claims best (reference README.md:38) but ships no
+    script for; same parameterized pipeline as LR/SVM."""
+    return _binary_task(spark, sf_dir, "gbt")
+
+
 @register("ml_response_dt", None, "ml", "multiclass", "dt")
 def ml_response_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-class company-response task, DecisionTree (reference
