@@ -22,7 +22,9 @@ BENCH_QUERIES = [
     # relational core
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
+    "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q18_large_volume_customers",
     "complaints_flagship",
     "complaints_class_distribution",
     "topk_companies_per_state",
@@ -32,15 +34,19 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_props_extract",
     "events_asof_join",
+    "events_value_quantiles",
     # text / dedup / similarity (LLM-data-pipeline surface)
     "docs_token_stats",
+    "docs_tfidf_keywords",
     "docs_quality_score",
     "docs_language_id",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_components",
     "ann_cosine_topk",
+    "ann_cosine_topk_fast",
     # multimodal + streaming
     "media_meta_stats",
     "media_decode_features",
