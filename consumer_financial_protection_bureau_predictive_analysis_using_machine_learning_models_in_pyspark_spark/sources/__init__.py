@@ -1,0 +1,3 @@
+"""Sources and sinks (SURVEY §2.1)."""
+
+from . import fixtures, readers, sinks  # noqa: F401
