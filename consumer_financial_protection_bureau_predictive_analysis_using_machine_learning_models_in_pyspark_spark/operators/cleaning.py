@@ -79,3 +79,33 @@ def clean_complaints(
     collapses them into one scan+filter+project stage.
     """
     return filter_non_blank(recode_blanks(drop_corrupt(df), recode), required)
+
+
+def observed_clean(df: DataFrame, required: Sequence[str]) -> tuple[DataFrame, "object"]:
+    """clean + data-quality counters in the SAME pass (`df.observe`):
+    rows_in, rows_corrupt, and per-column blank counts accumulate as the
+    action runs — no second scan, unlike the reference's separate count()
+    jobs per question (decision_tree_final_class_8.py:166-175 pattern).
+
+    Returns (cleaned_df, observation); read ``observation.get`` AFTER an
+    action on the returned frame.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("rows_in")]
+    if schemas.CORRUPT_COL in df.columns:
+        metrics.append(
+            F.sum(
+                F.when(F.col(schemas.CORRUPT_COL).isNotNull(), 1).otherwise(0)
+            ).alias("rows_corrupt")
+        )
+    for c in required:
+        metrics.append(
+            F.sum(F.when(non_blank(c), 0).otherwise(1)).alias(f"blank_{c}")
+        )
+    obs = Observation("clean_quality")
+    observed = df.observe(obs, *metrics)
+    cleaned = drop_corrupt(observed)
+    for c in required:
+        cleaned = cleaned.filter(non_blank(c))
+    return cleaned, obs

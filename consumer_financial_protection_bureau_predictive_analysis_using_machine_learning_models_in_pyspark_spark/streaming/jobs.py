@@ -260,3 +260,29 @@ def click_purchase_join(
         "click_id", "user_id", "click_ts", "click_value",
         "purchase_id", "purchase_ts", "purchase_value",
     )
+
+
+def run_foreach_batch_parquet(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+) -> None:
+    """Production sink pattern: ``foreachBatch`` writes each micro-batch to
+    parquet with the batch id stamped on — the hook where real pipelines do
+    idempotent MERGEs/upserts (Delta/Iceberg) keyed on batch id for
+    exactly-once output.  availableNow trigger; blocks until drained."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

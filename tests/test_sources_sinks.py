@@ -185,3 +185,42 @@ def test_cosine_topk_fast_matches_exact(spark):
     e = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine) for r in exact.collect()}
     f = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine) for r in fast.collect()}
     assert e == f
+
+
+def test_observed_clean_counters(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark import (
+        schemas,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (
+        cleaning,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "Acme", None), ("2", "", None), ("3", "Beta", "oops"),
+         ("4", None, None)],
+        f"id string, company string, {schemas.CORRUPT_COL} string",
+    )
+    cleaned, obs = cleaning.observed_clean(df, required=["company"])
+    rows = cleaned.collect()  # action populates the observation
+    assert {r.id for r in rows} == {"1"}  # 2: blank, 3: corrupt, 4: null
+    got = obs.get
+    assert got["rows_in"] == 4
+    assert got["rows_corrupt"] == 1
+    assert got["blank_company"] == 2  # '' and NULL both count
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (
+        readers as R,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.streaming import (
+        jobs as SJ,
+    )
+
+    stream = SJ.read_events_stream(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "sink")
+    SJ.run_foreach_batch_parquet(stream, out, str(tmp_path / "ckpt"))
+    back = spark.read.parquet(out)
+    n_src = R.load_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert back.count() == n_src
+    assert "_batch_id" in back.columns
