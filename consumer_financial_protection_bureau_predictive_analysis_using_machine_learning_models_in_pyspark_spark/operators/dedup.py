@@ -260,6 +260,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate GROUPS from duplicate PAIRS: (doc_id, component) where
     component = min doc_id reachable through pair edges — the step that
@@ -272,12 +273,21 @@ def connected_components(
     tiny & dense; chains longer than 20 hops mean the threshold is wrong).
 
     Scale posture: each round is one equi-join + one aggregation, both
-    shuffle-partitioned by node id; ``localCheckpoint`` truncates the plan
-    every round so lineage doesn't snowball (at 100 TB: checkpoint to
-    reliable storage, switch to alternating-star rounds à la the
-    Kiveris/GraphX large-star/small-star algorithm if diameters grow).
+    shuffle-partitioned by node id; per-round checkpointing truncates the
+    plan so lineage doesn't snowball.  Pass ``checkpoint_dir`` (HDFS/object
+    store on a real cluster) for RELIABLE checkpoints that survive executor
+    loss — the 100 TB configuration; the default ``localCheckpoint`` keeps
+    blocks on executor-local disk, fine for single-node runs.  If diameters
+    grow beyond dedup-cluster scale, switch to alternating-star rounds à la
+    the Kiveris/GraphX large-star/small-star algorithm.
     """
     from pyspark import StorageLevel
+
+    if checkpoint_dir:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda df: df.checkpoint()  # noqa: E731
+    else:
+        ckpt = lambda df: df.localCheckpoint()  # noqa: E731
 
     # materialize pairs ONCE: the undirected edge union references it from
     # two branches, and each propagation round scans the edges again
@@ -285,11 +295,10 @@ def connected_components(
         StorageLevel.MEMORY_AND_DISK
     )
     edges = p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
+    labels = ckpt(
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -297,7 +306,7 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
@@ -305,7 +314,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

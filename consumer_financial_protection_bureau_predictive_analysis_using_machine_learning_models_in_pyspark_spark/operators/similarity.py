@@ -250,7 +250,12 @@ def cosine_topk_fast(
             m = np.array(list(pdf[vec_col]), dtype=np.float64)  # n × d
             s = m @ pmat.T  # n × p
             kk = min(k + 1, len(ids))  # +1: self-match removed downstream
-            top = np.argpartition(-s, kk - 1, axis=0)[:kk]  # kk × p
+            # deterministic local cut: sort each probe column by
+            # (-score, neighbor_id) — the same ordering the global window
+            # uses, so boundary ties can't evict the globally-ranked row
+            top = np.lexsort(
+                (np.broadcast_to(ids[:, None], s.shape), -s), axis=0
+            )[:kk]  # kk × p
             out = {
                 "probe_id": np.repeat(pids, kk),
                 "neighbor_id": ids[top].T.ravel(),

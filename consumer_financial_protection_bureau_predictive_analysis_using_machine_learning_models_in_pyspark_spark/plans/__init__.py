@@ -11,5 +11,6 @@ from . import text_queries  # noqa: F401
 from . import ml_queries  # noqa: F401
 from . import media_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
+from . import source_queries  # noqa: F401
 
 CATALOG = catalog.CATALOG

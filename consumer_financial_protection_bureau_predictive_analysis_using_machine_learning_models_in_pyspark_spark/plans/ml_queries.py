@@ -121,6 +121,67 @@ def ml_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_timely_lr_tuned", None, "ml", "tuning", "cv", "tvs")
+def ml_timely_lr_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter tuning head-to-head (M14-M16): seeded random search
+    over the reference LR grid (timely_LR.py:116-123, regParam×elasticNet),
+    fit with BOTH CrossValidator (timely_LR.py:123-131) and
+    TrainValidationSplit (decision_tree_final_class_8.py:395-429's CV-vs-TVS
+    comparison), emitting one row per tuner: best params + validation
+    metric + held-out AUC.
+
+    Deterministic under fixed seeds (sampling, split, grid subset, tuner
+    seed all pinned); pytest asserts best-params stability.  Grid is a
+    4-point random subset so the driver-run cost stays bounded (the full
+    18-point × 5-fold reference sweep is the same code path).
+    """
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    data = _timely_training_frame(spark, sf_dir).cache()
+    train, test = sampling.train_test_split(data, seed=42)
+    pipe = ML.timely_pipeline("lr")
+    grid = ML.random_grid(ML.lr_param_grid(pipe), n=4, seed=7)
+    ev = BinaryClassificationEvaluator(metricName="areaUnderROC")
+
+    rows = []
+    cv_model = ML.cv_fit(pipe, train, grid, ev, folds=3, parallelism=8)
+    tvs_model = ML.tvs_fit(pipe, train, grid, ev, parallelism=8)
+    for tuner, model, val_metric in (
+        ("cv", cv_model, max(cv_model.avgMetrics)),
+        ("tvs", tvs_model, max(tvs_model.validationMetrics)),
+    ):
+        lr = model.bestModel.stages[-1]
+        rows.append((
+            tuner,
+            float(lr.getRegParam()),
+            float(lr.getElasticNetParam()),
+            round(float(val_metric), 6),
+            round(float(ev.evaluate(model.bestModel.transform(test))), 6),
+        ))
+    data.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "tuner string, best_reg_param double, best_elastic_net double,"
+        " val_auc double, test_auc double",
+    ).orderBy("tuner")
+
+
+@register("ml_lda_topics_em", None, "ml", "nlp", "lda", "em")
+def ml_lda_topics_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped LDA (complaints_narrative_LDA.py:86: k=25, seed=123,
+    optimizer='em'): the EM optimizer keeps the full doc-term posterior as a
+    distributed graph (vs online's minibatched driver-side topic matrix), so
+    this is the configuration that matters for cluster-scale corpora.
+    Output: (topic, term, weight) — k×terms_per_topic rows."""
+    docs = _t(spark, sf_dir, "documents")
+    featurized, vocab = nlp.nlp_features(docs, "text", vocab_size=200, min_df=1.0)
+    topics, _doc_topics = nlp.lda_topics(
+        spark, featurized, vocab, k=25, seed=123, optimizer="em",
+        max_iter=10, terms_per_topic=8,
+    )
+    return topics.select("topic", "term", F.round("weight", 6).alias("weight"))
+
+
 @register("ml_lda_topics", None, "ml", "nlp", "lda")
 def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic modeling on documents (reference complaints_narrative_LDA.py,

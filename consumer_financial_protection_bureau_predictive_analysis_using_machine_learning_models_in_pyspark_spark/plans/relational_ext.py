@@ -273,8 +273,10 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+         -- DuckDB window SUM(int) yields HUGEINT; cast so the value hash
+         -- matches Spark's BIGINT session_id.
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

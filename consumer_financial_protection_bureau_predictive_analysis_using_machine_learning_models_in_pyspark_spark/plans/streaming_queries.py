@@ -29,9 +29,29 @@ from .catalog import register
 _SINK_IDS = itertools.count()
 
 
-def _drain(spark: SparkSession, stream: DataFrame, mode: str = "append") -> DataFrame:
-    name = f"stream_sink_{os.getpid()}_{next(_SINK_IDS)}"
-    SJ.run_to_memory(stream, name, output_mode=mode)
+def _drain(
+    spark: SparkSession,
+    stream: DataFrame,
+    mode: str = "append",
+    shuffle_partitions: int = 32,
+) -> DataFrame:
+    """Drain to a memory sink with a pinned state-partition count.
+
+    A streaming query's state-store partition count is fixed at FIRST start
+    from ``spark.sql.shuffle.partitions`` — under a vanilla session that is
+    200, i.e. 200 state-store providers to open/commit per micro-batch for
+    sf0.01-sized fixtures.  Pin a deployment-appropriate count while the
+    query starts, restore the session default after (a real cluster sizes
+    this to cores × a small factor, scaled with state volume).
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(shuffle_partitions))
+    try:
+        name = f"stream_sink_{os.getpid()}_{next(_SINK_IDS)}"
+        SJ.run_to_memory(stream, name, output_mode=mode)
+    finally:
+        spark.conf.set(key, old)
     return spark.table(name)
 
 

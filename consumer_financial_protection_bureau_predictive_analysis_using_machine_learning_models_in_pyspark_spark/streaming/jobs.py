@@ -36,6 +36,30 @@ from pyspark.sql.types import (
 )
 
 
+# One staging dir per source file, reused across calls (repeated test/bench
+# runs previously leaked a fresh mkdtemp per call); cleaned up at exit.
+_STAGING_DIRS: dict[str, str] = {}
+
+
+def _staging_dir(src: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    stage = _STAGING_DIRS.get(src)
+    if stage and os.path.isdir(stage):
+        return stage
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(src, os.path.join(stage, os.path.basename(src)))
+    if not _STAGING_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _STAGING_DIRS.values()]
+        )
+    _STAGING_DIRS[src] = stage
+    return stage
+
+
 def read_events_stream(
     spark, sf_dir: str, max_files_per_trigger: int | None = None
 ):
@@ -54,8 +78,7 @@ def read_events_stream(
     from ..sources.readers import _NS_TO_NTZ
 
     src = os.path.join(sf_dir, "events.parquet")
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(src, os.path.join(stage, "events.parquet"))
+    stage = _staging_dir(src)
     r = spark.readStream.schema(schemas.EVENTS_RAW_SCHEMA)
     if max_files_per_trigger:  # None = drain the source in one micro-batch
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -267,15 +290,20 @@ def run_foreach_batch_parquet(
     out_dir: str,
     checkpoint: str,
 ) -> None:
-    """Production sink pattern: ``foreachBatch`` writes each micro-batch to
-    parquet with the batch id stamped on — the hook where real pipelines do
-    idempotent MERGEs/upserts (Delta/Iceberg) keyed on batch id for
-    exactly-once output.  availableNow trigger; blocks until drained."""
+    """Production sink pattern: ``foreachBatch`` writing each micro-batch to
+    parquet partitioned by batch id, with DYNAMIC partition overwrite — a
+    replayed batch (failure between write and offset commit) overwrites its
+    own ``_batch_id=N`` partition instead of appending duplicates, making
+    the sink idempotent and therefore effectively exactly-once.  (With a
+    transactional table format — Delta/Iceberg — the same hook does a MERGE
+    keyed on batch id.)  availableNow trigger; blocks until drained."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
             .parquet(out_dir)
         )
 
