@@ -41,16 +41,15 @@ _PRIORITY = [
     # complaints reference-parity core
     "complaints_clean",
     "complaints_frequency_encode",
-    "complaints_date_parts",
     "complaints_class_distribution",
     "complaints_flagship",
     "complaints_binary_metrics",
-    "complaints_per_class_metrics",
     "complaints_confusion_pivot",
     # sources / sinks / skew
     "complaints_json_clean",
     "sink_roundtrip_orders",
     "salted_lineitem_agg",
+    "skewjoin_events_enrich",
     # TPC-H shapes
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
@@ -59,17 +58,19 @@ _PRIORITY = [
     "events_sessionize",
     "events_asof_join",
     "events_value_quantiles",
-    # text analysis
+    # text analysis + training-data pipeline
     "docs_token_stats",
-    "docs_quality_score",
     "docs_tfidf_keywords",
+    "docs_filter_chain",
+    "docs_decontaminate",
+    "docs_pack_bins",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_canonical_docs",
     "dedup_jaccard_blocked",
     "dedup_embedding_cosine",
+    "dedup_incremental",
     # similarity / ANN
     "ann_cosine_topk",
     "ann_lsh_topk",
@@ -78,9 +79,9 @@ _PRIORITY = [
     "media_meta_stats",
     "media_frame_sample",
     "media_decode_features",
-    "media_resize_images",
     # streaming
     "stream_windowed_counts",
+    "stream_sliding_counts",
     "stream_session_stats",
     "stream_dedup_events",
     "stream_running_user_stats",
@@ -92,7 +93,6 @@ _PRIORITY = [
     # ML pipelines (slowest — end of the window)
     "ml_timely_lr",
     "ml_timely_svm",
-    "ml_timely_gbt",
     "ml_response_dt",
     "ml_response_rf",
     "ml_feature_importances",
@@ -100,6 +100,12 @@ _PRIORITY = [
     "ml_lda_topics",
     "ml_lda_topics_em",
     # ---- window boundary (~50) ----  overflow: operator covered by twin
+    "complaints_date_parts",         # P10/F1: green r1; events_hourly date fns
+    "complaints_per_class_metrics",  # F5 metrics: binary_metrics/confusion twins
+    "docs_quality_score",            # superseded by docs_filter_chain (same stats)
+    "dedup_canonical_docs",          # anti-join composition of dedup_components
+    "media_resize_images",           # mapInPandas plumbing: media_decode_features
+    "ml_timely_gbt",                 # M11: rows-only twin of ml_timely_lr/svm
     "q5_local_supplier_volume",      # join+agg: q3/q18
     "q6_forecast_revenue",           # scan+filter+agg: q1
     "sql_nation_revenue",            # SQL front end over q5's shape

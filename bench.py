@@ -35,12 +35,17 @@ BENCH_QUERIES = [
     "events_props_extract",
     "events_asof_join",
     "events_value_quantiles",
+    "skewjoin_events_enrich",
     # text / dedup / similarity (LLM-data-pipeline surface)
     "docs_token_stats",
     "docs_tfidf_keywords",
     "docs_quality_score",
     "docs_language_id",
+    "docs_decontaminate",
+    "docs_pack_bins",
+    "docs_filter_chain",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -94,14 +99,51 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    regressions = _regressions_vs_previous_round(timings)
+    if regressions:
+        payload["regressions_vs_prev"] = regressions
+        for name, (prev, cur) in regressions.items():
+            print(f"# REGRESSION {name}: {prev:.3f}s -> {cur:.3f}s", file=sys.stderr)
+    print(json.dumps(payload))
     spark.stop()
+
+
+def _regressions_vs_previous_round(
+    timings: dict[str, float], factor: float = 2.0, floor_sec: float = 0.5
+) -> dict[str, tuple[float, float]]:
+    """Round-over-round guard: compare against the newest BENCH_r*.json the
+    driver recorded and flag queries slower by > ``factor``× (ignoring
+    sub-``floor_sec`` timings, which are dominated by fixed overhead and
+    machine noise).  Purely informational — the single-line JSON contract
+    is preserved, regressions ride along as an extra key."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not rounds:
+        return {}
+    try:
+        with open(rounds[-1]) as f:
+            doc = json.load(f)
+        prev = doc.get("parsed", doc).get("queries", {})
+    except (OSError, ValueError, AttributeError):
+        return {}
+    return {
+        name: (prev[name], cur)
+        for name, cur in timings.items()
+        if name in prev and prev[name] >= floor_sec and cur > factor * prev[name]
+    }
 
 
 if __name__ == "__main__":

@@ -63,10 +63,15 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     under collisions), no dedup shuffle is ever paid, and downstream set
     ops (Jaccard sizes/intersections) trust the contract without their own
     ``distinct()`` passes."""
-    toks = TF.tokens(text_col)
-    sh = TF.shingles(toks, n)
+    # Tokens as a NAMED column first: building shingles directly over the
+    # tokens expression inlines the split into every element_at (n+2 splits
+    # per row); the projection is a CollapseProject barrier, so the split
+    # runs once per document (measured ~30× faster shingling at sf0.1).
+    sh = TF.shingles(F.col("_toks"), n)
     hashed = F.array_distinct(F.transform(sh, TF.token_hash))
-    return df.select("doc_id", F.explode(hashed).alias("h"))
+    return df.select("doc_id", TF.tokens(text_col).alias("_toks")).select(
+        "doc_id", F.explode(hashed).alias("h")
+    )
 
 
 def minhash_signatures(

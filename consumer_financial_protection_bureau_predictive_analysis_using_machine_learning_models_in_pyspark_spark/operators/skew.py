@@ -63,3 +63,31 @@ def salted_agg(
             for out, (fn, _) in specs.items()
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    spread_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skewed inner equi-join, result-identical to ``big.join(small, key)``.
+
+    When one join key holds a disproportionate share of the big side (and
+    the small side is too large to broadcast outright), a plain shuffle
+    join sends the whole hot key to one reducer.  Salting splits it: the
+    big side gets a deterministic salt derived from ``spread_col`` (any
+    column that varies WITHIN a key — a row id, an event id), the small
+    side is replicated once per salt value, and the join runs on
+    (key, salt) — the hot key now spreads across ``n_salts`` reducers at
+    the cost of an ``n_salts``× blowup of the small side only.
+
+    This is the manual fallback for the cases AQE skew-join splitting
+    doesn't reach (e.g. a skewed aggregate-then-join inside one stage).
+    """
+    b = big.withColumn("_salt", F.pmod(F.hash(F.col(spread_col)), F.lit(n_salts)))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [key, "_salt"]).drop("_salt")

@@ -12,5 +12,6 @@ from . import ml_queries  # noqa: F401
 from . import media_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import source_queries  # noqa: F401
+from . import pipeline_queries  # noqa: F401
 
 CATALOG = catalog.CATALOG

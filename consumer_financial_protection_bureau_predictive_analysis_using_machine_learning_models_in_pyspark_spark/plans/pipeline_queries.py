@@ -1,0 +1,257 @@
+"""Catalog entries for the training-data pipeline operators
+(operators/pipeline.py + the salted skew join + sliding stream windows):
+decontamination, sequence packing, incremental dedup, quality filter
+chain — the corpus-preparation surface between raw crawl and tokenizer.
+
+Oracle discipline matches text_queries.py: tokenization/fingerprint SQL
+mirrors are shared so both engines compute literally the same arithmetic;
+window SUM/COUNT results are CAST to BIGINT (DuckDB HUGEINT gotcha).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textfns as TF
+from ..operators import pipeline as PL
+from ..operators import skew
+from ..streaming import jobs as SJ
+from .catalog import _t, register
+from .streaming_queries import _drain
+from .text_queries import _D_FP, _D_TOKS, _STOP_SQL
+
+# Word-8-gram rendering shared by the decontamination oracle: DuckDB can't
+# lateral-join generate_series on a column, so positions come from
+# unnest(generate_series(...)) in the select list.
+_D_GRAMS_CTE = f"""
+toks AS (SELECT doc_id, {_D_TOKS} AS w FROM documents),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+  FROM toks WHERE len(w) >= 8
+),
+grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM pos)
+""".strip()
+
+
+@register(
+    "docs_decontaminate",
+    f"""
+WITH {_D_GRAMS_CTE},
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0)
+SELECT g.doc_id, COUNT(*) AS n_hit_grams
+FROM grams g JOIN bench USING (gram)
+WHERE g.doc_id % 25 <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+    "pipeline", "decontamination", "ngram-overlap",
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test-overlap flagging: corpus documents sharing any word
+    8-gram (the GPT-3/PaLM convention) with a benchmark set — here the
+    ``doc_id % 25 == 0`` slice plays the benchmark.  The benchmark gram set
+    is broadcast; the corpus side never shuffles text."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    # gram explode is CPU-bound: spread it across every core even when the
+    # source collapses to one input split, and partition by the doc_id the
+    # hit-count aggregation groups on so the agg reuses the layout
+    corpus = docs.filter(F.col("doc_id") % 25 != 0).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return PL.decontaminate(corpus, bench, n=8).orderBy("doc_id")
+
+
+@register(
+    "docs_pack_bins",
+    f"""
+WITH t AS (
+  SELECT lang, doc_id, CAST(len({_D_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM t
+)
+SELECT lang,
+       CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM c
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+""",
+    "pipeline", "sequence-packing", "window",
+)
+def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing into 512-token bins per language
+    stream (concatenate-then-chunk batch assembly): one window + one agg,
+    both partitioned by lang — text never moves."""
+    docs = _t(spark, sf_dir, "documents")
+    return PL.pack_bins(docs, budget=512, part_col="lang").orderBy(
+        "lang", "bin_id"
+    )
+
+
+@register(
+    "dedup_incremental",
+    f"""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 20 = 5
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 20 = 5
+),
+bfp AS (SELECT doc_id, {_D_FP} AS fp FROM batch),
+cfp AS (SELECT DISTINCT {_D_FP} AS fp FROM documents),
+ranked AS (
+  SELECT b.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn,
+         c.fp IS NOT NULL AS in_corpus
+  FROM bfp b LEFT JOIN cfp c USING (fp)
+)
+SELECT doc_id,
+       CASE WHEN in_corpus THEN 'dup_of_corpus'
+            WHEN rn > 1 THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM ranked
+ORDER BY doc_id
+""",
+    "pipeline", "dedup", "incremental",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state dedup: triage a synthetic ingest batch against the
+    existing corpus.  Batch = re-keyed 10% slice (exact corpus dups) plus a
+    twice-ingested ``' v2'``-suffixed slice (novel content, duplicated
+    within the batch) — exercising all three statuses deterministically."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    part_a = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    novel = docs.filter(F.col("doc_id") % 20 == 5).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    part_b = novel.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    part_c = novel.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    batch = part_a.union(part_b).union(part_c)
+    return PL.incremental_dedup(docs, batch).orderBy("doc_id")
+
+
+@register(
+    "docs_filter_chain",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_D_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         length(text) >= 100 AS p_chars,
+         len(toks) >= 20 AS p_tokens,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) >= 0.5 AS p_alpha,
+         CAST(len(list_filter(toks, s -> list_contains({_STOP_SQL}, s))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) <= 0.3 AS p_stop
+  FROM t
+)
+SELECT doc_id,
+       (p_chars AND p_tokens AND p_alpha AND p_stop) AS keep,
+       CASE WHEN NOT p_chars THEN 'min_chars'
+            WHEN NOT p_tokens THEN 'min_tokens'
+            WHEN NOT p_alpha THEN 'alpha_ratio'
+            WHEN NOT p_stop THEN 'stopword_ratio'
+            ELSE 'kept' END AS reason
+FROM m
+ORDER BY doc_id
+""",
+    "pipeline", "quality-filter", "c4-gopher",
+)
+def docs_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered C4/Gopher-style quality gates with first-failure reasons:
+    min length, min tokens, alphabetic ratio, stopword ratio.  One
+    codegen'd projection — runs at parquet-scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = TF.tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in TF.STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")).cast("double")
+        / F.length(text).cast("double")
+    )
+    stop_ratio = n_stop.cast("double") / F.size(toks).cast("double")
+    rules = [
+        ("min_chars", F.length(text) >= 100),
+        ("min_tokens", F.size(toks) >= 20),
+        ("alpha_ratio", alpha_ratio >= 0.5),
+        ("stopword_ratio", stop_ratio <= 0.3),
+    ]
+    return PL.filter_chain(docs, rules).orderBy("doc_id")
+
+
+@register(
+    "skewjoin_events_enrich",
+    """
+WITH dim AS (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(d.user_events) AS BIGINT) AS sum_user_events
+FROM events e JOIN dim d USING (user_id)
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+    "skew", "salted-join",
+)
+def skewjoin_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join correctness: enrich every event with its user's activity
+    count via ``salted_join`` (events salted by event_id, dim replicated
+    16×) — must be result-identical to the plain equi-join the oracle
+    runs.  This is the manual fallback for hot-key joins AQE can't split."""
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    joined = skew.salted_join(ev, dim, key="user_id", spread_col="event_id")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_events").alias("sum_user_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+assign AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM events
+)
+SELECT CAST(ws AS STRING) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM assign, wm
+WHERE ws + INTERVAL 2 HOUR <= wm.w
+GROUP BY 1, 2
+""",
+    "streaming", "sliding-window", "watermark",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows under a stream: 2-hour windows every hour,
+    each event in exactly two.  Oracle = union of the two shifted tumbling
+    assignments, restricted to windows the final watermark closed."""
+    out = _drain(
+        spark, SJ.sliding_counts(SJ.read_events_stream(spark, sf_dir))
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

@@ -118,6 +118,36 @@ def windowed_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Watermarked sliding (hopping) window counts: each event contributes
+    to duration/slide overlapping windows, window starts aligned to epoch
+    multiples of ``slide``.  State per key is duration/slide concurrent
+    windows; the watermark evicts each as it closes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

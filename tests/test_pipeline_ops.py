@@ -1,0 +1,122 @@
+"""Training-data pipeline operators (operators/pipeline.py, skew.salted_join):
+behavioral tests beyond the catalog's oracle parity — first-failure reason
+ordering, packing invariants, incremental statuses, salted-join equality,
+and the decontamination broadcast plan property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+    pipeline as PL,
+    skew,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_filter_chain_reports_first_failing_rule(spark):
+    df = spark.createDataFrame(
+        [(1, "ok ok"), (2, "x"), (3, "zz zz zz")], "doc_id long, text string"
+    )
+    rules = [
+        ("min_chars", F.length("text") >= 3),   # doc 2 fails here first
+        ("no_z", ~F.col("text").contains("z")),  # doc 3 passes rule 1, fails here
+    ]
+    got = {r.doc_id: (r.keep, r.reason) for r in PL.filter_chain(df, rules).collect()}
+    assert got == {
+        1: (True, "kept"),
+        2: (False, "min_chars"),  # fails no_z too — first failure wins
+        3: (False, "no_z"),
+    }
+
+
+def test_pack_bins_invariants(spark):
+    # 6 docs of 200 tokens each, one stream: starts at 0,200,...,1000 →
+    # bins floor(start/512) = 0,0,0,1,1,1
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(["t"] * 200)) for i in range(6)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.bin_id: (r.n_docs, r.bin_tokens)
+        for r in PL.pack_bins(docs, budget=512).collect()
+    }
+    assert got == {0: (3, 600), 1: (3, 600)}
+
+
+def test_pack_bins_conserves_tokens_per_stream(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+
+    docs = readers.load_table(spark, SF_SMOKE, "documents")
+    packed = PL.pack_bins(docs, budget=512)
+    per_lang = (
+        packed.groupBy("lang")
+        .agg(F.sum("bin_tokens").alias("packed"), F.sum("n_docs").alias("packed_docs"))
+    )
+    truth = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.lower(F.trim("text")), r"\s+"))).alias("tok"),
+        F.count(F.lit(1)).alias("true_docs"),
+    )
+    j = per_lang.join(truth, "lang")
+    assert j.filter("packed <> tok OR packed_docs <> true_docs").count() == 0
+
+
+def test_incremental_dedup_statuses(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),  # normalizes to corpus doc 1 → dup_of_corpus
+            (11, "epsilon zeta"),  # novel, first → kept
+            (12, "epsilon zeta"),  # novel, second → dup_in_batch
+            (13, "eta theta"),     # novel, unique → kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in PL.incremental_dedup(corpus, batch).collect()}
+    assert got == {
+        10: "dup_of_corpus",
+        11: "kept",
+        12: "dup_in_batch",
+        13: "kept",
+    }
+
+
+def test_salted_join_equals_plain_join(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+
+    ev = readers.load_table(spark, SF_SMOKE, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    salted = skew.salted_join(ev, dim, key="user_id", spread_col="event_id", n_salts=8)
+    plain = ev.join(dim, "user_id")
+    cols = ["event_id", "user_id", "user_events"]
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.select(*cols).collect()}
+    b = {tuple(r) for r in plain.select(*cols).collect()}
+    assert a == b
+
+
+def test_decontaminate_finds_planted_overlap_and_broadcasts(spark):
+    bench = spark.createDataFrame(
+        [(100, "q w e r t y u i o p")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains bench 8-grams "q w e r t y u i" AND "w e r t y u i o"
+            (1, "z z z q w e r t y u i o z z"),
+            (2, "a b c d e f g h i j"),  # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = PL.decontaminate(corpus, bench, n=8)
+    assert [(r.doc_id, r.n_hit_grams) for r in out.collect()] == [(1, 2)]
+    # the benchmark gram set must broadcast — the corpus side never shuffles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
