@@ -71,10 +71,12 @@ _PRIORITY = [
     "dedup_jaccard_blocked",
     "dedup_embedding_cosine",
     "dedup_incremental",
-    # similarity / ANN
+    # similarity / ANN / entity resolution
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_cosine_topk_fast",
+    "ann_ivf_topk",
+    "er_fuzzy_part_match",
     # multimodal
     "media_meta_stats",
     "media_frame_sample",
@@ -88,8 +90,6 @@ _PRIORITY = [
     "stream_click_purchase_join",
     # sampling (rows-only; value checks in pytest)
     "complaints_rebalance_8class",
-    "complaints_oversample_timely",
-    "complaints_train_test_split",
     # ML pipelines (slowest — end of the window)
     "ml_timely_lr",
     "ml_timely_svm",
@@ -100,6 +100,8 @@ _PRIORITY = [
     "ml_lda_topics",
     "ml_lda_topics_em",
     # ---- window boundary (~50) ----  overflow: operator covered by twin
+    "complaints_oversample_timely",  # U1/U3 rows-only: complaints_rebalance_8class
+    "complaints_train_test_split",   # U4 rows-only: unit-tested, split twin of rebalance
     "complaints_date_parts",         # P10/F1: green r1; events_hourly date fns
     "complaints_per_class_metrics",  # F5 metrics: binary_metrics/confusion twins
     "docs_quality_score",            # superseded by docs_filter_chain (same stats)

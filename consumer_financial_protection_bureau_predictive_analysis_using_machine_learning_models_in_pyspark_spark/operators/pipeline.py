@@ -149,6 +149,50 @@ def incremental_dedup(
     )
 
 
+def fuzzy_match_blocked(
+    queries: DataFrame,
+    canonical: DataFrame,
+    block_keys: Sequence[str],
+    query_col: str = "qname",
+    name_col: str = "name",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked entity resolution: match each query string to its best
+    canonical record — equi-join on ``block_keys`` for candidate
+    generation, Levenshtein ≤ ``max_dist`` to verify, then the minimum
+    (distance, id) candidate per query wins.
+
+    Contract: ``queries`` carries (query_id, ``query_col``, *block_keys),
+    ``canonical`` carries (id, ``name_col``, *block_keys).  Returns
+    (query_id, matched_id, matched_name, dist) — unmatched queries are
+    absent (left-anti recoverable by the caller).
+
+    Scale posture: blocking turns the O(|Q|·|C|) all-pairs edit-distance
+    problem into per-block candidate sets joined by hash — the classic ER
+    candidate-generation shape.  Block keys must bound block size (add a
+    length bucket or prefix to a hot block); the edit distance runs
+    JVM-side (``F.levenshtein``) inside the join's codegen stage, and the
+    final winner-per-query window shuffles only (query_id, id, dist).
+    """
+    cands = (
+        queries.join(canonical, list(block_keys))
+        .withColumn("dist", F.levenshtein(F.col(query_col), F.col(name_col)))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "matched_id")
+    return (
+        cands.select(
+            "query_id",
+            F.col("id").alias("matched_id"),
+            F.col(name_col).alias("matched_name"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def filter_chain(
     df: DataFrame,
     rules: Sequence[tuple[str, Column]],

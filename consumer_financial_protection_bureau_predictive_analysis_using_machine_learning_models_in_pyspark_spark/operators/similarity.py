@@ -278,3 +278,108 @@ def cosine_topk_fast(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe_cells: int = 2,
+    seed: int = 42,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    corpus into ``n_cells`` cells; each probe scores only its
+    ``n_probe_cells`` nearest cells — the centroid-based counterpart to
+    ``lsh_ann_topk``'s hyperplane buckets (data-adaptive cells follow the
+    corpus distribution, which hash planes cannot).
+
+    Scale posture: the quantizer trains on the corpus via MLlib (sampled
+    at real scale); centroids are collected to the driver — n_cells × dim
+    floats, small BY CONTRACT (the classic IVF coarse codebook) — and ride
+    into cell assignment as a nested array literal folded with
+    higher-order functions, so assignment is one shuffle-free projection
+    over the corpus.  The probe side explodes to n_probe_cells rows per
+    probe and broadcasts; each corpus partition joins only its own cells.
+    Cell assignment and ranking tiebreak on (distance/score, id), so the
+    output is deterministic for a fixed fitted codebook.
+
+    Returns (probe_id, neighbor_id, cosine, rank) — approximate: neighbors
+    outside the probed cells are missed (recall measured in tests).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    cent = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in c])
+            for c in km.clusterCenters()
+        ]
+    )
+
+    def cell_scores(vec: Column) -> Column:
+        # dot against every centroid (unit-norm corpus: max dot == nearest
+        # cell), zipped with -index so struct max/sort tiebreaks to the
+        # SMALLEST cell id on equal scores
+        dots = F.transform(
+            cent,
+            lambda c: F.aggregate(
+                F.zip_with(c, vec, lambda x, y: x * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return F.zip_with(
+            dots,
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda d, i: F.struct(d.alias("dot"), (-i).alias("neg_cell")),
+        )
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        (-F.array_max(cell_scores(F.col(vec_col)))["neg_cell"]).alias("cell"),
+    )
+    top_cells = F.transform(
+        F.slice(
+            F.sort_array(cell_scores(F.col(vec_col)), asc=False),
+            1,
+            n_probe_cells,
+        ),
+        lambda s: -s["neg_cell"],
+    )
+    pb = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.explode(top_cells).alias("cell"),
+    )
+    scored = (
+        cb.join(F.broadcast(pb), "cell")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            dot_decimal(F.col("probe_vec"), F.col("vec")).alias("dot_dec"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dot_dec").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(F.col("dot_dec").cast("double"), 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

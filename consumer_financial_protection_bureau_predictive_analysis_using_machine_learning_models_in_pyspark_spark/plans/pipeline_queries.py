@@ -193,6 +193,52 @@ def docs_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "er_fuzzy_part_match",
+    """
+WITH q AS (
+  SELECT p_partkey + 5000000 AS query_id, substr(p_name, 2) AS qname,
+         p_brand, p_size
+  FROM part WHERE p_partkey % 50 = 0
+),
+c AS (
+  SELECT q.query_id, p.p_partkey AS matched_id, p.p_name AS matched_name,
+         CAST(levenshtein(q.qname, p.p_name) AS INTEGER) AS dist
+  FROM q JOIN part p USING (p_brand, p_size)
+  WHERE levenshtein(q.qname, p.p_name) <= 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dist, matched_id) AS rn
+  FROM c
+)
+SELECT query_id, matched_id, matched_name, dist
+FROM r WHERE rn = 1
+ORDER BY query_id
+""",
+    "pipeline", "entity-resolution", "fuzzy-join",
+)
+def er_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution: a 2% slice of part names, first
+    character dropped (deterministic 'dirty registry'), matched back to
+    the canonical part table — candidates via (brand, size) blocking,
+    verified by Levenshtein ≤ 2, best (dist, id) per query wins."""
+    parts = _t(spark, sf_dir, "part")
+    q = parts.filter(F.col("p_partkey") % 50 == 0).select(
+        (F.col("p_partkey") + 5000000).alias("query_id"),
+        F.expr("substr(p_name, 2)").alias("qname"),
+        "p_brand", "p_size",
+    )
+    canonical = parts.select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name"),
+        "p_brand", "p_size",
+    )
+    return PL.fuzzy_match_blocked(
+        q, canonical, block_keys=("p_brand", "p_size"),
+        query_col="qname", name_col="name", max_dist=2,
+    ).orderBy("query_id")
+
+
+@register(
     "skewjoin_events_enrich",
     """
 WITH dim AS (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id)

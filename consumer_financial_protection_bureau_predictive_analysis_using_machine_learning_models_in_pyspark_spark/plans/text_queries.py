@@ -493,6 +493,19 @@ def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_fast(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register("ann_ivf_topk", None, "similarity", "ann", "ivf", "kmeans")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer (8 cells, seed 42), probes score
+    their 2 nearest cells only — the data-adaptive counterpart to
+    ann_lsh_topk's hash buckets.  Rows-only: the fitted codebook is not
+    SQL-expressible; recall vs the exact baseline is pinned in
+    tests/test_pipeline_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, n_probe_cells=2
+    )
+
+
 @register(
     "docs_tfidf_keywords",
     f"""

@@ -120,3 +120,32 @@ def test_decontaminate_finds_planted_overlap_and_broadcasts(spark):
     # the benchmark gram set must broadcast — the corpus side never shuffles
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_ann_topk_recall_and_consistency(spark):
+    """IVF with 2/8 probed cells: deterministic output, 5 ranked neighbors
+    per probe, cosines agree with the exact baseline on shared pairs, and
+    recall@5 beats the 0.25 random-cell floor."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog as CAT,
+    )
+
+    ivf = CAT.CATALOG["ann_ivf_topk"].fn(spark, SF_SMOKE).collect()
+    exact = CAT.CATALOG["ann_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    per_probe = {}
+    for r in ivf:
+        per_probe.setdefault(r.probe_id, []).append(r)
+    assert all(len(v) == 5 for v in per_probe.values())
+    for v in per_probe.values():
+        ranked = sorted(v, key=lambda r: r.rank)
+        cosines = [r.cosine for r in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+    exact_cos = {(r.probe_id, r.neighbor_id): r.cosine for r in exact}
+    shared = [
+        r for r in ivf if (r.probe_id, r.neighbor_id) in exact_cos
+    ]
+    assert shared and all(
+        r.cosine == exact_cos[(r.probe_id, r.neighbor_id)] for r in shared
+    )
+    recall = len(shared) / len(exact)
+    assert recall >= 0.3, recall
