@@ -41,7 +41,6 @@ _PRIORITY = [
     # complaints reference-parity core
     "complaints_clean",
     "complaints_frequency_encode",
-    "complaints_class_distribution",
     "complaints_flagship",
     "complaints_binary_metrics",
     "complaints_confusion_pivot",
@@ -57,9 +56,10 @@ _PRIORITY = [
     # relational extensions
     "events_sessionize",
     "events_asof_join",
+    "events_interval_join",
+    "events_multires_rollup",
     "events_value_quantiles",
     # text analysis + training-data pipeline
-    "docs_token_stats",
     "docs_tfidf_keywords",
     "docs_filter_chain",
     "docs_decontaminate",
@@ -100,6 +100,8 @@ _PRIORITY = [
     "ml_lda_topics",
     "ml_lda_topics_em",
     # ---- window boundary (~50) ----  overflow: operator covered by twin
+    "complaints_class_distribution", # A2 count+orderBy: complaints_flagship
+    "docs_token_stats",              # token stats: docs_filter_chain/docs_tfidf_keywords
     "complaints_oversample_timely",  # U1/U3 rows-only: complaints_rebalance_8class
     "complaints_train_test_split",   # U4 rows-only: unit-tested, split twin of rebalance
     "complaints_date_parts",         # P10/F1: green r1; events_hourly date fns

@@ -122,3 +122,115 @@ def running_agg(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Point-in-interval (range) join: every points row matched to every
+    intervals row with ``start <= ts < end`` — another operator Spark has
+    no primitive for (a naive range predicate plans as a broadcast
+    nested-loop join, O(|points| × |intervals|) per task).
+
+    Spark-first formulation: quantize the time axis into fixed ``bucket``
+    cells, explode each interval over the cells it touches (an interval of
+    length L lands in ceil(L/bucket)+1 cells), hash-join points to interval
+    cells on the cell timestamp, then apply the exact range predicate as a
+    post-filter.  The join is a plain equi-join — shuffle partitioned,
+    AQE-splittable, no nested loop; cost scales with overlap density
+    rather than the cross product.  Pick ``bucket`` near the median
+    interval length: too fine explodes the interval side, too coarse
+    funnels unrelated points into the same cell (the post-filter keeps it
+    correct either way).
+    """
+    cell = F.explode(
+        F.sequence(
+            F.date_trunc(_BUCKET_TRUNC[bucket], F.col(start_col)),
+            F.date_trunc(
+                _BUCKET_TRUNC[bucket],
+                F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND"),
+            ),
+            F.expr(f"INTERVAL {bucket}"),
+        )
+    ).alias("_cell")
+    iv = intervals.select("*", cell)
+    pt = points.withColumn(
+        "_cell", F.date_trunc(_BUCKET_TRUNC[bucket], F.col(ts_col))
+    )
+    return (
+        pt.join(iv, "_cell")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_cell")
+    )
+
+
+_BUCKET_TRUNC = {
+    "1 minute": "minute",
+    "1 hour": "hour",
+    "1 day": "day",
+}
+
+
+def multires_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    levels: Sequence[str] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: aggregate at the finest
+    level from raw rows, then derive each coarser level FROM THE
+    FINER PARTIALS (count-sum re-aggregation), never re-scanning the
+    input — the continuous-aggregate pattern.  The finest frame is
+    persisted: at scale it is the materialized rollup table the coarser
+    levels (and dashboards) read.
+
+    Returns (level, bucket_start, *keys, n_events, sum_value) for every
+    level, bucket starts rendered as strings (tz-safe across engines).
+    """
+    from pyspark import StorageLevel
+
+    ks = list(keys)
+    finest = (
+        df.groupBy(
+            F.date_trunc(levels[0], F.col(ts_col)).alias("bucket_start"), *ks
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_dec"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frames = [finest.withColumn("level", F.lit(levels[0]))]
+    prev = finest
+    for lvl in levels[1:]:
+        cur = (
+            prev.groupBy(
+                F.date_trunc(lvl, F.col("bucket_start")).alias("bucket_start"),
+                *ks,
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_dec").alias("sum_dec"),
+            )
+        )
+        frames.append(cur.withColumn("level", F.lit(lvl)))
+        prev = cur
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "level",
+        F.col("bucket_start").cast("string").alias("bucket_start"),
+        *ks,
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )

@@ -543,3 +543,94 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_interval_join",
+    """
+WITH hrs AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY 1
+),
+top AS (SELECT h FROM hrs ORDER BY n DESC, h LIMIT 20),
+iv AS (
+  SELECT h - INTERVAL 30 MINUTE AS w_start, h + INTERVAL 90 MINUTE AS w_end
+  FROM top
+)
+SELECT CAST(i.w_start AS STRING) AS w_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN iv i ON e.ts >= i.w_start AND e.ts < i.w_end
+GROUP BY i.w_start
+ORDER BY w_start
+""",
+    "range-join", "interval", "binned",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join, binned formulation (operators.windows
+    .interval_join): the 20 busiest hours become overlapping 2-hour promo
+    windows [peak-30min, peak+90min); every event lands in each window
+    covering it.  The oracle runs the naive range-predicate join — the
+    binned equi-join + post-filter must agree exactly.  Spark plans the
+    naive form as a nested loop; the binned form is a plain hash join."""
+    ev = _t(spark, sf_dir, "events")
+    hrs = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = hrs.orderBy(F.col("n").desc(), "h").limit(20)
+    iv = top.select(
+        (F.col("h") - F.expr("INTERVAL 30 MINUTE")).alias("w_start"),
+        (F.col("h") + F.expr("INTERVAL 90 MINUTE")).alias("w_end"),
+    )
+    joined = W.interval_join(ev, iv, "ts", bucket="1 hour")
+    return (
+        joined.groupBy("w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w_start").cast("string").alias("w_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("w_start")
+    )
+
+
+@register(
+    "events_multires_rollup",
+    """
+WITH m AS (
+  SELECT date_trunc('minute', ts) AS b, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT 'minute' AS level, CAST(b AS STRING) AS bucket_start, event_type,
+       n AS n_events, CAST(s AS DOUBLE) AS sum_value
+FROM m
+UNION ALL
+SELECT 'hour', CAST(date_trunc('hour', b) AS STRING), event_type,
+       CAST(SUM(n) AS BIGINT), CAST(SUM(s) AS DOUBLE)
+FROM m GROUP BY date_trunc('hour', b), event_type
+UNION ALL
+-- DuckDB date_trunc('day', ts) yields DATE (minute/hour yield TIMESTAMP);
+-- cast back to TIMESTAMP so the rendered string matches Spark's
+SELECT 'day', CAST(CAST(date_trunc('day', b) AS TIMESTAMP) AS STRING), event_type,
+       CAST(SUM(n) AS BIGINT), CAST(SUM(s) AS DOUBLE)
+FROM m GROUP BY date_trunc('day', b), event_type
+ORDER BY level, bucket_start, event_type
+""",
+    "rollup", "multires", "continuous-aggregate",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (operators.windows
+    .multires_rollup): minute partials from raw rows, hour FROM minute,
+    day FROM hour — the input is scanned once; coarser levels re-aggregate
+    the persisted finer partials (count-sum merge, exact under the decimal
+    fold)."""
+    ev = _t(spark, sf_dir, "events")
+    return W.multires_rollup(
+        ev, "ts", ["event_type"], "value", levels=("minute", "hour", "day")
+    ).orderBy("level", "bucket_start", "event_type")

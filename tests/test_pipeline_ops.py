@@ -149,3 +149,66 @@ def test_ivf_ann_topk_recall_and_consistency(spark):
     )
     recall = len(shared) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_interval_join_equals_naive_range_join(spark):
+    """Binned interval join == naive range-predicate join on overlapping
+    intervals, including points on boundaries (start inclusive, end
+    exclusive) and points in no interval (absent)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        windows as W,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, f"2024-01-01 0{h}:{m:02d}:00") for i, (h, m) in enumerate(
+            [(0, 0), (0, 30), (1, 0), (1, 59), (2, 0), (5, 0)]
+        )],
+        "point_id long, ts_s string",
+    ).select("point_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("a", "2024-01-01 00:30:00", "2024-01-01 02:00:00"),
+         ("b", "2024-01-01 01:30:00", "2024-01-01 03:00:00")],
+        "iv_id string, s string, e string",
+    ).select(
+        "iv_id",
+        F.col("s").cast("timestamp").alias("w_start"),
+        F.col("e").cast("timestamp").alias("w_end"),
+    )
+    got = {
+        (r.point_id, r.iv_id)
+        for r in W.interval_join(pts, iv, "ts", bucket="1 hour").collect()
+    }
+    naive = {
+        (r.point_id, r.iv_id)
+        for r in pts.join(
+            iv, (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+        ).collect()
+    }
+    assert got == naive
+    # boundary semantics: ts==start matches, ts==end does not; no-interval
+    # points (00:00, 05:00) absent
+    assert (1, "a") in got and (4, "b") in got and (4, "a") not in got
+    assert not any(p in (0, 5) for p, _ in got)
+
+
+def test_multires_rollup_levels_consistent(spark):
+    """Each coarser level's totals equal the finer level re-aggregated;
+    minute level equals a direct groupBy of the input."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        windows as W,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+
+    ev = readers.load_table(spark, SF_SMOKE, "events")
+    out = W.multires_rollup(ev, "ts", ["event_type"], "value").cache()
+    totals = {
+        r.level: (r.n, round(r.s, 4))
+        for r in out.groupBy("level")
+        .agg(F.sum("n_events").alias("n"), F.sum("sum_value").alias("s"))
+        .collect()
+    }
+    assert totals["minute"] == totals["hour"] == totals["day"]
+    n_events = ev.count()
+    assert totals["minute"][0] == n_events
