@@ -64,11 +64,11 @@ _PRIORITY = [
     "docs_filter_chain",
     "docs_decontaminate",
     "docs_pack_bins",
+    "docs_chunk",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_jaccard_blocked",
     "dedup_embedding_cosine",
     "dedup_incremental",
     # similarity / ANN / entity resolution
@@ -100,6 +100,7 @@ _PRIORITY = [
     "ml_lda_topics",
     "ml_lda_topics_em",
     # ---- window boundary (~50) ----  overflow: operator covered by twin
+    "dedup_jaccard_blocked",         # blocked self-join: minhash verify path twin
     "complaints_class_distribution", # A2 count+orderBy: complaints_flagship
     "docs_token_stats",              # token stats: docs_filter_chain/docs_tfidf_keywords
     "complaints_oversample_timely",  # U1/U3 rows-only: complaints_rebalance_8class

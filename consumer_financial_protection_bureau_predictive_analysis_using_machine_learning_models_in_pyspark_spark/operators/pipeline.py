@@ -149,6 +149,50 @@ def incremental_dedup(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token chunks (``chunk`` tokens,
+    advancing ``stride`` — overlap = chunk - stride), the standard prep for
+    fixed-context training windows.  A document of n ≤ chunk tokens yields
+    one chunk; otherwise ceil((n - chunk)/stride) + 1, so the tail is
+    always covered.
+
+    Returns (doc_id, chunk_id, start_tok, chunk_tokens, chunk_text).
+
+    Scale posture: in-row array arithmetic only (tokens projected ONCE as
+    a named column — see the CollapseProject note in ``decontaminate``),
+    then one explode; no shuffle, no UDF — runs at scan speed and
+    parallelizes with the input partitioning.
+    """
+    w = F.col("_toks")
+    n = F.size(w)
+    n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk)) / F.lit(float(stride))).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            (i * stride).cast("bigint").alias("start_tok"),
+            F.least(F.lit(chunk), n - i * stride)
+            .cast("bigint")
+            .alias("chunk_tokens"),
+            F.concat_ws(" ", F.slice(w, i * stride + 1, chunk)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        df.select("doc_id", TF.tokens(text_col).alias("_toks"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.start_tok", "c.chunk_tokens", "c.chunk_text")
+    )
+
+
 def fuzzy_match_blocked(
     queries: DataFrame,
     canonical: DataFrame,

@@ -97,6 +97,37 @@ def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_chunk",
+    f"""
+WITH toks AS (SELECT doc_id, {_D_TOKS} AS w FROM documents),
+nums AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= 32 THEN 1
+              ELSE CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+  FROM toks
+),
+c AS (SELECT doc_id, w, n, unnest(generate_series(0, nc - 1)) AS cid FROM nums)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       CAST(cid * 24 AS BIGINT) AS start_tok,
+       CAST(LEAST(32, n - cid * 24) AS BIGINT) AS chunk_tokens,
+       array_to_string(w[cid*24 + 1 : cid*24 + 32], ' ') AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_id
+""",
+    "pipeline", "chunking",
+)
+def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking for fixed-context training windows
+    (32-token chunks, stride 24 → 8-token overlap); every document's tail
+    is covered by its final chunk."""
+    docs = _t(spark, sf_dir, "documents")
+    return PL.chunk_documents(docs, chunk=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@register(
     "dedup_incremental",
     f"""
 WITH batch AS (

@@ -212,3 +212,30 @@ def test_multires_rollup_levels_consistent(spark):
     assert totals["minute"] == totals["hour"] == totals["day"]
     n_events = ev.count()
     assert totals["minute"][0] == n_events
+
+
+def test_chunk_documents_covers_tail_with_overlap(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        pipeline as PL2,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),   # 10 toks → 1 chunk
+         (2, " ".join(f"t{i}" for i in range(33)))],  # 33 toks → 2 chunks
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        PL2.chunk_documents(docs, chunk=32, stride=24).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_tokens == 10
+    assert len(by_doc[2]) == 2
+    first, second = by_doc[2]
+    assert (first.start_tok, first.chunk_tokens) == (0, 32)
+    # tail chunk starts at stride and covers through token 32
+    assert (second.start_tok, second.chunk_tokens) == (24, 9)
+    assert second.chunk_text.split(" ")[0] == "t24"
+    assert second.chunk_text.split(" ")[-1] == "t32"
