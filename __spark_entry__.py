@@ -51,7 +51,6 @@ _PRIORITY = [
     "skewjoin_events_enrich",
     # TPC-H shapes
     "q1_pricing_summary",
-    "q3_top_unshipped_orders",
     "q18_large_volume_customers",
     # relational extensions
     "events_sessionize",
@@ -59,6 +58,7 @@ _PRIORITY = [
     "events_interval_join",
     "events_multires_rollup",
     "events_value_quantiles",
+    "events_heavy_hitters_cms",
     # text analysis + training-data pipeline
     "docs_tfidf_keywords",
     "docs_filter_chain",
@@ -100,6 +100,7 @@ _PRIORITY = [
     "ml_lda_topics",
     "ml_lda_topics_em",
     # ---- window boundary (~50) ----  overflow: operator covered by twin
+    "q3_top_unshipped_orders",       # W2 order+limit: events_heavy_hitters_cms top-20; join+agg: q18
     "dedup_jaccard_blocked",         # blocked self-join: minhash verify path twin
     "complaints_class_distribution", # A2 count+orderBy: complaints_flagship
     "docs_token_stats",              # token stats: docs_filter_chain/docs_tfidf_keywords

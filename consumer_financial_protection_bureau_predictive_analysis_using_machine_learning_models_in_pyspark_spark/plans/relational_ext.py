@@ -634,3 +634,49 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.multires_rollup(
         ev, "ts", ["event_type"], "value", levels=("minute", "hour", "day")
     ).orderBy("level", "bucket_start", "event_type")
+
+
+def _cms_oracle() -> str:
+    from ..operators.sketches import CMS_SALTS, P
+
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_SALTS))
+    return f"""
+WITH salts(i, a, b) AS (VALUES {vals}),
+cells AS (
+  SELECT s.i, ((s.a * e.user_id + s.b) % {P}) % 256 AS bucket
+  FROM events e CROSS JOIN salts s
+),
+sketch AS (SELECT i, bucket, COUNT(*) AS cnt FROM cells GROUP BY i, bucket),
+cand AS (SELECT DISTINCT user_id FROM events),
+probe AS (
+  SELECT c.user_id, s.i, ((s.a * c.user_id + s.b) % {P}) % 256 AS bucket
+  FROM cand c CROSS JOIN salts s
+),
+est AS (
+  SELECT user_id, MIN(cnt) AS est_count
+  FROM probe JOIN sketch USING (i, bucket) GROUP BY user_id
+)
+SELECT user_id, CAST(est_count AS BIGINT) AS est_count
+FROM est ORDER BY est_count DESC, user_id LIMIT 20
+"""
+
+
+@register(
+    "events_heavy_hitters_cms",
+    _cms_oracle(),
+    "sketch", "count-min", "heavy-hitters",
+)
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch (operators.sketches): the
+    sketch is 4×256 counter cells however large the input — partials
+    collapse map-side, the reduce moves KBs — then every candidate key is
+    point-queried (broadcast sketch) and the top 20 by one-sided estimate
+    reported.  The oracle computes the identical sketch arithmetic in SQL;
+    est ≥ exact count is pinned in pytest."""
+    from ..operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = SK.cms_build(ev, "user_id", w=256)
+    cand = ev.select("user_id").distinct()
+    est = SK.cms_estimate(sketch, cand, "user_id", w=256)
+    return est.orderBy(F.col("est_count").desc(), "user_id").limit(20)

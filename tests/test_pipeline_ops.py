@@ -239,3 +239,24 @@ def test_chunk_documents_covers_tail_with_overlap(spark):
     assert (second.start_tok, second.chunk_tokens) == (24, 9)
     assert second.chunk_text.split(" ")[0] == "t24"
     assert second.chunk_text.split(" ")[-1] == "t32"
+
+
+def test_cms_estimates_are_one_sided(spark):
+    """Count-Min guarantees est >= true count for EVERY key (min of
+    counters each containing the key's full count plus collisions)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        sketches as SK,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+
+    ev = readers.load_table(spark, SF_SMOKE, "events")
+    sketch = SK.cms_build(ev, "user_id", w=64)  # small w → real collisions
+    assert sketch.count() <= 4 * 64
+    cand = ev.select("user_id").distinct()
+    est = SK.cms_estimate(sketch, cand, "user_id", w=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    j = est.join(exact, "user_id")
+    assert j.filter("est_count < true_count").count() == 0
+    assert j.count() == cand.count()
