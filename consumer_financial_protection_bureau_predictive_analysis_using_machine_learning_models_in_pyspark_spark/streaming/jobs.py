@@ -344,3 +344,59 @@ def run_foreach_batch_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_rollup(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    level: str = "minute",
+    keys: Sequence[str] = ("event_type",),
+) -> None:
+    """Incremental continuous aggregate (the streaming twin of
+    ``operators.windows.multires_rollup``): each micro-batch is collapsed
+    to ``level`` partials (bucket, keys, n, decimal sum) and written
+    idempotently under its ``_batch_id`` partition — the classic
+    materialized-rollup maintenance loop.  Readers merge partials with
+    ``read_rollup``; count-sum merge is exact under the decimal fold, so
+    the merged view equals the batch rollup of everything ingested,
+    whatever the micro-batch boundaries were.  availableNow; blocks until
+    drained."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(
+            F.date_trunc(level, F.col("ts")).alias("bucket_start"), *keys
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+        (
+            partial.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_rollup(
+    spark, out_dir: str, keys: Sequence[str] = ("event_type",)
+) -> DataFrame:
+    """Merge the partials ``run_streaming_rollup`` maintains into the
+    current rollup view: (bucket_start, *keys, n_events, sum_value)."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("bucket_start", *keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+    )

@@ -260,3 +260,62 @@ def test_cms_estimates_are_one_sided(spark):
     j = est.join(exact, "user_id")
     assert j.filter("est_count < true_count").count() == 0
     assert j.count() == cand.count()
+
+
+def test_chunking_sweep_covers_every_token(spark):
+    """Token counts 1..120 in one frame: per doc, chunk starts advance by
+    stride, lengths are min(chunk, n - start), the final chunk reaches
+    token n-1, and no chunk is empty."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        pipeline as PL2,
+    )
+
+    chunk, stride = 32, 24
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{i}" for i in range(n))) for n in range(1, 121)],
+        "doc_id long, text string",
+    )
+    rows = PL2.chunk_documents(docs, chunk=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n in range(1, 121):
+        cs = sorted(by_doc[n], key=lambda r: r.chunk_id)
+        expected = 1 if n <= chunk else -(-(n - chunk) // stride) + 1
+        assert len(cs) == expected, (n, len(cs))
+        for j, r in enumerate(cs):
+            assert r.start_tok == j * stride
+            assert r.chunk_tokens == min(chunk, n - r.start_tok) > 0
+        last = cs[-1]
+        assert last.start_tok + last.chunk_tokens == n  # tail covered
+
+
+def test_streaming_rollup_matches_batch_rollup(spark, tmp_path):
+    """Incremental minute partials (micro-batched, idempotent per-batch
+    partitions) merged by read_rollup == one-shot batch rollup."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        windows as W,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.streaming import (  # noqa: E501
+        jobs as SJ2,
+    )
+
+    out = str(tmp_path / "rollup")
+    SJ2.run_streaming_rollup(
+        SJ2.read_events_stream(spark, SF_SMOKE), out, str(tmp_path / "ckpt")
+    )
+    merged = {
+        (str(r.bucket_start), r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in SJ2.read_rollup(spark, out).collect()
+    }
+    ev = readers.load_table(spark, SF_SMOKE, "events")
+    batch = {
+        (r.bucket_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in W.multires_rollup(ev, "ts", ["event_type"], "value")
+        .filter("level = 'minute'")
+        .collect()
+    }
+    assert merged == batch

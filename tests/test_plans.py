@@ -82,3 +82,37 @@ def test_approx_aggs_close_to_exact(spark):
     ).first()
     assert abs(approx.p95 - exact.p95) / abs(exact.p95) < 0.05
     assert abs(approx.ndv - exact.ndv) / exact.ndv < 0.05
+
+
+def test_interval_join_plans_as_hash_join_not_nested_loop(spark):
+    """The binned range join's reason to exist: the time-axis quantization
+    must yield an equi-join (hash/sort-merge), never the nested-loop plan a
+    naive range predicate gets."""
+    plan = _physical(spark, "events_interval_join")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan
+
+
+def test_cms_sketch_uses_partial_aggregation(spark):
+    """The CMS build's scale story is the map-side collapse: partial
+    aggregation must appear below the exchange so each executor ships at
+    most d x w counter cells."""
+    plan = _physical(spark, "events_heavy_hitters_cms")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_decontaminate_single_split_per_side(spark):
+    """The CollapseProject barrier must hold: exactly one split() per plan
+    side (the 30x regression was split inlined into every element_at)."""
+    plan = _physical(spark, "docs_decontaminate")
+    assert plan.count("split(lower(trim(") == 2  # corpus side + bench side
+
+
+def test_multires_rollup_reuses_minute_partials(spark):
+    """Hour/day levels must read the persisted minute frame, not rescan the
+    input: the parquet source appears once in the executed plan."""
+    spark.catalog.clearCache()
+    df = CATALOG["events_multires_rollup"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2  # hour + day read the cache
