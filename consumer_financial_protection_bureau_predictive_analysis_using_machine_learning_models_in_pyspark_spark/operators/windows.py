@@ -158,7 +158,10 @@ def interval_join(
             F.expr(f"INTERVAL {bucket}"),
         )
     ).alias("_cell")
-    iv = intervals.select("*", cell)
+    # empty/inverted intervals (end <= start) match nothing by definition;
+    # filter them out rather than letting F.sequence throw on a descending
+    # boundary pair and fail the whole job
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).select("*", cell)
     pt = points.withColumn(
         "_cell", F.date_trunc(_BUCKET_TRUNC[bucket], F.col(ts_col))
     )

@@ -167,7 +167,11 @@ def test_interval_join_equals_naive_range_join(spark):
     ).select("point_id", F.col("ts_s").cast("timestamp").alias("ts"))
     iv = spark.createDataFrame(
         [("a", "2024-01-01 00:30:00", "2024-01-01 02:00:00"),
-         ("b", "2024-01-01 01:30:00", "2024-01-01 03:00:00")],
+         ("b", "2024-01-01 01:30:00", "2024-01-01 03:00:00"),
+         # degenerate rows: empty (end == start) and inverted (end < start)
+         # intervals match nothing and must not blow up F.sequence
+         ("empty", "2024-01-01 01:00:00", "2024-01-01 01:00:00"),
+         ("inverted", "2024-01-01 02:00:00", "2024-01-01 01:00:00")],
         "iv_id string, s string, e string",
     ).select(
         "iv_id",
