@@ -25,6 +25,9 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_customers",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
     "complaints_flagship",
     "complaints_class_distribution",
     "topk_companies_per_state",

@@ -13,5 +13,6 @@ from . import media_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import source_queries  # noqa: F401
 from . import pipeline_queries  # noqa: F401
+from . import tpch_ext  # noqa: F401
 
 CATALOG = catalog.CATALOG
