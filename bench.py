@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "docs_pack_bins",
     "docs_chunk",
     "docs_filter_chain",
+    "docs_repetition_stats",
     "dedup_exact",
     "dedup_incremental",
     "dedup_minhash_lsh",

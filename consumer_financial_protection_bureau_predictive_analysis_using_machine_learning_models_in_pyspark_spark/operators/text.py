@@ -93,3 +93,112 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id", TF.content_fingerprint(text_col).alias("fingerprint")
     )
+
+
+# --- Gopher/C4-style repetition & quality filters -------------------------
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition statistics (the Gopher-rules family):
+    most-frequent-token share, distinct-token ratio, duplicate-bigram
+    fraction.  High values mark boilerplate / degenerate generations that
+    an LLM training pipeline drops before training.
+
+    Two scale-friendly passes over a NAMED token column (projecting the
+    split once — inlining it into every element_at re-runs the regex per
+    element):
+
+    - token mode via explode → (id, token) partial agg → per-doc max; the
+      combiner absorbs repeated tokens map-side, so the shuffle carries at
+      most one row per distinct (doc, token), never raw length.  This stays
+      linear for arbitrarily long documents, unlike an O(n·d) higher-order
+      array fold.
+    - bigram duplication entirely as array expressions — zero shuffle.
+    """
+    toks = df.select(id_col, TF.tokens(text_col).alias("_toks"))
+    per_tok = (
+        toks.select(id_col, F.explode("_toks").alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("_c").alias("top_token_count"),
+        )
+    )
+    # Guard: sequence(1, size-1) runs DESCENDING for 1-token docs.
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda j: F.concat_ws(
+                " ", F.element_at(F.col("_toks"), j), F.element_at(F.col("_toks"), j + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_bg = toks.select(id_col, bigrams.alias("_bg")).select(
+        id_col,
+        F.size("_bg").cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct("_bg")).cast("bigint").alias("_n_distinct_bg"),
+    )
+    return (
+        per_tok.join(per_bg, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            "top_token_count",
+            F.round(
+                F.col("top_token_count").cast("double") / F.col("n_tokens"), 6
+            ).alias("top_token_fraction"),
+            F.round(
+                F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("distinct_token_ratio"),
+            "n_bigrams",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("_n_distinct_bg").cast("double") / F.col("n_bigrams"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_fraction"),
+        )
+    )
+
+
+# PII patterns — shared by the Spark operator and the DuckDB oracle; kept to
+# RE2 ∩ java.util.regex syntax (character classes + bounded repeats only, no
+# backrefs/lookarounds) so both engines match identically.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails → SSNs → phone numbers (in that fixed order, so the
+    narrower phone pattern can never eat an SSN's tail) and count each.
+
+    Pure regexp column expressions — whole-stage-codegen'd, no UDF; at
+    100 TB this is an embarrassingly parallel map with zero shuffle.
+    """
+    orig = F.col(text_col)
+    n_emails = F.regexp_count(orig, F.lit(PII_EMAIL_RE)).cast("bigint")
+    r1 = F.regexp_replace(orig, PII_EMAIL_RE, "<EMAIL>")
+    n_ssns = F.regexp_count(r1, F.lit(PII_SSN_RE)).cast("bigint")
+    r2 = F.regexp_replace(r1, PII_SSN_RE, "<SSN>")
+    n_phones = F.regexp_count(r2, F.lit(PII_PHONE_RE)).cast("bigint")
+    r3 = F.regexp_replace(r2, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        id_col,
+        n_emails.alias("n_emails"),
+        n_ssns.alias("n_ssns"),
+        n_phones.alias("n_phones"),
+        r3.alias("redacted"),
+    )

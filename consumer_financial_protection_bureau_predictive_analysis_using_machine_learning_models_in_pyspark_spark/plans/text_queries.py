@@ -558,3 +558,109 @@ def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style repetition filters + PII redaction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_repetition_stats",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS l FROM documents
+),
+tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(l) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct_tokens,
+         MAX(c) AS top_token_count
+  FROM tc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(l) >= 2 THEN len(l) - 1 ELSE 0 END AS BIGINT)
+           AS n_bigrams,
+         CAST(len(list_distinct(
+           list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])
+         )) AS BIGINT) AS n_distinct_bg
+  FROM t
+)
+SELECT agg.doc_id, n_tokens, n_distinct_tokens, top_token_count,
+       ROUND(CAST(top_token_count AS DOUBLE) / n_tokens, 6)
+         AS top_token_fraction,
+       ROUND(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6)
+         AS distinct_token_ratio,
+       n_bigrams,
+       CASE WHEN n_bigrams > 0
+            THEN ROUND(1.0 - CAST(n_distinct_bg AS DOUBLE) / n_bigrams, 6)
+            ELSE 0.0 END AS dup_bigram_fraction
+FROM agg JOIN bg ON agg.doc_id = bg.doc_id
+""",
+    "text", "quality", "gopher",
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules repetition screen: top-token share, distinct-token
+    ratio, duplicate-bigram fraction per document."""
+    return TX.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# The corpus carries no real PII, so the query plants a deterministic
+# contact suffix (derived from doc_id, inside the query on both engines)
+# and then proves the redaction pipeline removes exactly what it planted.
+_PII_SUFFIX_SQL = """
+text || ' contact user' || CAST(doc_id AS VARCHAR)
+     || '@example.com call 555-01'
+     || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+     || CASE WHEN doc_id % 3 = 0 THEN ' ssn 987-65-4321' ELSE '' END
+""".strip()
+
+
+@register(
+    "docs_pii_redact",
+    f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '{TX.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(
+    regexp_replace(text, '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+    '{TX.PII_SSN_RE}')) AS BIGINT) AS n_ssns,
+  CAST(len(regexp_extract_all(
+    regexp_replace(regexp_replace(text, '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{TX.PII_SSN_RE}', '<SSN>', 'g'),
+    '{TX.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+  regexp_replace(
+    regexp_replace(regexp_replace(text, '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{TX.PII_SSN_RE}', '<SSN>', 'g'),
+    '{TX.PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM aug
+""",
+    "text", "pii", "redaction",
+)
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically-augmented corpus: email → SSN →
+    phone redaction with per-kind counts, all native regexp expressions."""
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 987-65-4321")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return TX.pii_redact(aug)

@@ -323,3 +323,36 @@ def test_streaming_rollup_matches_batch_rollup(spark, tmp_path):
         .collect()
     }
     assert merged == batch
+
+
+def test_repetition_stats_edges(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        text as TX,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "a a a a b"), (3, "x y x y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.repetition_stats(df).collect()}
+    # 1-token doc: the sequence() guard must yield zero bigrams, not [1, 0]
+    assert out[1]["n_bigrams"] == 0 and out[1]["dup_bigram_fraction"] == 0.0
+    assert out[2]["top_token_count"] == 4
+    assert abs(out[2]["top_token_fraction"] - 0.8) < 1e-9
+    # "x y x y" → bigrams [x y, y x, x y]: 3 total, 2 distinct
+    assert out[3]["n_bigrams"] == 3
+    assert abs(out[3]["dup_bigram_fraction"] - round(1 - 2 / 3, 6)) < 1e-9
+
+
+def test_pii_redact_order_and_counts(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        text as TX,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io ssn 123-45-6789 call 555-1234 plain 12-34")],
+        "doc_id long, text string",
+    )
+    r = TX.pii_redact(df).collect()[0]
+    assert (r["n_emails"], r["n_ssns"], r["n_phones"]) == (1, 1, 1)
+    assert r["redacted"] == "mail <EMAIL> ssn <SSN> call <PHONE> plain 12-34"
