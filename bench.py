@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_incremental",
     "dedup_minhash_lsh",
+    "dedup_minhash_fast",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_components",

@@ -54,7 +54,9 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", n: int = 3, hash_fn: str = "md5"
+) -> DataFrame:
     """(doc_id, h): DISTINCT word-n-gram shingles hashed to [0, p).
 
     Distinctness is established in-row — hash the shingle array, then
@@ -68,7 +70,8 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     # per row); the projection is a CollapseProject barrier, so the split
     # runs once per document (measured ~30× faster shingling at sf0.1).
     sh = TF.shingles(F.col("_toks"), n)
-    hashed = F.array_distinct(F.transform(sh, TF.token_hash))
+    hasher = TF.token_hash if hash_fn == "md5" else TF.token_hash_fast
+    hashed = F.array_distinct(F.transform(sh, hasher))
     return df.select("doc_id", TF.tokens(text_col).alias("_toks")).select(
         "doc_id", F.explode(hashed).alias("h")
     )
@@ -206,6 +209,7 @@ def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: shingle → sign → band → candidates →
     exact-Jaccard verify ≥ threshold.
@@ -222,9 +226,9 @@ def minhash_dedup_pairs(
     from pyspark import StorageLevel
 
     par = spark.sparkContext.defaultParallelism
-    hashes = shingle_hashes(df.repartition(par, "doc_id"), text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    hashes = shingle_hashes(
+        df.repartition(par, "doc_id"), text_col, hash_fn=hash_fn
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(minhash_band_keys(hashes))
     return jaccard_on_pairs(cands, hashes).filter(F.col("jaccard") >= threshold)
 
@@ -305,6 +309,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
@@ -328,9 +333,120 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     p.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the round budget) — labels may "
+            "span partial components; raise max_iter or use "
+            "connected_components_star (O(log² n) rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+def _swap(e: DataFrame) -> DataFrame:
+    return e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node's larger neighbors re-attach to the
+    minimum of its neighborhood (min(N(u) ∪ {u}))."""
+    sym = e.union(_swap(e))
+    mins = sym.groupBy("a").agg(F.min("b").alias("mb")).select(
+        "a", F.least(F.col("a"), F.col("mb")).alias("m")
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round on big→small oriented edges: every smaller neighbor
+    (and the center) re-attaches to the neighborhood minimum."""
+    mins = e.groupBy("a").agg(F.min("b").alias("mb"))
+    spokes = (
+        e.join(mins, "a")
+        .filter(F.col("b") != F.col("mb"))
+        .select(F.col("b").alias("a"), F.col("mb").alias("b"))
+    )
+    centers = mins.select("a", F.col("mb").alias("b"))
+    return spokes.union(centers).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the 100 TB
+    scale path promised by ``connected_components``'s docstring.
+
+    Same contract as ``connected_components`` ((doc_id, component) with
+    component = min reachable id; same recursive-CTE oracle), different
+    round structure: label propagation needs O(diameter) rounds, the
+    alternating-star rounds contract paths doubly-exponentially —
+    O(log² n) rounds on any graph (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14).  A 10 000-hop chain finishes in a
+    handful of rounds instead of 10 000.
+
+    Each round is one groupBy(min) + one equi-join on the node id — the
+    same shuffle shape as a propagation round — and the edge set shrinks
+    monotonically toward a star forest, so later rounds get *cheaper*.
+    Convergence is detected exactly (count + set-difference emptiness), and
+    each round checkpoints to truncate lineage (reliable checkpoints when
+    ``checkpoint_dir`` is given, executor-local otherwise).
+    """
+    if checkpoint_dir:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda df: df.checkpoint()  # noqa: E731
+    else:
+        ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+
+    e = ckpt(
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    n_prev = e.count()
+    converged = False
+    for _ in range(max_iter):
+        e_new = ckpt(_small_star(_large_star(e)))
+        n_new = e_new.count()
+        # star-forest fixpoint: identical edge sets (exact — a checksum
+        # would be cheaper per round but this is a correctness gate)
+        if n_new == n_prev and e_new.exceptAll(e).isEmpty():
+            e = e_new
+            converged = True
+            break
+        e, n_prev = e_new, n_new
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star: no star-forest fixpoint within "
+            f"max_iter={max_iter} rounds — labels may span partial "
+            "components; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    roots = e.select("b").subtract(e.select(F.col("a").alias("b")))
+    return e.select(F.col("a").alias("doc_id"), F.col("b").alias("component")).union(
+        roots.select(F.col("b").alias("doc_id"), F.col("b").alias("component")).distinct()
+    )
 
 
 def canonical_docs(docs: DataFrame, components: DataFrame) -> DataFrame:

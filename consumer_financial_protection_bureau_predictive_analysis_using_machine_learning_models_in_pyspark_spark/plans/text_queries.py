@@ -664,3 +664,34 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return TX.pii_redact(aug)
+
+
+@register("dedup_minhash_fast", None, "dedup", "minhash", "xxhash64")
+def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of ``dedup_minhash_lsh``: identical pipeline, but the
+    shingle hash is JVM-native xxhash64 instead of md5-hex→conv (the md5
+    builder exists only so DuckDB can reproduce the arithmetic).  No SQL
+    oracle — DuckDB has no xxhash64; pytest asserts it finds exactly the
+    same duplicate pairs as the md5 path on the injected-duplicate corpus,
+    and bench measures the hash speedup on the same data.
+    """
+    return DD.minhash_dedup_pairs(
+        spark, _aug(spark, sf_dir), threshold=0.5, hash_fn="xxhash64"
+    )
+
+
+@register(
+    "dedup_components_star",
+    f"""
+{_COMPONENT_CTES}
+SELECT doc_id, component FROM comp
+""",
+    "dedup", "components", "large-star-small-star",
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate groups as ``dedup_components``, computed with the
+    alternating large-star/small-star algorithm (O(log² n) rounds — the
+    scale path for deep graphs) and checked against the identical
+    recursive-CTE oracle."""
+    pairs = DD.minhash_dedup_pairs(spark, _aug(spark, sf_dir), threshold=0.5)
+    return DD.connected_components_star(pairs)

@@ -356,3 +356,77 @@ def test_pii_redact_order_and_counts(spark):
     r = TX.pii_redact(df).collect()[0]
     assert (r["n_emails"], r["n_ssns"], r["n_phones"]) == (1, 1, 1)
     assert r["redacted"] == "mail <EMAIL> ssn <SSN> call <PHONE> plain 12-34"
+
+
+def test_minhash_fast_path_matches_md5_pairs(spark):
+    """xxhash64 and md5 shingle hashing must agree on which pairs are
+    duplicates (Jaccard over hashed shingle sets is hash-invariant modulo
+    collisions; the injected corpus has exact duplicates, so band minima
+    collide identically)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.text_queries import (  # noqa: E501
+        _aug,
+    )
+
+    df = _aug(spark, SF_SMOKE)
+    md5_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_dedup_pairs(spark, df, threshold=0.5).collect()
+    }
+    fast_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_dedup_pairs(
+            spark, df, threshold=0.5, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert md5_pairs == fast_pairs and len(fast_pairs) > 0
+
+
+def test_star_components_match_label_propagation(spark):
+    """Large-star/small-star must produce exactly the label-propagation
+    components on shapes that stress it: a long chain (deep diameter), a
+    ring, touching components, and a pre-star graph."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+
+    graphs = {
+        "chain": [(i, i + 1) for i in range(40)],
+        "ring": [(i, (i + 1) % 10) for i in range(10)],
+        "two_comps": [(1, 2), (2, 3), (10, 11), (12, 11)],
+        "star_already": [(5, 1), (6, 1), (7, 1)],
+        "cross": [(100, 1), (100, 50), (50, 2), (2, 1), (99, 98)],
+    }
+    for name, edges in graphs.items():
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        # propagation needs O(diameter) rounds — give it enough (its
+        # default max_iter=20 silently under-converges on the 40-chain,
+        # which is exactly why the star variant exists)
+        want = {
+            (r.doc_id, r.component)
+            for r in DD.connected_components(pairs, max_iter=50).collect()
+        }
+        got = {
+            (r.doc_id, r.component)
+            for r in DD.connected_components_star(pairs).collect()
+        }
+        assert got == want, f"{name}: {sorted(got)} != {sorted(want)}"
+
+
+def test_star_components_chain_beats_max_iter(spark):
+    """A 60-hop chain converges for star rounds well inside max_iter=20 —
+    the regime where plain propagation (O(diameter)) would need 60."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in DD.connected_components_star(pairs, max_iter=10).collect()
+    }
+    assert got == {(i, 0) for i in range(61)}
