@@ -1,0 +1,75 @@
+"""CDC-style table maintenance: upsert merge and log compaction.
+
+A training-data pipeline is not write-once — crawls re-fetch pages, labels
+get corrected, and event logs arrive as append-only change streams.  These
+operators give the two batch primitives that workflow needs:
+
+- ``merge_upsert``: apply a (small) batch of upserts to a (huge) target —
+  the Delta/Iceberg MERGE semantics expressed as pure DataFrame ops.
+- ``compact_latest``: collapse an append-only change log to the newest row
+  per key — Kafka-style log compaction / CDC snapshot materialization.
+
+Both are shapes Catalyst executes well at 100 TB: the upsert path
+broadcast-anti-joins so the target table never shuffles; compaction is a
+single hash repartition by key with a per-partition sort (window
+``row_number``), no global ordering anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """UPSERT ``updates`` into ``target`` by ``key_cols``: matching keys are
+    replaced by the update row, new keys are inserted.
+
+    Implementation is anti-join + union — the MERGE formulation that scales:
+    with ``broadcast_updates=True`` (the CDC norm: a batch of changes is
+    tiny next to the table) the target performs a broadcast anti-join and
+    NEVER shuffles; only the update batch moves.  Set it False when the
+    update side is itself huge and a shuffled anti-join is the right plan.
+
+    Columns must match between target and updates (unionByName).  If
+    ``updates`` carries several rows per key, compact it first
+    (``compact_latest``) — MERGE semantics require one action per key.
+    """
+    keys = [F.col(c) for c in key_cols]
+    upd_keys = updates.select(*key_cols)
+    if broadcast_updates:
+        upd_keys = F.broadcast(upd_keys)
+    kept = target.join(upd_keys, list(key_cols), "left_anti")
+    return kept.unionByName(updates)
+
+
+def compact_latest(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Latest-wins log compaction: one row per key — the one with the
+    greatest ``order_col`` (ties broken by ``tiebreak_cols`` DESC, so the
+    result is deterministic even for equal versions).
+
+    One shuffle on the key columns; ``row_number`` needs only a
+    per-partition sort.  At 100 TB this is the standard CDC-snapshot
+    pattern — never a global orderBy.
+    """
+    order = [F.col(order_col).desc()] + [
+        F.col(c).desc() for c in tiebreak_cols
+    ]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -332,3 +332,128 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC-style maintenance: MERGE upsert, log compaction, grouping sets
+# ---------------------------------------------------------------------------
+
+_UPD_CTE = """
+upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 = 0
+)
+""".strip()
+
+
+@register(
+    "orders_merge_upsert",
+    f"""
+WITH {_UPD_CTE}
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(o_orderdate AS STRING) AS o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(o_orderdate AS STRING) AS o_orderdate, o_orderpriority
+FROM upd
+""",
+    "cdc", "merge", "anti-join",
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics on the orders table: a derived CDC batch (price
+    corrections for keys % 97, brand-new orders for keys % 101) is applied
+    via broadcast-anti-join + union — the target table never shuffles."""
+    from ..operators import merge as MG
+
+    o = _t(spark, sf_dir, "orders")
+    upd1 = o.filter(F.col("o_orderkey") % 97 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.col("o_totalprice") * 1.1,
+        }
+    )
+    upd2 = o.filter(F.col("o_orderkey") % 101 == 0).withColumns(
+        {
+            "o_orderkey": F.col("o_orderkey") + 10000000,
+            "o_orderstatus": F.lit("N"),
+        }
+    )
+    merged = MG.merge_upsert(o, upd1.unionByName(upd2), ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "events_compact_latest",
+    """
+SELECT event_id, CAST(ts AS STRING) AS ts, user_id, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+) sq WHERE rn = 1
+""",
+    "cdc", "compaction", "window",
+)
+def events_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-style log compaction: newest event per user (ties broken by
+    event_id) — one shuffle on the key, per-partition sort only."""
+    from ..operators import merge as MG
+
+    ev = _t(spark, sf_dir, "events")
+    return MG.compact_latest(
+        ev, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    ).select(
+        "event_id",
+        F.col("ts").cast("string").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "events_grouping_sets",
+    """
+SELECT event_type,
+       CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS STRING) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(event_type, day) AS BIGINT) AS gid
+FROM events
+GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+""",
+    "grouping-sets", "agg",
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (day×type detail, per-type subtotal, grand
+    total) in ONE aggregation pass — Spark expands the sets with a single
+    Expand node, so the input is scanned once, not three times.  gid
+    disambiguates subtotal NULLs from genuine NULL keys."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("string").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return ev.groupingSets(
+        [["event_type", "day"], ["event_type"], []],
+        "event_type",
+        "day",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("double").alias("sum_value"),
+        F.grouping_id().alias("gid"),
+    )

@@ -430,3 +430,44 @@ def test_star_components_chain_beats_max_iter(spark):
         for r in DD.connected_components_star(pairs, max_iter=10).collect()
     }
     assert got == {(i, 0) for i in range(61)}
+
+
+def test_merge_upsert_semantics_and_broadcast_plan(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        merge as MG,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], "id long, val string"
+    )
+    out = MG.merge_upsert(target, updates, ["id"])
+    assert {(r.id, r.val) for r in out.collect()} == {
+        (1, "a"), (2, "B2"), (3, "c"), (9, "new"),
+    }
+    # the CDC contract: target side anti-joins against a BROADCAST of the
+    # update keys — no shuffle of the big table
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_compact_latest_breaks_ties_deterministically(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        merge as MG,
+    )
+
+    log = spark.createDataFrame(
+        [
+            ("u1", 10, 1, "first"),
+            ("u1", 20, 2, "latest"),
+            ("u2", 30, 3, "x"),
+            ("u2", 30, 4, "tie-wins"),   # equal version → higher seq wins
+        ],
+        "key string, version long, seq long, payload string",
+    )
+    out = MG.compact_latest(log, ["key"], "version", tiebreak_cols=["seq"])
+    assert {(r.key, r.payload) for r in out.collect()} == {
+        ("u1", "latest"), ("u2", "tie-wins"),
+    }
