@@ -49,14 +49,16 @@ _PRIORITY = [
     "sink_roundtrip_orders",
     "salted_lineitem_agg",
     "skewjoin_events_enrich",
-    # TPC-H shapes
+    # TPC-H shapes (q1 agg, q18 join+agg, q4 SEMI, q22 ANTI+scalar subquery)
     "q1_pricing_summary",
     "q18_large_volume_customers",
+    "q4_order_priority",
+    "q22_sales_opportunity",
     # relational extensions
     "events_sessionize",
     "events_asof_join",
     "events_interval_join",
-    "events_multires_rollup",
+    "events_grouping_sets",
     "events_value_quantiles",
     "events_heavy_hitters_cms",
     # text analysis + training-data pipeline
@@ -74,7 +76,6 @@ _PRIORITY = [
     # similarity / ANN / entity resolution
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "ann_cosine_topk_fast",
     "ann_ivf_topk",
     "er_fuzzy_part_match",
     # multimodal
@@ -97,9 +98,24 @@ _PRIORITY = [
     "ml_response_rf",
     "ml_feature_importances",
     "ml_timely_lr_tuned",
-    "ml_lda_topics",
     "ml_lda_topics_em",
     # ---- window boundary (~50) ----  overflow: operator covered by twin
+    "ml_lda_topics",                 # online-LDA twin of ml_lda_topics_em (reference shape in-window)
+    "ann_cosine_topk_fast",          # BLAS twin of oracle-checked ann_cosine_topk
+    "events_multires_rollup",        # Expand-family: events_grouping_sets; rollup: orders_rollup_by_date
+    "docs_repetition_stats",         # text family: docs_filter_chain/token_stats (oracle-green locally)
+    "docs_pii_redact",               # regexp map family: docs_decontaminate (oracle-green locally)
+    "orders_merge_upsert",           # anti-join+union: dedup_canonical_docs/q22 (oracle-green locally)
+    "events_compact_latest",         # keyed window: topk_companies_per_state (oracle-green locally)
+    "dedup_components_star",         # same oracle as in-window dedup_components, star rounds
+    "dedup_minhash_fast",            # xxhash64 twin of dedup_minhash_lsh (pytest pair-equality)
+    "q7_volume_shipping",            # multi-way star join: q5/q18 twins
+    "q8_market_share",               # star join + conditional ratio: q7/q14
+    "q10_returned_items",            # join+agg+top-k: q3/q18
+    "q13_customer_distribution",     # outer join + two-level agg: complaints_frequency_encode
+    "q14_promo_effect",              # conditional ratio: q8/complaints_binary_metrics
+    "q17_small_quantity_revenue",    # de-correlated scalar subquery: q22's broadcast threshold
+    "q19_disjunctive_revenue",       # disjunctive pushdown: q19-specific, covered by q1 scan family
     "q3_top_unshipped_orders",       # W2 order+limit: events_heavy_hitters_cms top-20; join+agg: q18
     "dedup_jaccard_blocked",         # blocked self-join: minhash verify path twin
     "complaints_class_distribution", # A2 count+orderBy: complaints_flagship
