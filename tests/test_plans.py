@@ -116,3 +116,62 @@ def test_multires_rollup_reuses_minute_partials(spark):
     df = CATALOG["events_multires_rollup"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2  # hour + day read the cache
+
+
+def test_q4_plans_left_semi_join(spark):
+    plan = _physical(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_plans_left_anti_join_with_broadcast_threshold(spark):
+    plan = _physical(spark, "q22_sales_opportunity")
+    assert "LeftAnti" in plan
+    # the scalar avg threshold joins in as a 1-row broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q7_dims_broadcast_fact_never_builds(spark):
+    plan = _physical(spark, "q7_volume_shipping")
+    # nation-filtered supplier/customer sides must broadcast; lineitem may
+    # only ever be a probe side (a shuffle of lineitem for a dim join is
+    # the classic 100TB plan bug)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q19_derives_partkey_pushdown(spark):
+    plan = _physical(spark, "q19_disjunctive_revenue")
+    # Catalyst must derive single-side implied filters from the disjunction
+    # and push brand/size membership into the part scan
+    scan_part = [
+        seg
+        for seg in plan.split("FileScan parquet")
+        if "/part.parquet" in seg.split("PushedFilters", 1)[0]
+    ]
+    assert scan_part, "no part scan found"
+    assert "PushedFilters: [" in scan_part[0]
+    pushed = scan_part[0].split("PushedFilters: [", 1)[1].split("ReadSchema", 1)[0]
+    assert "p_brand" in pushed or "p_size" in pushed, pushed
+
+
+def test_grouping_sets_single_expand_single_scan(spark):
+    plan = _physical(spark, "events_grouping_sets")
+    # one Expand node feeds all three grouping sets from one scan
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_merge_upsert_target_never_shuffles(spark):
+    plan = _physical(spark, "orders_merge_upsert")
+    # target anti-joins against broadcast update keys; the only exchanges
+    # allowed are for the (small) update batch union legs
+    anti_seg = plan.split("LeftAnti", 1)
+    assert len(anti_seg) == 2, "no anti join in merge plan"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_compact_latest_no_global_sort(spark):
+    plan = _physical(spark, "events_compact_latest")
+    # keyed window: partition-local Sort under a hash partitioning on
+    # user_id — a global range Sort would be the scale bug
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
