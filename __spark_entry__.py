@@ -40,42 +40,47 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # complaints reference-parity core
     "complaints_clean",
-    "complaints_frequency_encode",
     "complaints_flagship",
     "complaints_binary_metrics",
-    "complaints_confusion_pivot",
     # sources / sinks / skew
     "complaints_json_clean",
     "sink_roundtrip_orders",
     "salted_lineitem_agg",
     "skewjoin_events_enrich",
-    # TPC-H shapes (q1 agg, q18 join+agg, q4 SEMI, q22 ANTI+scalar subquery)
+    # TPC-H shapes: q1 agg, q18 join+agg, q4 SEMI, q22 ANTI+scalar subquery,
+    # q2 correlated-min, q11 global-threshold, q15 max-over-agg,
+    # q16 count-distinct+NOT-IN, q21 double-correlated EXISTS/NOT-EXISTS
     "q1_pricing_summary",
     "q18_large_volume_customers",
     "q4_order_priority",
     "q22_sales_opportunity",
-    # relational extensions
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q21_waiting_suppliers",
+    # relational / behavioral-analytics extensions
     "events_sessionize",
     "events_asof_join",
     "events_interval_join",
     "events_grouping_sets",
-    "events_value_quantiles",
     "events_heavy_hitters_cms",
+    "events_funnel",
+    "events_cohort_retention",
     # text analysis + training-data pipeline
     "docs_tfidf_keywords",
     "docs_filter_chain",
     "docs_decontaminate",
     "docs_pack_bins",
     "docs_chunk",
+    "docs_token_budget_sample",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_components",
     "dedup_embedding_cosine",
     "dedup_incremental",
     # similarity / ANN / entity resolution
     "ann_cosine_topk",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "er_fuzzy_part_match",
     # multimodal
@@ -89,17 +94,23 @@ _PRIORITY = [
     "stream_dedup_events",
     "stream_running_user_stats",
     "stream_click_purchase_join",
-    # sampling (rows-only; value checks in pytest)
-    "complaints_rebalance_8class",
     # ML pipelines (slowest — end of the window)
     "ml_timely_lr",
-    "ml_timely_svm",
     "ml_response_dt",
-    "ml_response_rf",
     "ml_feature_importances",
     "ml_timely_lr_tuned",
     "ml_lda_topics_em",
     # ---- window boundary (~50) ----  overflow: operator covered by twin
+    "complaints_frequency_encode",   # green r1; encode join shape in complaints_flagship
+    "complaints_confusion_pivot",    # green r1; metrics family: complaints_binary_metrics
+    "events_value_quantiles",        # green r1; exact+approx sketch twins pytest-checked
+    "ann_lsh_topk",                  # green r1; bucketed-ANN family: ann_ivf_topk in-window
+    "dedup_components",              # green r1; same oracle as dedup_components_star
+    "ml_timely_svm",                 # rows r1; fit family: ml_timely_lr in-window
+    "ml_response_rf",                # rows r1; tree family: ml_response_dt in-window
+    "complaints_rebalance_8class",   # rows r1; sampling value checks live in pytest
+    "q9_profit_by_nation",           # star profit rollup: q7/q8 join+agg twins
+    "q12_shipping_delay_class",      # CASE-conditional agg: q8/q14 twins
     "ml_lda_topics",                 # online-LDA twin of ml_lda_topics_em (reference shape in-window)
     "ann_cosine_topk_fast",          # BLAS twin of oracle-checked ann_cosine_topk
     "events_multires_rollup",        # Expand-family: events_grouping_sets; rollup: orders_rollup_by_date

@@ -28,6 +28,12 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation",
+    "q16_supplier_part_count",
+    "q21_waiting_suppliers",
+    "events_funnel",
+    "events_cohort_retention",
     "complaints_flagship",
     "complaints_class_distribution",
     "topk_companies_per_state",
@@ -52,6 +58,7 @@ BENCH_QUERIES = [
     "docs_chunk",
     "docs_filter_chain",
     "docs_repetition_stats",
+    "docs_token_budget_sample",
     "dedup_exact",
     "dedup_incremental",
     "dedup_minhash_lsh",

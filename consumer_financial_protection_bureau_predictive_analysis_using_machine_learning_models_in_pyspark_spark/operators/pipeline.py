@@ -257,3 +257,66 @@ def filter_chain(
     for _, pred in rules:
         keep = keep & pred
     return df.select(id_col, keep.alias("keep"), reason.alias("reason"))
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic token-budget corpus sampling: shuffle documents into a
+    pseudo-random order (md5 of the id — stable across engines and runs),
+    then keep the prefix whose cumulative whitespace-token count fits
+    ``budget``.  The standard "give me ~N tokens of held-out data" slice.
+
+    Scale posture: a naive ``SUM() OVER (ORDER BY rk)`` is a single-
+    partition global window — the classic scale-killer.  This runs the
+    distributed two-phase prefix sum instead:
+
+    1. bucket each row by its rank-key prefix (``n_buckets`` ordered
+       buckets), 2. aggregate per-bucket token totals (tiny: one row per
+       bucket), 3. broadcast the running bucket offsets back, 4. window
+       only WITHIN each bucket (partitioned — parallel), adding the
+       bucket's offset.  The only global ordering ever materialized is the
+       ``n_buckets``-row offset table.
+
+    Returns (id_col, n_tokens, cum_tokens) for the kept prefix.
+    """
+    rk = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col),
+        F.size(TF.tokens(text_col)).cast("bigint").alias("n_tokens"),
+        rk.alias("_rk"),
+        F.substring(rk, 1, 2).alias("_bucket"),
+    )
+    # Per-bucket totals -> exclusive running offset; n_buckets rows, so the
+    # global-order window here is over a trivially small frame.
+    offsets = (
+        base.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_bucket_tokens"))
+        .select(
+            "_bucket",
+            (
+                F.sum("_bucket_tokens").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("_bucket_tokens")
+            ).alias("_offset"),
+        )
+    )
+    within = Window.partitionBy("_bucket").orderBy("_rk", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        base.join(F.broadcast(offsets), "_bucket")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.sum("n_tokens").over(within) + F.col("_offset")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+    )

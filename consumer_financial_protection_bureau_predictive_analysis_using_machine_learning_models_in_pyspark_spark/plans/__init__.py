@@ -14,5 +14,7 @@ from . import streaming_queries  # noqa: F401
 from . import source_queries  # noqa: F401
 from . import pipeline_queries  # noqa: F401
 from . import tpch_ext  # noqa: F401
+from . import tpch_ext2  # noqa: F401
+from . import analytics_queries  # noqa: F401
 
 CATALOG = catalog.CATALOG
