@@ -54,7 +54,6 @@ _PRIORITY = [
     "q18_large_volume_customers",
     "q4_order_priority",
     "q22_sales_opportunity",
-    "q2_min_cost_supplier",
     "q11_important_parts",
     "q15_top_supplier",
     "q16_supplier_part_count",
@@ -67,6 +66,7 @@ _PRIORITY = [
     "events_heavy_hitters_cms",
     "events_funnel",
     "events_cohort_retention",
+    "events_gap_fill",
     # text analysis + training-data pipeline
     "docs_tfidf_keywords",
     "docs_filter_chain",
@@ -74,6 +74,7 @@ _PRIORITY = [
     "docs_pack_bins",
     "docs_chunk",
     "docs_token_budget_sample",
+    "docs_domain_mix",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -86,7 +87,6 @@ _PRIORITY = [
     # multimodal
     "media_meta_stats",
     "media_frame_sample",
-    "media_decode_features",
     # streaming
     "stream_windowed_counts",
     "stream_sliding_counts",
@@ -101,6 +101,11 @@ _PRIORITY = [
     "ml_timely_lr_tuned",
     "ml_lda_topics_em",
     # ---- window boundary (~50) ----  overflow: operator covered by twin
+    "q2_min_cost_supplier",          # correlated-min join-back: q15 max-over-agg + q17 scalar-subquery twins
+    "q20_potential_promotion",       # semi-join ladder: q4 SEMI + q15/q11 agg-threshold twins
+    "events_user_paths",             # lag window + agg: events_sessionize's lag family
+    "docs_shard_export",             # md5-hash partitioning: docs_domain_mix threshold twin
+    "media_decode_features",         # mapInPandas plumbing: media_frame_sample/meta_stats in-window
     "complaints_frequency_encode",   # green r1; encode join shape in complaints_flagship
     "complaints_confusion_pivot",    # green r1; metrics family: complaints_binary_metrics
     "events_value_quantiles",        # green r1; exact+approx sketch twins pytest-checked

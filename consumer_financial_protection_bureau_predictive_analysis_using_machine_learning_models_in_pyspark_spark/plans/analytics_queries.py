@@ -22,7 +22,7 @@ row-to-row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import pipeline as PL
@@ -180,3 +180,238 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     return PL.sample_token_budget(docs, _TOKEN_BUDGET).orderBy("doc_id")
+
+
+@register(
+    "events_user_paths",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+""",
+    "path-analysis", "window", "agg",
+)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event transition matrix: for each consecutive event pair within
+    a user's timeline, count (previous type → next type) transitions — the
+    input to Markov-chain user-path / attribution models.
+
+    One partitioned window (user_id shuffle, payload-free projection) feeds
+    a k²-row aggregate; nothing global is ever ordered.  (ts, event_id)
+    ordering makes the lag deterministic under same-timestamp events.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "events_gap_fill",
+    """
+WITH RECURSIVE b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+hours AS (
+  SELECT h0 AS h, h1 FROM b
+  UNION ALL
+  SELECT h + INTERVAL 1 HOUR, h1 FROM hours WHERE h < h1
+),
+grid AS (
+  SELECT t.event_type, hours.h FROM (SELECT DISTINCT event_type FROM events) t, hours
+),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_val
+  FROM events GROUP BY event_type, h
+)
+SELECT g.event_type, CAST(g.h AS STRING) AS hour,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+       last_value(a.avg_val IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_avg_value
+FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.h = g.h
+ORDER BY g.event_type, hour
+""",
+    "time-series", "gap-fill", "window",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: hourly event counts per type
+    over a COMPLETE hour grid (missing hours appear as 0) with the hourly
+    mean value forward-filled across gaps (LOCF).
+
+    Scale posture: the fact table is touched exactly once — one hourly
+    aggregate (narrow shuffle on (type, hour)).  The dense grid is built
+    from a 1-row bounds aggregate cross-joined with the tiny type dim via
+    ``sequence()``/``explode`` — rows × hours never involves the raw
+    events.  The LOCF window partitions by type, so no single-partition
+    global window exists; leading hours before a type's first observation
+    stay NULL on both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("_h0"),
+        F.date_trunc("hour", F.max("ts")).alias("_h1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("_h0"), F.col("_h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("_h"),
+    )
+    agg = ev.groupBy(
+        F.col("event_type").alias("_at"), F.date_trunc("hour", "ts").alias("_ah")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("_avg_val"),
+    )
+    locf = (
+        Window.partitionBy("event_type")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(
+            agg,
+            (F.col("_at") == F.col("event_type")) & (F.col("_ah") == F.col("_h")),
+            "left",
+        )
+        .select(
+            "event_type",
+            F.col("_h").cast("string").alias("hour"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("_avg_val", ignorenulls=True).over(locf).alias("locf_avg_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# Target mixture for the training-corpus domain-mix sampler: per-source keep
+# probabilities, applied via a deterministic md5-threshold so the "sample" is
+# a pure filter — reproducible across engines, runs, and partitionings.
+_MIX_WEIGHTS = {f"src{i}": w for i, w in zip(range(20), [1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.45, 0.4, 0.35, 0.3, 0.25, 0.2, 0.18, 0.15, 0.12, 0.1, 0.08, 0.06, 0.04, 0.02])}
+_MIX_DEFAULT = 0.05
+
+
+def _hex_threshold(w: float) -> str:
+    # Hex chars sort below 'g', so 'g' keeps everything (w >= 1).
+    return "g" if w >= 1.0 else format(int(w * 16**8), "08x")
+
+
+def _mix_case_sql() -> str:
+    arms = "\n".join(
+        f"    WHEN '{s}' THEN '{_hex_threshold(w)}'"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"CASE source\n{arms}\n    ELSE '{_hex_threshold(_MIX_DEFAULT)}' END"
+
+
+@register(
+    "docs_domain_mix",
+    f"""
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_mix_case_sql()}
+GROUP BY source
+ORDER BY source
+""",
+    "sampling", "mixing", "agg",
+)
+def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: each source keeps a target
+    fraction of its documents (down-weighting over-represented domains —
+    the standard pre-training mixture step), selected by comparing the
+    md5(doc_id) hex prefix against the per-source threshold.
+
+    A pure narrow filter — no shuffle, no RNG state, no sampleBy second
+    pass; the kept set is identical on any engine and any partitioning.
+    The per-source thresholds compile to a CASE over a 20-arm literal map
+    (broadcast-free: it is constant-folded into the scan predicate).
+    """
+    thr = F.lit(_hex_threshold(_MIX_DEFAULT))
+    for s, w in sorted(_MIX_WEIGHTS.items(), reverse=True):
+        thr = F.when(F.col("source") == s, F.lit(_hex_threshold(w))).otherwise(thr)
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thr)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "docs_shard_export",
+    f"""
+WITH sharded AS (
+  SELECT CAST(instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT)
+           AS shard_id,
+         n_chars
+  FROM documents
+)
+SELECT shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sharded
+GROUP BY shard_id
+ORDER BY shard_id
+""",
+    "sharding", "export", "agg",
+)
+def docs_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding: md5-hash each doc id into one
+    of {_N_SHARDS} shards and report per-shard document / byte balance —
+    the assignment a `partitionBy("shard_id")` training-data writer would
+    use, with the balance stats a pre-write skew check.
+
+    The shard id is engine-portable (hex-digit position, no bit tricks), a
+    pure projection with no shuffle until the {_N_SHARDS}-row aggregate.
+    """
+    shard = (
+        F.expr(
+            "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+        )
+    ).cast("int")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(shard.alias("shard_id"), "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("shard_id")
+    )

@@ -12,6 +12,7 @@ for supply cost; ship-delay buckets stand in for the missing ship modes):
 - q12  → CASE-conditional counts after a fact-fact equi-join
 - q15  → aggregate → global MAX → equality join (top-supplier view)
 - q16  → COUNT(DISTINCT) + NOT IN → broadcast ANTI join
+- q20  → nested IN-subquery chain → semi-join ladder
 - q21  → double-correlated EXISTS / NOT EXISTS → per-order aggregate rewrite
 
 Scale posture: the part-supplier bridge is built once per query as a
@@ -361,6 +362,83 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(14,2))) AS pair_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey AS t_partkey, SUM(pair_qty) AS part_qty FROM pq
+  GROUP BY l_partkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM pq JOIN tot ON t_partkey = l_partkey
+    WHERE pair_qty * 2 > part_qty
+  )
+ORDER BY s_name
+""",
+    "semi-join", "scalar-subquery", "agg",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding a MAJORITY share of
+    some standard part's 1997 shipped volume (the nested IN-subquery ladder;
+    pair-share-vs-part-total stands in for ps_availqty > 0.5·sum(qty)).
+
+    The IN chain de-correlates bottom-up: filtered part keys broadcast into
+    the fact scan (partition-pruned by the ship-date predicate), one narrow
+    (part, supp) aggregate feeds a per-part re-aggregate joined back, and
+    the qualifying supplier keys flow upward as a LEFT SEMI join — no
+    subquery is ever re-executed per outer row.  Decimal quantity sums keep
+    the 2×-share comparison exact on both engines.
+    """
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    pq = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("pair_qty"))
+    )
+    tot = pq.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("pair_qty").alias("part_qty")
+    )
+    winners = (
+        pq.join(tot, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("pair_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(winners, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
 
 

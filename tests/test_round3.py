@@ -111,3 +111,129 @@ def test_q15_ties_keep_all_max_suppliers(spark):
     assert len(rows) >= 1
     revs = {r.total_revenue for r in rows}
     assert len(revs) == 1  # every returned supplier hits the same max
+
+
+def test_gap_fill_dense_grid_and_locf(spark):
+    """Grid is types × hours dense; zero-count hours carry the previous
+    observed hourly average forward (LOCF), never a fresh value."""
+    df = catalog.CATALOG["events_gap_fill"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    n_hours = {t: len(v) for t, v in by_type.items()}
+    assert len(set(n_hours.values())) == 1  # every type spans the same grid
+    for t, seq in by_type.items():
+        seq.sort(key=lambda r: r.hour)
+        prev = None
+        for r in seq:
+            if r.n_events == 0 and prev is not None:
+                assert r.locf_avg_value == prev.locf_avg_value
+            prev = r
+
+
+def test_user_paths_totals_match_event_counts(spark):
+    """Sum of all transitions = total events - one first-event per user."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+
+    ev = readers.load_table(spark, SF_SMOKE, "events")
+    total = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    paths = catalog.CATALOG["events_user_paths"].fn(spark, SF_SMOKE)
+    n_trans = paths.agg(F.sum("n_transitions").alias("s")).collect()[0].s
+    assert n_trans == total - n_users
+
+
+def test_domain_mix_is_pure_filter_and_respects_weights(spark):
+    """Kept docs are a subset selected deterministically; a re-run keeps
+    exactly the same set, and high-weight sources keep >= low-weight ones
+    proportionally (statistically: src0 w=1.0 keeps everything)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        analytics_queries as AQ,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+
+    a = {
+        (r.source, r.n_kept)
+        for r in catalog.CATALOG["docs_domain_mix"].fn(spark, SF_SMOKE).collect()
+    }
+    b = {
+        (r.source, r.n_kept)
+        for r in catalog.CATALOG["docs_domain_mix"].fn(spark, SF_SMOKE).collect()
+    }
+    assert a == b and len(a) > 0
+    per_source = dict(a)
+    totals = {
+        r.source: r.n
+        for r in readers.load_table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_source.get("src0") == totals["src0"]  # w=1.0 keeps all
+    for s, kept in per_source.items():
+        assert kept <= totals[s]
+
+
+def test_shard_export_covers_all_docs_balanced(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+
+    df = catalog.CATALOG["docs_shard_export"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    total = readers.load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert all(0 <= r.shard_id < 16 for r in rows)
+    # md5 is uniform: no shard should be wildly off a 16-way split
+    assert max(r.n_docs for r in rows) <= 4 * max(1, total // 16)
+
+
+def test_q20_winners_hold_majority_share(spark):
+    """Every returned supplier must actually hold >50% of some standard
+    part's 1997 volume (recompute the share independently)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+
+    names = {
+        r.s_name
+        for r in catalog.CATALOG["q20_potential_promotion"].fn(spark, SF_SMOKE).collect()
+    }
+    li = readers.load_table(spark, SF_SMOKE, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = (
+        readers.load_table(spark, SF_SMOKE, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    pq = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    tot = pq.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("q").alias("tq"))
+    winners = (
+        pq.join(tot, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("q") * 2 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = readers.load_table(spark, SF_SMOKE, "supplier")
+    nation = readers.load_table(spark, SF_SMOKE, "nation").filter(
+        F.col("n_name") == "NATION_2"
+    )
+    expected = {
+        r.s_name
+        for r in supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(winners, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_name")
+        .collect()
+    }
+    assert names == expected
