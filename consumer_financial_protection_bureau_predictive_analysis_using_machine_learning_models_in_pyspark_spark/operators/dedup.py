@@ -449,13 +449,27 @@ def connected_components_star(
     )
 
 
-def canonical_docs(docs: DataFrame, components: DataFrame) -> DataFrame:
+def canonical_docs(
+    docs: DataFrame,
+    components: DataFrame,
+    max_broadcast_losers: int | None = 5_000_000,
+) -> DataFrame:
     """The deduplicated corpus: anti-join out every non-canonical member
     (component members with doc_id != component keep only their min-id
     representative; docs in no duplicate pair pass through untouched).
 
-    The anti side is tiny relative to the corpus (only duplicate-cluster
-    members), so Spark broadcasts it — the corpus itself never shuffles.
+    The anti side carries one id per duplicate-cluster member.  At benign
+    dup rates that is tiny relative to the corpus, and broadcasting it
+    means the corpus never shuffles.  But the "tiny" contract breaks on a
+    high-dup crawl: 30%+ duplicates over 100 TB is billions of loser ids,
+    and a *forced* broadcast hint overrides Spark's size limits and OOMs
+    (VERDICT r2 watch-item).  The hint is therefore conditional: applied
+    only when one cheap count over the narrow components frame proves the
+    loser set is under ``max_broadcast_losers`` rows; above the threshold
+    (or with ``max_broadcast_losers=None``) the join is left unhinted and
+    AQE picks broadcast vs shuffled-hash from the measured size.
     """
     losers = components.filter(F.col("doc_id") != F.col("component")).select("doc_id")
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    if max_broadcast_losers is not None and losers.count() <= max_broadcast_losers:
+        losers = F.broadcast(losers)
+    return docs.join(losers, "doc_id", "left_anti")

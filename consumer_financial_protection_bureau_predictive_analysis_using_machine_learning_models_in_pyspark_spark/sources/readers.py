@@ -32,16 +32,32 @@ _NS_TO_NTZ = (
 )
 
 
+_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff the parquet footer (metadata-only read) for the ts encoding.
+
+    Early driver datasets wrote ts as TIMESTAMP(NANOS) — which Spark's
+    reader rejects outright ([PARQUET_TYPE_ILLEGAL]) — while current ones
+    write plain TIMESTAMP(MICROS).  Detecting from the footer keeps one
+    loader working against both vintages with no session conf.
+    """
+    if path not in _EVENTS_TS_IS_NANOS:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(path).field("ts").type
+        _EVENTS_TS_IS_NANOS[path] = str(t) in ("int64", "timestamp[ns]")
+    return _EVENTS_TS_IS_NANOS[path]
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects outright ([PARQUET_TYPE_ILLEGAL]).  Reading ts as int64 via an
-    explicit schema sidesteps it with no session conf, so this works under
-    the correctness driver's stock session too."""
     from pyspark.sql import functions as F
 
-    raw = spark.read.schema(schemas.EVENTS_RAW_SCHEMA).parquet(
-        os.path.join(sf_dir, "events.parquet")
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    if not _events_ts_is_nanos(path):
+        return spark.read.parquet(path)
+    raw = spark.read.schema(schemas.EVENTS_RAW_SCHEMA).parquet(path)
     return raw.withColumn("ts", F.expr(_NS_TO_NTZ))
 
 

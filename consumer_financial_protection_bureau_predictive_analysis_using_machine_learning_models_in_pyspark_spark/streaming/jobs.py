@@ -67,25 +67,32 @@ def read_events_stream(
     stand-in for Kafka (same DataFrame surface; swap `format('kafka')` +
     from_json(value) in production).
 
-    Same TIMESTAMP(NANOS) workaround as sources.readers._load_events: read
-    ts as int64 and reconstruct TIMESTAMP_NTZ (Spark's parquet reader
-    rejects nanos outright).  The file source wants a DIRECTORY (it tails
-    new files), while the fixture is a single file — stage a symlink dir."""
+    Same ts-encoding sniff as sources.readers._load_events: legacy fixtures
+    store TIMESTAMP(NANOS) (read as int64 + reconstruct; Spark's reader
+    rejects nanos outright), current ones plain TIMESTAMP(MICROS).  The
+    file source wants a DIRECTORY (it tails new files), while the fixture
+    is a single file — stage a symlink dir."""
     import os
-    import tempfile
 
     from .. import schemas
-    from ..sources.readers import _NS_TO_NTZ
+    from ..sources.readers import _NS_TO_NTZ, _events_ts_is_nanos
 
     src = os.path.join(sf_dir, "events.parquet")
     stage = _staging_dir(src)
-    r = spark.readStream.schema(schemas.EVENTS_RAW_SCHEMA)
+    nanos = _events_ts_is_nanos(src)
+    batch_schema = (
+        schemas.EVENTS_RAW_SCHEMA
+        if nanos
+        else spark.read.parquet(src).schema  # file source needs an explicit schema
+    )
+    r = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:  # None = drain the source in one micro-batch
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = r.parquet(stage)
-    # watermarks require TIMESTAMP (LTZ) — cast the reconstructed NTZ
-    # (session tz is UTC in get_session, so the instant is unchanged)
-    return raw.withColumn("ts", F.expr(_NS_TO_NTZ).cast("timestamp"))
+    # watermarks require TIMESTAMP (LTZ) — cast (session tz is UTC in
+    # get_session, so the instant is unchanged)
+    ts = F.expr(_NS_TO_NTZ) if nanos else F.col("ts")
+    return raw.withColumn("ts", ts.cast("timestamp"))
 
 
 def windowed_counts(

@@ -141,3 +141,29 @@ def test_canonical_docs_keeps_min_and_untouched(spark):
     comps = DD.connected_components(pairs)
     kept = {r.doc_id for r in DD.canonical_docs(docs, comps).collect()}
     assert kept == {1, 10, 99}  # cluster reps + the doc in no pair
+
+
+def test_canonical_docs_non_broadcast_path(spark):
+    """VERDICT r2 item 2: above the loser-count threshold (or with the
+    threshold disabled) canonical_docs must emit an UNHINTED anti-join —
+    same answer, join strategy left to AQE instead of a forced broadcast
+    that would OOM on a high-dup crawl."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (
+        dedup as DD,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    comps = DD.connected_components(pairs)
+
+    for thresh in (0, None):  # 0 = loser count exceeds it; None = AQE always
+        out = DD.canonical_docs(docs, comps, max_broadcast_losers=thresh)
+        logical = out._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in logical
+        assert {r.doc_id for r in out.collect()} == {1, 10, 99}
+
+    # under the threshold the hint IS applied (the corpus must not shuffle)
+    hinted = DD.canonical_docs(docs, comps, max_broadcast_losers=10)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()

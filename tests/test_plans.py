@@ -170,6 +170,20 @@ def test_merge_upsert_target_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.parametrize("name", ["events_funnel", "events_cohort_retention"])
+def test_no_forced_broadcast_of_per_user_frames(spark, name):
+    """VERDICT r2 items 1-2: the per-user frames in the funnel and cohort
+    queries are O(all users) — a forced F.broadcast hint there overrides
+    Spark's size limits and OOMs at 100x.  The *logical* plan must carry no
+    broadcast hint at all (AQE may still choose a physical broadcast at
+    bench scale — that is correct and adaptive, not forced)."""
+    spark.catalog.clearCache()
+    df = CATALOG[name].fn(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, f"forced join hint in {name}:\n{logical}"
+    assert "UnresolvedHint" not in logical
+
+
 def test_compact_latest_no_global_sort(spark):
     plan = _physical(spark, "events_compact_latest")
     # keyed window: partition-local Sort under a hash partitioning on
