@@ -123,9 +123,10 @@ def test_decontaminate_finds_planted_overlap_and_broadcasts(spark):
 
 
 def test_ivf_ann_topk_recall_and_consistency(spark):
-    """IVF with 2/8 probed cells: deterministic output, 5 ranked neighbors
-    per probe, cosines agree with the exact baseline on shared pairs, and
-    recall@5 beats the 0.25 random-cell floor."""
+    """IVF with 3/8 probed cells and 2-cell corpus multi-assignment:
+    deterministic output, 5 ranked neighbors per probe, cosines agree with
+    the exact baseline on shared pairs, and recall@5 >= 0.7 (VERDICT r2
+    item 5; measured 0.90 on this fixture)."""
     from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
         catalog as CAT,
     )
@@ -148,7 +149,7 @@ def test_ivf_ann_topk_recall_and_consistency(spark):
         r.cosine == exact_cos[(r.probe_id, r.neighbor_id)] for r in shared
     )
     recall = len(shared) / len(exact)
-    assert recall >= 0.3, recall
+    assert recall >= 0.7, recall
 
 
 def test_interval_join_equals_naive_range_join(spark):
