@@ -42,17 +42,27 @@ from pyspark.ml.tuning import CrossValidator, ParamGridBuilder, TrainValidationS
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Estimator seeds are pinned explicitly: PySpark's default seed is
+# hash(class name), and Python salts str hashes PER PROCESS — an unpinned
+# RandomForest (whose fit draws per-node feature subsets from the seed)
+# trains a different forest in every interpreter.  The reference scripts
+# never set model seeds; pinning them is a deliberate divergence so the
+# golden quality metrics (tests/test_golden_ml.py) are reproducible.
 BINARY_MODELS = {
     "lr": lambda: LogisticRegression(featuresCol="features", labelCol="label"),
     "svm": lambda: LinearSVC(
         featuresCol="features", labelCol="label", maxIter=10, regParam=0.1
     ),
-    "gbt": lambda: GBTClassifier(featuresCol="features", labelCol="label"),
+    "gbt": lambda: GBTClassifier(featuresCol="features", labelCol="label", seed=42),
 }
 
 MULTICLASS_MODELS = {
-    "dt": lambda: DecisionTreeClassifier(featuresCol="features", labelCol="label"),
-    "rf": lambda: RandomForestClassifier(featuresCol="features", labelCol="label"),
+    "dt": lambda: DecisionTreeClassifier(
+        featuresCol="features", labelCol="label", seed=42
+    ),
+    "rf": lambda: RandomForestClassifier(
+        featuresCol="features", labelCol="label", seed=42
+    ),
 }
 
 
