@@ -184,6 +184,50 @@ def test_no_forced_broadcast_of_per_user_frames(spark, name):
     assert "UnresolvedHint" not in logical
 
 
+def test_bucketed_store_removes_exchange_for_keyed_stages(spark, tmp_path):
+    """SURVEY §4.3's concrete 100-TB layout story (VERDICT r2 item 7):
+    events written bucketed by user_id (sorted by user_id, ts) satisfy the
+    hash distribution every user_id-keyed stage requires, so sessionize's
+    window chain and the cohort-style per-user aggregate read straight off
+    the buckets — ZERO Exchange in the executed plan, and the bucket sort
+    also covers the window's (user_id, ts) ordering."""
+    from pyspark.sql import Window, functions as F
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+        sinks,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.streaming import (  # noqa: E501
+        windows as SW,
+    )
+
+    ev = readers.load_table(spark, SF, "events").select("user_id", "ts", "value")
+    table = "events_bucketed_plan_demo"
+    sinks.write_bucketed(
+        ev, table, bucket_by=["user_id"], num_buckets=8, sort_by=["user_id", "ts"]
+    )
+    try:
+        bt = spark.table(table)
+
+        # sessionize: lag + running-sum windows over (user_id, ts)
+        sess = SW.session_stats(bt, "ts", ["user_id"], gap_seconds=600)
+        plan = sess._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+
+        # cohort-style per-user aggregate (first-activity frame)
+        first = bt.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+        plan = first._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+        # the unbucketed baseline DOES shuffle — the bucketing is what
+        # removed it, not plan luck
+        base = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+        assert "Exchange" in base._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_compact_latest_no_global_sort(spark):
     plan = _physical(spark, "events_compact_latest")
     # keyed window: partition-local Sort under a hash partitioning on

@@ -102,6 +102,59 @@ def test_dedup_within_watermark(spark, events_batch, tmp_path):
     assert out.groupBy("event_id").count().filter("count > 1").count() == 0
 
 
+def test_checkpoint_recovery_exactly_once(spark, events_batch, tmp_path):
+    """Crash-resume exactly-once (VERDICT r2 item 6): a foreachBatch sink
+    crashes AFTER writing a micro-batch but BEFORE the offset commit — the
+    worst-case partial-failure point.  Restarting from the same checkpoint
+    replays that batch; the dynamic-partition-overwrite sink replaces its
+    own _batch_id partition instead of appending, so the recovered output
+    equals the source exactly: nothing lost, nothing duplicated."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events_batch.repartition(4).write.parquet(src)
+    total = events_batch.count()
+
+    crash_armed = {"armed": True}
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+        if batch_id == 1 and crash_armed["armed"]:
+            crash_armed["armed"] = False
+            raise RuntimeError("injected crash: batch written, offset not committed")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(events_batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        drain()
+    # batch 1's files exist in the sink but its offset never committed
+    drain()  # resume: replays batch 1 (overwriting its partition), then 2-3
+
+    got = spark.read.parquet(out)
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
+
+
 def test_running_user_stats_state(spark, events_stream, events_batch):
     out = _drain(
         spark, SJ.running_user_stats(events_stream), "t_runstats", mode="update"
