@@ -169,6 +169,12 @@ _PRIORITY = [
     "docs_language_id",              # text family: docs_token_stats etc.
     "docs_fingerprints",             # text family: docs_token_stats etc.
     "dedup_simhash",                 # dedup family: minhash/jaccard twins
+    # r3 breadth pack (oracle-green locally; window candidates for r4)
+    "orders_status_pivot",           # pivot = conditional agg: q8/q14 conditional-ratio twins
+    "lineitem_unpivot",              # unpivot Expand: events_grouping_sets Expand family
+    "docs_stratified_sample",        # hash-rank quota: topk_companies_per_state window family
+    "docs_unigram_logprob",          # explode+agg+broadcast join: docs_tfidf_keywords
+    "ann_range_search",              # threshold variant of in-window ann_cosine_topk
 ]
 
 

@@ -68,6 +68,13 @@ BENCH_QUERIES = [
     "dedup_components",
     "ann_cosine_topk",
     "ann_cosine_topk_fast",
+    "ann_ivf_topk",
+    "ann_range_search",
+    # round-3 breadth: reshape + deterministic sampling + LM scoring
+    "orders_status_pivot",
+    "lineitem_unpivot",
+    "docs_stratified_sample",
+    "docs_unigram_logprob",
     # multimodal + streaming
     "media_meta_stats",
     "media_decode_features",

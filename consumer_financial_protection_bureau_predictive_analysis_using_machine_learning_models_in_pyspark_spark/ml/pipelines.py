@@ -219,6 +219,59 @@ def multiclass_metrics(predictions: DataFrame) -> dict[str, float]:
     }
 
 
+# ---------------------------------------------------------------------------
+# M22 convenience transformers — the reference imports these but never
+# executes them (company_response_RF.py:32-39 dead imports).  Exposed as
+# thin parameterized builders so a user porting a reference-style workflow
+# that DOES use them finds the engine-native path.
+# ---------------------------------------------------------------------------
+
+
+def one_hot_stages(cat_cols: list[str]) -> list:
+    """StringIndexer + OneHotEncoder per categorical, fused multi-column
+    (one counting pass; one encoder).  Output cols ``{c}_onehot``.
+
+    The engine's own pipelines deliberately use frequency encoding instead
+    (reference README.md:21 — 7,000-value `company` one-hot is a 7,000-wide
+    sparse vector); this builder exists for workflows that want the
+    classic encoding anyway.
+    """
+    from pyspark.ml.feature import OneHotEncoder
+
+    return [
+        StringIndexer(
+            inputCols=cat_cols,
+            outputCols=[f"{c}_index" for c in cat_cols],
+            handleInvalid="keep",
+            stringOrderType="frequencyDesc",
+        ),
+        OneHotEncoder(
+            inputCols=[f"{c}_index" for c in cat_cols],
+            outputCols=[f"{c}_onehot" for c in cat_cols],
+        ),
+    ]
+
+
+def predictions_with_labels(
+    model: PipelineModel,
+    predictions: DataFrame,
+    label_indexer_stage: int = 1,
+    out_col: str = "predicted_label",
+) -> DataFrame:
+    """IndexToString over the fitted label indexer: map numeric
+    ``prediction`` back to the original label string — positionally safe,
+    because the mapping comes from the FITTED indexer's labels (the
+    reference instead hand-maintains a class_names table whose order
+    silently diverges from StringIndexer's frequencyDesc order,
+    decision_tree_final_class_8.py:360-369)."""
+    from pyspark.ml.feature import IndexToString
+
+    labels = model.stages[label_indexer_stage].labelsArray[0]
+    return IndexToString(
+        inputCol="prediction", outputCol=out_col, labels=list(labels)
+    ).transform(predictions)
+
+
 def feature_importances(model: PipelineModel, feature_cols: list[str]) -> DataFrame:
     """featureImportances → tidy DataFrame (reference collects to pandas and
     sorts driver-side, decision_tree_final_class_8.py:291-307)."""

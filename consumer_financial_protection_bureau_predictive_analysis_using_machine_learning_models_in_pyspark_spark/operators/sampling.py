@@ -73,6 +73,41 @@ def rebalance_to_target(
     return out
 
 
+def stratified_quota_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group quota sampling: rank each group's rows by a
+    uniform hash of their id and keep the first ``quota``.
+
+    Unlike ``sampleBy`` (per-partition Bernoulli over arrival order, so
+    membership shifts with cluster layout and emits a binomial approximate
+    count), this selection is a pure function of the data: reproducible
+    across runs, partitionings, and engines (the DuckDB oracle replays it
+    exactly), and each group yields EXACTLY min(quota, |group|) rows — the
+    contract a training-data mixture spec needs.  ``salt`` re-draws the
+    sample without touching the data.
+
+    Scale: one ``row_number`` window partitioned by the group key — a hash
+    shuffle on the group plus a partition-local sort, no global sort.  For
+    quotas ≪ group sizes at extreme scale, a pre-filter on the hash value
+    (keep ~2× quota/|group| quantile) would bound the sort input; not
+    needed at driver scale.
+    """
+    from pyspark.sql import Window
+
+    rk = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(rk, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
 def train_test_split(
     df: DataFrame, weights: list[float] | None = None, seed: int = 42
 ) -> list[DataFrame]:

@@ -79,6 +79,49 @@ def cosine_topk(
     )
 
 
+def cosine_range_search(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range query: every (probe, neighbor) pair with cosine >= threshold —
+    the retrieval primitive top-k cannot express (callers that need "all
+    sufficiently similar", e.g. near-dup audit or recall-complete eval
+    sets, not a fixed count).
+
+    Same scale shape as ``cosine_topk``: probes broadcast, one pass over
+    the corpus, and — unlike top-k — no window at all: the threshold
+    filter is a map-side predicate, so the only shuffle is the final
+    result collection.  Decimal-exact compare makes the boundary
+    deterministic across engines.
+    Returns (probe_id, neighbor_id, cosine).
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    th = F.lit(threshold).cast("decimal(30,15)")
+    return (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            dot_decimal(F.col("probe_vec"), F.col("vec")).alias("dot_dec"),
+        )
+        .filter(F.col("dot_dec") >= th)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(F.col("dot_dec").cast("double"), 6).alias("cosine"),
+        )
+    )
+
+
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id: sign pattern of `n_planes`
     deterministic pseudo-random hyperplanes.

@@ -171,6 +171,63 @@ def repetition_stats(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus unigram-LM score per document: mean ln P(token) under the
+    corpus's own unigram distribution — the cheap perplexity proxy used to
+    quality-rank documents before training (a real LM scorer, e.g. KenLM,
+    slots in as a Pandas UDF behind the same signature; this native
+    version IS the production fallback, not a stub).
+
+    Shape: explode once → per-(doc, term) counts (map-side combine absorbs
+    repeats, so the shuffle carries distinct pairs, never raw length) →
+    global term frequencies (vocab-sized — broadcast-joined back) → exact
+    decimal fold of tf·ln(p).  ln is rounded to 9 decimals before the
+    decimal cast so both engines' libm (≤1 ulp apart) agree bit-for-bit.
+    Returns (doc_id, n_tokens, mean_logprob).
+    """
+    toks = df.select(id_col, F.explode(TF.tokens(text_col)).alias("_tok"))
+    doc_tf = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_total"))
+    logp = (
+        vocab.crossJoin(F.broadcast(total))  # 1-row scalar: free at any scale
+        .select(
+            "_tok",
+            F.round(
+                F.log(F.col("_cnt").cast("double") / F.col("_total")), 9
+            )
+            .cast("decimal(20,9)")
+            .alias("_logp"),
+        )
+    )
+    return (
+        doc_tf.join(F.broadcast(logp), "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_tokens"),
+            # tf must be a NARROW decimal before the multiply: bigint
+            # promotes to decimal(20,0), and (20,0)x(20,9) exceeds Spark's
+            # 38-digit cap, which silently cuts the product's scale to 6.
+            # (10,0)x(20,9) -> (31,9) keeps the fold exact.
+            # The exact decimal sum is the oracle-checkable value: a
+            # rounded MEAN can land exactly on a round-half boundary
+            # (sum/2^k divisions preserve it), where engines' half-up vs
+            # half-even tie-breaks disagree at the last emitted digit.
+            F.sum(F.col("_tf").cast("decimal(10,0)") * F.col("_logp"))
+            .cast("decimal(30,9)")
+            .alias("sum_logprob"),
+            F.round(
+                F.sum(F.col("_tf").cast("decimal(10,0)") * F.col("_logp"))
+                .cast("double")
+                / F.sum("_tf").cast("double"),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 # PII patterns — shared by the Spark operator and the DuckDB oracle; kept to
 # RE2 ∩ java.util.regex syntax (character classes + bounded repeats only, no
 # backrefs/lookarounds) so both engines match identically.

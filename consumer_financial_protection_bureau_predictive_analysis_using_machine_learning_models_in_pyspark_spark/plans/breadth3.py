@@ -1,0 +1,178 @@
+"""Round-3 breadth pack: reshape (pivot / unpivot), deterministic
+stratified quota sampling, corpus-LM document scoring, and cosine range
+search — operator families the catalog lacked, each oracle-checked.
+
+Registered after the curated driver window (overflow region of
+``__spark_entry__._PRIORITY``); correctness comes from the strict local
+drive + pytest until a future window rotation gives them driver rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import reshape, sampling, similarity as SIM, text as TX
+from .catalog import _t, register
+from .text_queries import _ANN_DOT, _D_TOKS
+
+
+@register(
+    "orders_status_pivot",
+    """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                  FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE) AS rev_f
+FROM orders
+GROUP BY order_month
+ORDER BY order_month
+""",
+    "reshape", "pivot", "agg",
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order counts pivoted wide by status (+ one pivoted revenue
+    column).  Pivot values are enumerated up front (operators.reshape
+    contract): one partial+final hash aggregate, no distinct-scan job, and
+    a stable output width whatever appears upstream."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    wide = reshape.pivot_agg(
+        o,
+        ["order_month"],
+        "o_orderstatus",
+        ["F", "O", "P"],
+        F.struct(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"),
+        ),
+    )
+    return wide.select(
+        "order_month",
+        F.coalesce(F.col("F.n"), F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce(F.col("O.n"), F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce(F.col("P.n"), F.lit(0)).cast("bigint").alias("n_p"),
+        F.round(F.col("F.rev"), 2).cast("double").alias("rev_f"),
+    ).orderBy("order_month")
+
+
+@register(
+    "lineitem_unpivot",
+    """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         CAST(l_quantity AS DOUBLE) AS value
+  FROM lineitem WHERE l_orderkey % 97 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey % 97 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+  FROM lineitem WHERE l_orderkey % 97 = 0
+) u
+ORDER BY l_orderkey, l_linenumber, measure
+""",
+    "reshape", "unpivot", "melt",
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt three lineitem measures into long (measure, value) rows via
+    Spark-native unpivot — a single map-side Expand over one scan (the
+    oracle's 3-way UNION ALL shape, without the three scans)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    return reshape.unpivot(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    ).orderBy("l_orderkey", "l_linenumber", "measure")
+
+
+@register(
+    "docs_stratified_sample",
+    """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) s WHERE rk <= 10
+ORDER BY source, doc_id
+""",
+    "sampling", "stratified", "deterministic",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota sample (10 docs per source): hash-rank
+    selection is a pure function of the data — exact quota per group and
+    reproducible across engines (the oracle replays it), unlike Bernoulli
+    sampleBy."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_quota_sample(docs, "source", quota=10, id_col="doc_id")
+    return out.select("doc_id", "source").orderBy("source", "doc_id")
+
+
+@register(
+    "docs_unigram_logprob",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t
+),
+vocab AS (
+  SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t
+),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+lp AS (
+  SELECT t, CAST(ROUND(ln(CAST(cnt AS DOUBLE) / total), 9)
+                 AS DECIMAL(20,9)) AS logp
+  FROM vocab, tot
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * lp.logp) AS DECIMAL(30,9)) AS sum_logprob
+FROM tf JOIN lp ON tf.t = lp.t
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+""",
+    "text", "lm", "quality",
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram-LM perplexity proxy per document (operators.text
+    .unigram_logprob): exact decimal fold of tf·ln(p).  The oracle checks
+    the exact decimal sum; the derived rounded mean is dropped here
+    because a mean can land on a round-half boundary where engines'
+    tie-break conventions legitimately differ."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.unigram_logprob(docs).select(
+        "doc_id", "n_tokens", "sum_logprob"
+    ).orderBy("doc_id")
+
+
+@register(
+    "ann_range_search",
+    f"""
+WITH pairs AS ({_ANN_DOT})
+SELECT probe_id, neighbor_id,
+       ROUND(CAST(dot_dec AS DOUBLE), 6) AS cosine
+FROM pairs
+WHERE dot_dec >= CAST(0.35 AS DECIMAL(30,15))
+ORDER BY probe_id, neighbor_id
+""",
+    "similarity", "range-search", "bruteforce",
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All neighbors with cosine >= 0.35 for probes vec_id < 10 — the
+    recall-complete retrieval primitive top-k cannot express.  Map-side
+    threshold filter; decimal-exact boundary."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.cosine_range_search(
+        emb, emb.filter(F.col("vec_id") < 10), threshold=0.35
+    )
+    return out.orderBy("probe_id", "neighbor_id")

@@ -172,3 +172,28 @@ def test_lda_em_optimizer_parity_path(spark):
     assert {r.topic for r in rows} == {0, 1, 2}
     assert all(r.weight > 0 for r in rows)
     assert doc_topics.count() == 100
+
+
+def test_one_hot_stages_and_index_to_string(spark):
+    """M22 convenience transformers (reference dead imports at
+    company_response_RF.py:32-39, here functional): one-hot width ==
+    cardinality (+1 keep-slot), and IndexToString round-trips the fitted
+    label indexer's mapping positionally-safely."""
+    from pyspark.ml import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("a", "y"), ("c", "y"), ("a", "x")],
+        "cat string, label_str string",
+    )
+    stages = ML.one_hot_stages(["cat"]) + [
+        __import__("pyspark.ml.feature", fromlist=["StringIndexer"]).StringIndexer(
+            inputCol="label_str", outputCol="label", stringOrderType="frequencyDesc"
+        ),
+    ]
+    model = Pipeline(stages=stages).fit(df)
+    out = model.transform(df)
+    row = out.select("cat_onehot").first()[0]
+    assert row.size == 3  # 3 distinct values; keep-slot dropped by default(last cat)
+    preds = out.withColumn("prediction", F.col("label"))
+    back = ML.predictions_with_labels(model, preds, label_indexer_stage=2)
+    assert back.filter(F.col("predicted_label") != F.col("label_str")).count() == 0

@@ -237,3 +237,93 @@ def test_q20_winners_hold_majority_share(spark):
         .collect()
     }
     assert names == expected
+
+
+# --- round-3 breadth pack: reshape / stratified sample / LM score / range ---
+
+
+def test_unpivot_is_single_scan_expand(spark):
+    """unpivot must plan as one scan + one Expand (map-side fan-out), not
+    the oracle's three scans + union."""
+    df = catalog.CATALOG["lineitem_unpivot"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_pivot_is_single_aggregate_no_extra_job(spark):
+    """pivot_agg with enumerated values: one scan, partial+final hash agg,
+    and no distinct-collect job for the pivot column."""
+    df = catalog.CATALOG["orders_status_pivot"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_stratified_quota_sample_exact_quotas_and_determinism(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        sampling,
+    )
+
+    docs = _docs(spark)
+    out = sampling.stratified_quota_sample(docs, "source", quota=5, id_col="doc_id")
+    sizes = {r["source"]: r["n"] for r in
+             out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {s: min(5, n) for s, n in full.items()}
+    # pure function of the data: identical membership on a re-run and on a
+    # different partitioning
+    a = {tuple(r) for r in out.select("doc_id").collect()}
+    b = {
+        tuple(r)
+        for r in sampling.stratified_quota_sample(
+            docs.repartition(13), "source", quota=5, id_col="doc_id"
+        ).select("doc_id").collect()
+    }
+    assert a == b
+    # salt re-draws: different membership, same quotas
+    c = {
+        tuple(r)
+        for r in sampling.stratified_quota_sample(
+            docs, "source", quota=5, id_col="doc_id", salt="redraw"
+        ).select("doc_id").collect()
+    }
+    assert c != a and len(c) == len(a)
+
+
+def test_unigram_logprob_matches_handcomputed(spark):
+    import math
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        text as TX,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # corpus: a=2, b=2, c=1, total=5
+    got = {r.doc_id: (r.n_tokens, float(r.mean_logprob))
+           for r in TX.unigram_logprob(docs).collect()}
+    lp = {t: round(math.log(c / 5), 9) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    want1 = round((2 * lp["a"] + lp["b"]) / 3, 6)
+    want2 = round((lp["b"] + lp["c"]) / 2, 6)
+    assert got[1] == (3, want1)
+    assert got[2] == (2, want2)
+
+
+def test_range_search_consistent_with_topk(spark):
+    """Every top-k hit scoring >= threshold must appear in the range result
+    with the identical decimal-rounded cosine (shared scoring core)."""
+    topk = catalog.CATALOG["ann_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    rng = {
+        (r.probe_id, r.neighbor_id): r.cosine
+        for r in catalog.CATALOG["ann_range_search"].fn(spark, SF_SMOKE).collect()
+    }
+    overlap = [r for r in topk if r.cosine >= 0.35]
+    assert overlap, "fixture should have top-k hits above the range threshold"
+    for r in overlap:
+        assert rng[(r.probe_id, r.neighbor_id)] == r.cosine
+    # and nothing below threshold leaks in
+    assert all(c >= 0.35 for c in rng.values())
