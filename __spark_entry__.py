@@ -175,6 +175,8 @@ _PRIORITY = [
     "docs_stratified_sample",        # hash-rank quota: topk_companies_per_state window family
     "docs_unigram_logprob",          # explode+agg+broadcast join: docs_tfidf_keywords
     "ann_range_search",              # threshold variant of in-window ann_cosine_topk
+    "orders_scd2",                   # SCD2 intervals: events_compact_latest keyed-window family
+    "docs_boilerplate_spans",        # span-level dedup: docs_decontaminate gram-join family
 ]
 
 

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "lineitem_unpivot",
     "docs_stratified_sample",
     "docs_unigram_logprob",
+    "docs_boilerplate_spans",
+    "orders_scd2",
     # multimodal + streaming
     "media_meta_stats",
     "media_decode_features",

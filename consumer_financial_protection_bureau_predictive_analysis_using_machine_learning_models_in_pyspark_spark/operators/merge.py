@@ -50,6 +50,43 @@ def merge_upsert(
     return kept.unionByName(updates)
 
 
+def scd2_history(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    state_cols: Sequence[str],
+    order_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an append-only change
+    log: one row per (key, state) INTERVAL with ``valid_from`` /
+    ``valid_to`` / ``is_current`` — the third CDC primitive next to
+    ``merge_upsert`` (apply) and ``compact_latest`` (snapshot).
+
+    Consecutive rows with an unchanged state collapse into one interval
+    (only genuine changes open a new version); ``valid_to`` is the next
+    change's ``order_col`` (NULL = open interval, ``is_current`` true).
+
+    Two windows over the SAME (key, order) partitioning — Catalyst plans
+    one shuffle + one partition-local sort and reuses them for both —
+    never a global sort.  Ties on ``order_col`` are broken by
+    ``tiebreak_cols`` ASC so versioning is deterministic.
+    """
+    order = [F.col(order_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    changed = F.lit(False)
+    for c in state_cols:
+        prev = F.lag(F.col(c)).over(w)
+        changed = changed | ~(prev.eqNullSafe(F.col(c)))
+    changed = changed | F.row_number().over(w).eqNullSafe(1)
+    versions = log.withColumn("_chg", changed).filter(F.col("_chg")).drop("_chg")
+    w2 = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        versions.withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.lead(F.col(order_col)).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def compact_latest(
     log: DataFrame,
     key_cols: Sequence[str],

@@ -320,3 +320,59 @@ def sample_token_budget(
         )
         .filter(F.col("cum_tokens") <= F.lit(int(budget)))
     )
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-span detection: the fraction of each
+    document made of word n-grams that appear in >= ``min_docs`` DISTINCT
+    documents — the template/boilerplate signal (nav bars, license
+    headers, scraper artifacts) that span-level dedup removes where
+    doc-level dedup cannot (each page is unique, its furniture is not).
+
+    Shape: distinct n-gram shingles per doc (in-row array expressions) →
+    explode to (gram, doc) pairs → gram document-frequency aggregate (the
+    shuffle carries distinct pairs only, never text) → semi-join the
+    boilerplate grams back and count per doc.  Same scan shape as
+    ``decontaminate``, with the corpus itself as the reference set.
+
+    Returns (doc_id, n_grams, n_boilerplate, boilerplate_fraction); docs
+    shorter than ``n`` tokens have 0 grams and fraction 0.0.
+    """
+    grams = docs.select(
+        id_col, F.explode_outer(TF.shingles(TF.tokens(text_col), n)).alias("_g")
+    )
+    gram_df = (
+        grams.filter(F.col("_g").isNotNull())
+        .groupBy("_g")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+    )
+    bp = gram_df.filter(F.col("_df") >= min_docs).select("_g")
+    per_doc = grams.join(bp, "_g", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_boilerplate")
+    )
+    totals = grams.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_g").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_grams")
+    )
+    return (
+        totals.join(per_doc, id_col, "left")
+        .na.fill({"n_boilerplate": 0})
+        .select(
+            id_col,
+            "n_grams",
+            F.col("n_boilerplate").cast("bigint").alias("n_boilerplate"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_boilerplate") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boilerplate_fraction"),
+        )
+    )

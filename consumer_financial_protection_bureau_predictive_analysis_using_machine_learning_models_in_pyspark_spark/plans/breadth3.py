@@ -176,3 +176,114 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), threshold=0.35
     )
     return out.orderBy("probe_id", "neighbor_id")
+
+
+@register(
+    "orders_scd2",
+    """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         LAG(o_orderstatus) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev
+  FROM orders
+),
+versions AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM ordered WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey, o_orderstatus,
+       CAST(o_orderdate AS VARCHAR) AS valid_from,
+       CAST(LEAD(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS VARCHAR) AS valid_to,
+       LEAD(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL AS is_current
+FROM versions
+ORDER BY o_custkey, valid_from
+""",
+    "cdc", "scd2", "window",
+)
+def orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each customer's order status
+    (operators.merge.scd2_history): consecutive unchanged states collapse;
+    valid_from/valid_to intervals; one keyed shuffle, no global sort."""
+    from ..operators import merge as MG
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    hist = MG.scd2_history(
+        o,
+        key_cols=["o_custkey"],
+        state_cols=["o_orderstatus"],
+        order_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    ).orderBy("o_custkey", "valid_from")
+
+
+# Explicit half-up rounding (floor(x*1e6 + 0.5)/1e6) on BOTH sides: a
+# fraction like 1/128 is an exact 7-decimal midpoint where Spark's
+# HALF_UP and DuckDB's ROUND disagree at the last digit; the explicit
+# formula is the same sequence of correctly-rounded double ops in any
+# engine.
+@register(
+    "docs_boilerplate_spans",
+    f"""
+WITH tok AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]
+                     || ' ' || toks[j+3] || ' ' || toks[j+4]))) AS g
+  FROM tok WHERE len(toks) >= 5
+),
+gdf AS (SELECT g, COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY g),
+bp AS (SELECT g FROM gdf WHERE d >= 2),
+per AS (
+  SELECT grams.doc_id, COUNT(*) AS n_bp
+  FROM grams JOIN bp ON grams.g = bp.g GROUP BY grams.doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_bp, 0) AS BIGINT) AS n_boilerplate,
+       CASE WHEN COALESCE(t.n_grams, 0) > 0
+            THEN FLOOR(CAST(COALESCE(p.n_bp, 0) AS DOUBLE) / t.n_grams
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS boilerplate_fraction
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN per p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+""",
+    "text", "boilerplate", "span-dedup",
+)
+def docs_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-gram span detection
+    (operators.pipeline.boilerplate_spans): per-doc fraction of shingles
+    shared with >= 2 documents — the span-level dedup signal."""
+    from ..operators import pipeline as PL
+
+    docs = _t(spark, sf_dir, "documents")
+    out = PL.boilerplate_spans(docs, n=5, min_docs=2)
+    return out.withColumn(
+        "boilerplate_fraction",
+        F.when(
+            F.col("n_grams") > 0,
+            F.floor(
+                F.col("n_boilerplate") / F.col("n_grams") * 1_000_000 + 0.5
+            )
+            / 1_000_000,
+        ).otherwise(F.lit(0.0)),
+    ).orderBy("doc_id")

@@ -327,3 +327,57 @@ def test_range_search_consistent_with_topk(spark):
         assert rng[(r.probe_id, r.neighbor_id)] == r.cosine
     # and nothing below threshold leaks in
     assert all(c >= 0.35 for c in rng.values())
+
+
+def test_scd2_history_collapses_and_versions(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        merge as MG,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, "new", 10, 100),
+            (1, "new", 20, 101),   # unchanged -> collapses into the first
+            (1, "paid", 30, 102),
+            (1, "new", 40, 103),   # back to a previous state = new version
+            (2, "new", 10, 104),
+        ],
+        "cust long, status string, ts long, oid long",
+    )
+    hist = MG.scd2_history(
+        log, ["cust"], ["status"], "ts", tiebreak_cols=["oid"]
+    )
+    rows = sorted(
+        (r.cust, r.status, r.valid_from, r.valid_to, r.is_current)
+        for r in hist.collect()
+    )
+    assert rows == [
+        (1, "new", 10, 30, False),
+        (1, "new", 40, None, True),
+        (1, "paid", 30, 40, False),
+        (2, "new", 10, None, True),
+    ]
+
+
+def test_boilerplate_spans_handcase(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        pipeline as PL,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x1 y1"),   # shares "a b c d e" with doc 2
+            (2, "z a b c d e"),
+            (3, "p q r s t"),         # unique 5-gram
+            (4, "too short"),         # < 5 tokens -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_boilerplate, r.boilerplate_fraction)
+        for r in PL.boilerplate_spans(docs, n=5, min_docs=2).collect()
+    }
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
