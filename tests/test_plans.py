@@ -233,3 +233,53 @@ def test_compact_latest_no_global_sort(spark):
     # keyed window: partition-local Sort under a hash partitioning on
     # user_id — a global range Sort would be the scale bug
     assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_scd2_single_exchange_window_reuse(spark):
+    """Both SCD2 windows share one (key, order) partitioning: exactly one
+    Exchange on o_custkey in the whole plan, no range partitioning (the
+    final orderBy is the query-level presentation sort, planned AFTER the
+    windows; the operator itself adds none)."""
+    plan = _physical(spark, "orders_scd2")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the only range partitioning is the query-level presentation sort
+    # (printed ABOVE the windows); the operator itself adds none
+    assert plan.count("Exchange rangepartitioning") <= 1, plan
+
+
+def test_boilerplate_spans_no_cartesian_text_never_shuffles(spark):
+    plan = _physical(spark, "docs_boilerplate_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the gram-df shuffle must carry (gram, doc) pairs, never document text
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.splitlines()[0]
+        assert "text" not in head, head
+
+
+def test_date_partitioned_store_prunes_partitions(spark, tmp_path):
+    """SURVEY §4.3's other layout lever: a date-partitioned events store
+    serves the dominant time filter via partition PRUNING — the scan reads
+    only the matching day directories (PartitionFilters present, pruned
+    count visible in the plan)."""
+    from pyspark.sql import functions as F
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+        sinks,
+    )
+
+    ev = readers.load_table(spark, SF, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    out = str(tmp_path / "events_by_date")
+    sinks.write_parquet(ev, out, partition_by=["event_date"])
+
+    one_day = ev.select("event_date").distinct().orderBy("event_date").first()[0]
+    q = spark.read.parquet(out).filter(F.col("event_date") == F.lit(one_day))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_date" in pf, plan
+    # correctness: pruned read equals the filtered full scan
+    assert q.count() == ev.filter(F.col("event_date") == F.lit(one_day)).count()
