@@ -283,3 +283,20 @@ def test_date_partitioned_store_prunes_partitions(spark, tmp_path):
     assert "event_date" in pf, plan
     # correctness: pruned read equals the filtered full scan
     assert q.count() == ev.filter(F.col("event_date") == F.lit(one_day)).count()
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
+    """The AQE half of the 100-TB story: with adaptive execution on (the
+    session default), a small shuffle's 8 static partitions coalesce at
+    runtime — the final plan carries AQEShuffleRead(coalesced)."""
+    from pyspark.sql import functions as F
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+
+    ev = readers.load_table(spark, SF, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    agg.collect()  # AQE re-plans during execution
+    final = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final and "coalesced" in final, final
