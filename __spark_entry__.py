@@ -177,6 +177,8 @@ _PRIORITY = [
     "ann_range_search",              # threshold variant of in-window ann_cosine_topk
     "orders_scd2",                   # SCD2 intervals: events_compact_latest keyed-window family
     "docs_boilerplate_spans",        # span-level dedup: docs_decontaminate gram-join family
+    "orders_rfm_segments",           # NTILE over small agg: topk/running-window family
+    "events_rolling_mean_dev",       # ROWS-frame decimal fold: orders_running_total family
 ]
 
 

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "docs_unigram_logprob",
     "docs_boilerplate_spans",
     "orders_scd2",
+    "orders_rfm_segments",
+    "events_rolling_mean_dev",
     # multimodal + streaming
     "media_meta_stats",
     "media_decode_features",

@@ -287,3 +287,107 @@ def docs_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000,
         ).otherwise(F.lit(0.0)),
     ).orderBy("doc_id")
+
+
+@register(
+    "orders_rfm_segments",
+    """
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(MAX(o_orderdate) AS VARCHAR) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, last_order, frequency, monetary,
+       CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER) AS r_quartile,
+       CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_quartile,
+       CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_quartile
+FROM rfm
+ORDER BY o_custkey
+""",
+    "analytics", "rfm", "ntile", "window",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary per customer,
+    quartiled with NTILE over a deterministic total order (value DESC,
+    custkey tiebreak — equal values cannot flip buckets between runs).
+
+    Scale: one hash aggregate over orders, then three NTILE windows over
+    the CUSTOMER-cardinality frame (not the order fact).  A global NTILE
+    is a range sort of the small aggregate — acceptable because the frame
+    is one row per customer; quartiling the raw fact would be the bug.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").cast("string").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    def q(col):
+        return F.ntile(4).over(
+            Window.orderBy(F.col(col).desc(), F.col("o_custkey"))
+        ).cast("int")
+    return rfm.select(
+        "o_custkey", "last_order", "frequency", "monetary",
+        q("last_order").alias("r_quartile"),
+        q("frequency").alias("f_quartile"),
+        q("monetary").alias("m_quartile"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "events_rolling_mean_dev",
+    """
+WITH w AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+         ) AS DOUBLE) AS win_sum,
+         COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+         ) AS win_n
+  FROM events
+)
+SELECT user_id, CAST(ts AS VARCHAR) AS ts, value,
+       FLOOR(win_sum / win_n * 1000000 + 0.5) / 1000000 AS rolling_mean,
+       FLOOR((value - win_sum / win_n) * 1000000 + 0.5) / 1000000 AS deviation
+FROM w
+ORDER BY user_id, ts
+""",
+    "analytics", "rolling", "window",
+)
+def events_rolling_mean_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-event mean and deviation per user — the windowed-frame
+    stats primitive behind anomaly flags and smoothing.  The frame sum is
+    an exact decimal fold (order-independent); mean/deviation use the
+    explicit half-up rounding formula, so both engines emit identical
+    doubles.  One keyed shuffle + partition-local sort; ROWS frames keep
+    state bounded at 10 rows per user regardless of history length.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    win_sum = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    win_n = F.count(F.lit(1)).over(w)
+    mean = win_sum / win_n
+    return ev.select(
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        "value",
+        (F.floor(mean * 1_000_000 + 0.5) / 1_000_000).alias("rolling_mean"),
+        (F.floor((F.col("value") - mean) * 1_000_000 + 0.5) / 1_000_000).alias(
+            "deviation"
+        ),
+    ).orderBy("user_id", "ts")
