@@ -179,6 +179,8 @@ _PRIORITY = [
     "docs_boilerplate_spans",        # span-level dedup: docs_decontaminate gram-join family
     "orders_rfm_segments",           # NTILE over small agg: topk/running-window family
     "events_rolling_mean_dev",       # ROWS-frame decimal fold: orders_running_total family
+    "events_value_histogram",        # fixed-width buckets: events_value_quantiles family
+    "stream_minute_rollup",          # rows-only; == batch rollup pinned in pytest
 ]
 
 

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "orders_scd2",
     "orders_rfm_segments",
     "events_rolling_mean_dev",
+    "events_value_histogram",
     # multimodal + streaming
     "media_meta_stats",
     "media_decode_features",

@@ -391,3 +391,84 @@ def events_rolling_mean_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deviation"
         ),
     ).orderBy("user_id", "ts")
+
+
+@register(
+    "events_value_histogram",
+    """
+SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+       FLOOR(value / 25.0) * 25.0 AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY bucket, bucket_lo
+ORDER BY bucket
+""",
+    "analytics", "histogram", "agg",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (25-unit buckets): the one-pass
+    distribution profile a pipeline runs before choosing filters.  Bucket
+    assignment is a pure projection (floor of a double divide — identical
+    in any engine); one partial+final hash aggregate, output rows bounded
+    by the bucket count, never the data."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 25.0)
+    return (
+        ev.groupBy(
+            b.cast("bigint").alias("bucket"),
+            (b * 25.0).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ROLLUP_DIRS: dict[str, str] = {}
+
+
+@register("stream_minute_rollup", None, "streaming", "continuous-aggregate")
+def stream_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming continuous-aggregate maintenance loop end-to-end
+    (streaming.jobs.run_streaming_rollup → read_rollup): drain the events
+    stream with availableNow, write idempotent per-batch minute partials
+    under _batch_id partitions, then merge-on-read.  Rows-only: the
+    equality with the batch rollup is pinned in tests/test_pipeline_ops
+    (exact count-sum merge under the decimal fold); the driver row proves
+    the full write-path runs under a vanilla session.
+
+    The work dir is memoized per sf_dir and cleaned at exit (repeated
+    calls resume the checkpoint: an already-drained source adds no
+    batches and the rollup re-reads the same partials)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs as SJ
+
+    work = _ROLLUP_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_rollup_")
+        if not _ROLLUP_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _ROLLUP_DIRS.values()
+                ]
+            )
+        _ROLLUP_DIRS[sf_dir] = work
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    stream = SJ.read_events_stream(spark, sf_dir)
+    SJ.run_streaming_rollup(stream, out, ckpt, level="minute")
+    rollup = SJ.read_rollup(spark, out)
+    return rollup.select(
+        F.col("bucket_start").cast("string").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("bucket_start", "event_type")
