@@ -181,6 +181,8 @@ _PRIORITY = [
     "events_rolling_mean_dev",       # ROWS-frame decimal fold: orders_running_total family
     "events_value_histogram",        # fixed-width buckets: events_value_quantiles family
     "stream_minute_rollup",          # rows-only; == batch rollup pinned in pytest
+    "docs_weighted_sample",          # hash-uniform Bernoulli: docs_stratified_sample family
+    "customer_halves_full_outer",    # FULL OUTER: q13 outer-join family
 ]
 
 

@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "orders_rfm_segments",
     "events_rolling_mean_dev",
     "events_value_histogram",
+    "docs_weighted_sample",
+    "customer_halves_full_outer",
     # multimodal + streaming
     "media_meta_stats",
     "media_decode_features",

@@ -472,3 +472,90 @@ def stream_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
     ).orderBy("bucket_start", "event_type")
+
+
+@register(
+    "docs_weighted_sample",
+    """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+           / POWER(16, 13) AS unif,
+         LEAST(1.0, n_chars / 400.0) AS w
+  FROM documents
+)
+SELECT doc_id, n_chars FROM u WHERE unif < w
+ORDER BY doc_id
+""",
+    "sampling", "weighted", "deterministic",
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each doc with
+    probability proportional to a quality weight (here length-saturating
+    n_chars/400), decided by a uniform hash of the id — the importance-
+    sampling step of corpus mixture building, reproducible across engines
+    and partitionings (rand() is neither).  13 hex chars = 52 bits, exact
+    in a double, so unif and the comparison are bit-identical anywhere.
+    Pure map-side projection + filter: zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    unif = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint") / F.lit(float(16 ** 13))
+    w = F.least(F.lit(1.0), F.col("n_chars") / 400.0)
+    return (
+        docs.filter(unif < w)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "customer_halves_full_outer",
+    """
+WITH h1 AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_h1
+  FROM orders WHERE month(o_orderdate) <= 6 GROUP BY o_custkey
+),
+h2 AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_h2
+  FROM orders WHERE month(o_orderdate) > 6 GROUP BY o_custkey
+)
+SELECT COALESCE(h1.o_custkey, h2.o_custkey) AS o_custkey,
+       COALESCE(n_h1, 0) AS n_h1,
+       COALESCE(n_h2, 0) AS n_h2,
+       (h1.o_custkey IS NOT NULL AND h2.o_custkey IS NOT NULL) AS active_both
+FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+ORDER BY o_custkey
+""",
+    "relational", "full-outer", "join",
+)
+def customer_halves_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage (the one join type the catalog lacked):
+    customers active in each calendar half-year, null-completed on both
+    sides.  Both inputs are per-customer aggregates of the same scan, so
+    the join is co-partitioned on o_custkey — one shuffle each side, and
+    AQE picks the hash strategy."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.month("o_orderdate")
+    h1 = (
+        o.filter(m <= 6)
+        .groupBy(F.col("o_custkey").alias("_k1"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_h1"))
+    )
+    h2 = (
+        o.filter(m > 6)
+        .groupBy(F.col("o_custkey").alias("_k2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_h2"))
+    )
+    return (
+        h1.join(h2, F.col("_k1") == F.col("_k2"), "full_outer")
+        .select(
+            F.coalesce(F.col("_k1"), F.col("_k2")).alias("o_custkey"),
+            F.coalesce("n_h1", F.lit(0)).alias("n_h1"),
+            F.coalesce("n_h2", F.lit(0)).alias("n_h2"),
+            (F.col("_k1").isNotNull() & F.col("_k2").isNotNull()).alias(
+                "active_both"
+            ),
+        )
+        .orderBy("o_custkey")
+    )
