@@ -183,6 +183,8 @@ _PRIORITY = [
     "stream_minute_rollup",          # rows-only; == batch rollup pinned in pytest
     "docs_weighted_sample",          # hash-uniform Bernoulli: docs_stratified_sample family
     "customer_halves_full_outer",    # FULL OUTER: q13 outer-join family
+    "events_active_users",           # stack Expand + distinct agg: grouping-sets family
+    "complaints_monthly_trend",      # lag over monthly agg: orders_running_total family
 ]
 
 

@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "events_value_histogram",
     "docs_weighted_sample",
     "customer_halves_full_outer",
+    "events_active_users",
+    "complaints_monthly_trend",
     # multimodal + streaming
     "media_meta_stats",
     "media_decode_features",

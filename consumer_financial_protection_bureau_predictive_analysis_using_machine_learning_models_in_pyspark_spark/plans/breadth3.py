@@ -559,3 +559,104 @@ def customer_halves_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "events_active_users",
+    """
+WITH lv AS (
+  SELECT 'day' AS granularity, CAST(date_trunc('day', ts) AS VARCHAR) AS bucket, user_id FROM events
+  UNION ALL
+  SELECT 'week', CAST(date_trunc('week', ts) AS VARCHAR), user_id FROM events
+  UNION ALL
+  SELECT 'month', CAST(date_trunc('month', ts) AS VARCHAR), user_id FROM events
+)
+SELECT granularity, bucket,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM lv
+GROUP BY granularity, bucket
+ORDER BY granularity, bucket
+""",
+    "analytics", "active-users", "distinct",
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU in ONE job: each event fans out to its three
+    granularity buckets via an in-row stack (a map-side Expand — the
+    oracle's 3-way UNION ALL shape without the three scans), then one
+    distinct-count aggregate keyed on (granularity, bucket).  One scan,
+    one shuffle carrying (granularity, bucket, user_id) triples.  At
+    100 TB swap the exact distinct for approx_count_distinct (the HLL
+    sketch twin pattern of events_value_quantiles)."""
+    ev = _t(spark, sf_dir, "events")
+    # CAST to DATE before STRING: DuckDB's date_trunc('day'/'week'/'month')
+    # returns DATE while Spark's returns TIMESTAMP — the date cast makes
+    # both engines print "YYYY-MM-DD"
+    lv = ev.select(
+        F.expr(
+            "stack(3,"
+            " 'day',   CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING),"
+            " 'week',  CAST(CAST(date_trunc('week', ts) AS DATE) AS STRING),"
+            " 'month', CAST(CAST(date_trunc('month', ts) AS DATE) AS STRING)"
+            ") AS (granularity, bucket)"
+        ),
+        "user_id",
+    )
+    return (
+        lv.groupBy("granularity", "bucket")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+        .orderBy("granularity", "bucket")
+    )
+
+
+from ..sources import fixtures
+from .catalog import _CLEANED_CTE, _cleaned
+
+
+@register(
+    "complaints_monthly_trend",
+    fixtures.complaints_cte(
+        """
+SELECT month, n,
+       LAG(n) OVER (ORDER BY month) AS prev_n,
+       FLOOR(CAST(n - LAG(n) OVER (ORDER BY month) AS DOUBLE)
+             / LAG(n) OVER (ORDER BY month) * 1000000 + 0.5) / 1000000
+         AS mom_change
+FROM monthly
+ORDER BY month
+""",
+        {
+            "cleaned": _CLEANED_CTE,
+            "monthly": """
+SELECT CAST(CAST(date_trunc('month', CAST(date_received AS DATE)) AS DATE)
+            AS VARCHAR) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM cleaned GROUP BY month
+""".strip(),
+        },
+    ),
+    "complaints", "trend", "window",
+)
+def complaints_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly complaint volume with month-over-month change — the trend
+    report a CFPB analyst runs first.  The window runs over the
+    MONTH-cardinality aggregate (never the raw complaints); explicit
+    half-up rounding keeps the ratio engine-identical."""
+    from pyspark.sql import Window
+
+    df = _cleaned(spark, sf_dir)
+    monthly = df.groupBy(
+        F.date_trunc("month", F.col("date_received").cast("date"))
+        .cast("date")
+        .cast("string")
+        .alias("month")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    prev = F.lag("n").over(Window.orderBy("month"))
+    return monthly.select(
+        "month",
+        "n",
+        prev.alias("prev_n"),
+        (
+            F.floor((F.col("n") - prev).cast("double") / prev * 1_000_000 + 0.5)
+            / 1_000_000
+        ).alias("mom_change"),
+    ).orderBy("month")
