@@ -143,8 +143,11 @@ LIMIT 10
 def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → two joins → agg → top-k.
 
-    The customer side is filtered then broadcast (small); lineitem⋈orders is
-    the only real shuffle.  Revenue is exact-decimal so the top-10 cut is
+    The customer side is filtered then broadcast (small, selective
+    BUILDING-segment dim).  Orders is only date-filtered — at TPC-H date
+    ranges that keeps ~95% of the fact table, so it carries NO broadcast
+    hint: lineitem⋈orders is a plain keyed shuffle join and AQE is free to
+    re-plan it at runtime.  Revenue is exact-decimal so the top-10 cut is
     deterministic; ties broken by orderkey.
     """
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -158,7 +161,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(1 - l_discount AS DECIMAL(8,4))"
     )
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))

@@ -368,6 +368,12 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q17: broadcast the per-part aggregate only when the filtered PART dim
+# (an exact upper bound on the aggregate's row count) is provably small.
+# Patchable in tests to prove the gate actually disables the hint.
+Q17_BROADCAST_MAX_PARTS = 2_000_000
+
+
 @register(
     "q17_small_quantity_revenue",
     """
@@ -394,7 +400,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten as a per-part aggregate joined back — the standard Spark
     de-correlation — and the comparison is folded to exact integers/
     decimals (qty × 5 × cnt < sum_qty) so both engines agree bit-for-bit.
-    The per-part agg of the filtered brand's parts broadcasts.
+
+    The per-part agg has one row per brand-filtered part — linear in
+    scale factor, so a *forced* broadcast would eventually OOM the
+    driver.  Its broadcast hint is therefore conditional (the
+    canonical_docs pattern, operators/dedup.py): one cheap count of the
+    filtered PART dim — which exactly bounds the aggregate's cardinality
+    without touching lineitem — gates the hint; above the threshold the
+    join-back is left unhinted and AQE co-partitions both sides on
+    partkey (picking broadcast itself if the runtime size allows).
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
@@ -406,9 +420,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("a_partkey"))
         .agg(F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt"))
     )
+    # |per_part| <= |filtered part| (one row per part seen in lineitem);
+    # counting the narrow dim is a pushdown scan, not a lineitem pass.
+    if part.count() <= Q17_BROADCAST_MAX_PARTS:
+        per_part = F.broadcast(per_part)
     small = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(per_part), F.col("a_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("a_partkey") == F.col("l_partkey"))
         .filter(qty * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
     )
     return small.agg(

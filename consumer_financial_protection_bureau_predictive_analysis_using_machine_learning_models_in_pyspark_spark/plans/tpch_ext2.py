@@ -78,8 +78,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back — one extra narrow shuffle instead of a re-executed
     subquery per part.  The filtered part dim (~1% of parts) broadcasts
     into both the bridge scan and the min-agg, so only matching pairs are
-    ever aggregated.  Ties on the min keep every qualifying supplier
-    (TPC-H semantics); the full ORDER BY makes LIMIT deterministic.
+    ever aggregated.  The per-part min aggregate carries NO broadcast
+    hint: its cardinality is linear in scale factor (one row per filtered
+    part), and both sides of the join-back are already keyed on partkey,
+    so AQE co-partitions them (and may still choose broadcast at small
+    SF).  Ties on the min keep every qualifying supplier (TPC-H
+    semantics); the full ORDER BY makes LIMIT deterministic.
     """
     part = (
         _t(spark, sf_dir, "part")
@@ -100,7 +104,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(bal).alias("_min_bal")
     )
     return (
-        pairs.join(F.broadcast(min_bal), F.col("_pk") == F.col("p_partkey"))
+        pairs.join(min_bal, F.col("_pk") == F.col("p_partkey"))
         .filter(bal == F.col("_min_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey")
         .orderBy(

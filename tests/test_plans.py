@@ -300,3 +300,101 @@ def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
     agg.collect()  # AQE re-plans during execution
     final = agg._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in final and "coalesced" in final, final
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 items 1-2: general "no forced hint on fact-derived frames"
+# sweep over the whole TPC-H pack.  A forced F.broadcast on a frame whose
+# cardinality is linear in scale factor (a filtered fact scan, or a
+# grouped aggregate over a fact) overrides Spark's size limits and OOMs
+# the driver at 100x.  Legitimate hints are (a) dim-only subtrees,
+# (b) 1-row global-aggregate scalars (crossJoin scalar pattern), and
+# (c) explicitly-allowlisted frames whose boundedness is enforced by a
+# runtime gate or an extreme-selectivity HAVING cut.
+# ---------------------------------------------------------------------------
+
+_FACT_LEAF_COLS = {"l_orderkey", "o_orderkey"}  # lineitem / orders scans
+
+# name -> why a fact-derived broadcast hint is acceptable there
+_HINT_ALLOWLIST = {
+    # per-part agg hint is gated at runtime by a count of the filtered
+    # PART dim (exact bound on the agg's cardinality); the gate itself is
+    # proven by test_q17_broadcast_gate_disables_hint below.
+    "q17_small_quantity_revenue": "runtime count-gated (Q17_BROADCAST_MAX_PARTS)",
+    # HAVING sum(qty) > 300 keeps ~1e-5 of orders (TPC-H spec selectivity);
+    # the hinted key-set is a few MB even at SF 100k.
+    "q18_large_volume_customers": "HAVING-cut key set, ~1e-5 selectivity",
+}
+
+
+def _jwalk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _jwalk(ch.apply(i))
+
+
+def _subtree_has_fact_leaf(node) -> bool:
+    for n in _jwalk(node):
+        if n.children().size() == 0:
+            out = n.output()
+            names = {out.apply(i).name() for i in range(out.size())}
+            if names & _FACT_LEAF_COLS:
+                return True
+    return False
+
+
+def _is_bounded_scalar(node) -> bool:
+    """Hint child chains through unary ops to a GLOBAL aggregate (no
+    grouping exprs) -> the broadcast side is exactly one row."""
+    n = node
+    while n.children().size() == 1 and n.nodeName() != "Aggregate":
+        n = n.children().apply(0)
+    return n.nodeName() == "Aggregate" and n.groupingExpressions().isEmpty()
+
+
+def _fact_hint_violations(df):
+    plan = df._jdf.queryExecution().analyzed()
+    bad = []
+    for n in _jwalk(plan):
+        if n.nodeName() != "ResolvedHint":
+            continue
+        child = n.children().apply(0)
+        if _subtree_has_fact_leaf(child) and not _is_bounded_scalar(child):
+            bad.append(child.toString().splitlines()[0])
+    return bad
+
+
+def test_no_forced_hint_on_fact_derived_frames(spark):
+    tpch = sorted(n for n in CATALOG if n.startswith("q") and n[1].isdigit())
+    assert len(tpch) >= 20, tpch
+    spark.catalog.clearCache()
+    offenders = {}
+    for name in tpch:
+        bad = _fact_hint_violations(CATALOG[name].fn(spark, SF))
+        if bad and name not in _HINT_ALLOWLIST:
+            offenders[name] = bad
+    assert not offenders, (
+        "forced broadcast hint on a fact-derived (scale-linear) frame; "
+        f"either drop the hint or gate it at runtime: {offenders}"
+    )
+
+
+def test_q17_broadcast_gate_disables_hint(spark, monkeypatch):
+    """The q17 allowlist entry is honest: drive the gate threshold to 0
+    and the per-part hint must disappear from the logical plan (red on
+    the pre-r4 unconditional-broadcast code)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        tpch_ext,
+    )
+
+    spark.catalog.clearCache()
+    monkeypatch.setattr(tpch_ext, "Q17_BROADCAST_MAX_PARTS", 0)
+    gated = _fact_hint_violations(CATALOG["q17_small_quantity_revenue"].fn(spark, SF))
+    assert not gated, f"hint survived a 0 threshold: {gated}"
+
+    monkeypatch.setattr(tpch_ext, "Q17_BROADCAST_MAX_PARTS", 2_000_000)
+    open_gate = _fact_hint_violations(
+        CATALOG["q17_small_quantity_revenue"].fn(spark, SF)
+    )
+    assert open_gate, "gate never applies the hint even when provably small"
