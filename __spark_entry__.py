@@ -38,62 +38,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # overflow slots hold near-twin queries whose operators are already covered
 # by an in-window sibling (each overflow entry names its covering twin).
 #
-# ROTATION (r3): the window rotates round-over-round so every proven query
-# eventually earns a driver row.  This round swaps in the 10 TPC-H shapes
-# that had never been driver-checked (q2, q3, q5, q7-q10, q13, q17, q20 —
-# all 92/92 strict-local-oracle green in r2) and rotates out 10 r2
-# driver-green entries whose operator families stay represented in-window
-# (each names its covering twin in the overflow comments below).
+# ROTATION (r4): the window rotates round-over-round so every proven query
+# eventually earns a driver row.  This round swaps in the 15-query r3
+# breadth pack (never driver-checked, all strict-local-oracle green in r3)
+# and rotates out 15 r3 driver-green entries whose operator families stay
+# represented in-window (each names its covering twin in the overflow
+# comments below).  q2/q3/q17 stay in-window deliberately: their broadcast
+# strategy changed this round (VERDICT r3 items 1-2) and the fix needs a
+# fresh driver row.
 _PRIORITY = [
     # complaints reference-parity core
     "complaints_clean",
     "complaints_flagship",
     "complaints_binary_metrics",
+    "complaints_monthly_trend",       # r4 window debut (r3 breadth pack)
     # sources / sinks / skew
     "complaints_json_clean",
     "sink_roundtrip_orders",
     "salted_lineitem_agg",
     "skewjoin_events_enrich",
-    # TPC-H shapes: q1 agg, q18 join+agg, q21 NOT-EXISTS anti,
-    # q2 correlated-min, q3 join+agg+top-k, q5 6-table star,
-    # q7/q8/q9 star rollups, q10 top-k, q13 outer+2-level agg,
-    # q17 de-correlated scalar subquery, q20 semi-join ladder
+    # TPC-H shapes: q1 agg; q2/q3/q17 re-checked after the r4 broadcast
+    # fixes; plus the r3 relational-breadth shapes making their window
+    # debut (pivot, unpivot, SCD2, RFM, FULL OUTER)
     "q1_pricing_summary",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
     "q2_min_cost_supplier",
     "q3_top_unshipped_orders",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q13_customer_distribution",
     "q17_small_quantity_revenue",
-    "q20_potential_promotion",
+    "orders_status_pivot",            # r4 window debut
+    "lineitem_unpivot",               # r4 window debut
+    "orders_scd2",                    # r4 window debut
+    "orders_rfm_segments",            # r4 window debut
+    "customer_halves_full_outer",     # r4 window debut
     # relational / behavioral-analytics extensions
     "events_sessionize",
-    "events_asof_join",
-    "events_interval_join",
-    "events_grouping_sets",
-    "events_heavy_hitters_cms",
     "events_funnel",
     "events_cohort_retention",
-    "events_gap_fill",
+    "events_rolling_mean_dev",        # r4 window debut
+    "events_value_histogram",         # r4 window debut
+    "events_active_users",            # r4 window debut
     # text analysis + training-data pipeline
     "docs_tfidf_keywords",
     "docs_filter_chain",
     "docs_decontaminate",
-    "docs_pack_bins",
     "docs_chunk",
     "docs_token_budget_sample",
     "docs_domain_mix",
+    "docs_stratified_sample",         # r4 window debut
+    "docs_weighted_sample",           # r4 window debut
+    "docs_unigram_logprob",           # r4 window debut
+    "docs_boilerplate_spans",         # r4 window debut
     # dedup family
     "dedup_minhash_lsh",
     "dedup_incremental",
     # similarity / ANN / entity resolution
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_range_search",               # r4 window debut
     "er_fuzzy_part_match",
     # multimodal
     "media_meta_stats",
@@ -103,12 +103,28 @@ _PRIORITY = [
     "stream_dedup_events",
     "stream_running_user_stats",
     "stream_click_purchase_join",
+    "stream_minute_rollup",           # r4 window debut (rows-only by design)
     # ML pipelines (slowest — end of the window)
     "ml_timely_lr",
     "ml_response_dt",
     "ml_timely_lr_tuned",
     "ml_lda_topics_em",
     # ---- window boundary (~50) ----  overflow: operator covered by twin
+    "q18_large_volume_customers",    # rotated out r4 (driver-green r3); HAVING semi-reduction: q17 in-window
+    "q21_waiting_suppliers",         # rotated out r4 (green r3); anti/semi family: q17 + orders_scd2 windows
+    "q5_local_supplier_volume",      # rotated out r4 (green r3); star join: q1/q2 in-window
+    "q7_volume_shipping",            # rotated out r4 (green r3); star rollup: q2 join ladder
+    "q8_market_share",               # rotated out r4 (green r3); conditional ratio: orders_status_pivot
+    "q9_profit_by_nation",           # rotated out r4 (green r3); star rollup: q2 join ladder
+    "q10_returned_items",            # rotated out r4 (green r3); top-k join: q3 in-window
+    "q13_customer_distribution",     # rotated out r4 (green r3); outer+2-level agg: customer_halves_full_outer
+    "q20_potential_promotion",       # rotated out r4 (green r3); semi ladder: q17 de-correlation
+    "events_asof_join",              # rotated out r4 (green r3); ordered-window family: events_rolling_mean_dev
+    "events_interval_join",          # rotated out r4 (green r3); range join: ann_range_search threshold family
+    "events_grouping_sets",          # rotated out r4 (green r3); Expand family: events_active_users stack
+    "events_heavy_hitters_cms",      # rotated out r4 (green r3); sketch family: events_value_histogram buckets
+    "events_gap_fill",               # rotated out r4 (green r3); sequence/fill: events_rolling_mean_dev frames
+    "docs_pack_bins",                # rotated out r4 (green r3); prefix-sum pack: docs_token_budget_sample
     "q4_order_priority",             # rotated out r3 (driver-green r2); SEMI family: q20 in-window
     "q22_sales_opportunity",         # rotated out r3 (green r2); ANTI: q21; scalar subquery: q17
     "q11_important_parts",           # rotated out r3 (green r2); global threshold: q17
@@ -169,22 +185,9 @@ _PRIORITY = [
     "docs_language_id",              # text family: docs_token_stats etc.
     "docs_fingerprints",             # text family: docs_token_stats etc.
     "dedup_simhash",                 # dedup family: minhash/jaccard twins
-    # r3 breadth pack (oracle-green locally; window candidates for r4)
-    "orders_status_pivot",           # pivot = conditional agg: q8/q14 conditional-ratio twins
-    "lineitem_unpivot",              # unpivot Expand: events_grouping_sets Expand family
-    "docs_stratified_sample",        # hash-rank quota: topk_companies_per_state window family
-    "docs_unigram_logprob",          # explode+agg+broadcast join: docs_tfidf_keywords
-    "ann_range_search",              # threshold variant of in-window ann_cosine_topk
-    "orders_scd2",                   # SCD2 intervals: events_compact_latest keyed-window family
-    "docs_boilerplate_spans",        # span-level dedup: docs_decontaminate gram-join family
-    "orders_rfm_segments",           # NTILE over small agg: topk/running-window family
-    "events_rolling_mean_dev",       # ROWS-frame decimal fold: orders_running_total family
-    "events_value_histogram",        # fixed-width buckets: events_value_quantiles family
-    "stream_minute_rollup",          # rows-only; == batch rollup pinned in pytest
-    "docs_weighted_sample",          # hash-uniform Bernoulli: docs_stratified_sample family
-    "customer_halves_full_outer",    # FULL OUTER: q13 outer-join family
-    "events_active_users",           # stack Expand + distinct agg: grouping-sets family
-    "complaints_monthly_trend",      # lag over monthly agg: orders_running_total family
+    # r4 additions (rows-only twins of in-window oracle-checked queries)
+    "ann_ivf_prebuilt_topk",         # split-lifecycle twin of ann_ivf_topk (pytest equality pin)
+    "events_active_users_approx",    # HLL twin of events_active_users (pytest error bound)
 ]
 
 
