@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_cosine_topk_fast",
     "ann_ivf_topk",
+    "ann_ivf_prebuilt_topk",
     "ann_range_search",
     # round-3 breadth: reshape + deterministic sampling + LM scoring
     "orders_status_pivot",
@@ -115,6 +116,15 @@ def main() -> None:
     spark.range(64).repartition(int(cpus)).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # prime the prebuilt-IVF index: its build (quantizer fit + cell
+    # assignment) is an OFFLINE lifecycle — the steady-state serving cost
+    # is what ann_ivf_prebuilt_topk measures, and ann_ivf_topk right above
+    # it keeps the fit-included number honest for comparison
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        text_queries as _tq,
+    )
+
+    _tq.ivf_index_for(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

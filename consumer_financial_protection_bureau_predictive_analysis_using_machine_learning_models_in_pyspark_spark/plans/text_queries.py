@@ -493,6 +493,46 @@ def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_fast(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+# Prebuilt-IVF index cache: build+assign once per (sf_dir, params) and
+# persist the assigned frame — the offline-index lifecycle (VERDICT r3
+# item 4).  ann_ivf_prebuilt_topk serves probes from it; bench primes it
+# in warmup so the twin's timing is the amortized probe path, not the fit.
+_IVF_CACHE: dict[tuple, object] = {}
+
+
+def ivf_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    n_assign: int = 2,
+) -> object:
+    key = (sf_dir, n_cells, n_assign)
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        from pyspark import StorageLevel
+
+        emb = _t(spark, sf_dir, "embeddings")
+        idx = SIM.ivf_build(emb, n_cells=n_cells, n_assign=n_assign)
+        idx.assigned = idx.assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        idx.assigned.count()  # materialize: the "index is on disk" contract
+        _IVF_CACHE[key] = idx
+    return idx
+
+
+@register(
+    "ann_ivf_prebuilt_topk", None, "similarity", "ann", "ivf", "prebuilt"
+)
+def ann_ivf_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from a prebuilt, persisted index — the steady-state
+    serving path (ivf_query only; ivf_build ran once, offline).  Same
+    semantics as ann_ivf_topk for the same params (pinned in pytest);
+    rows-only for the driver: the fitted codebook is not SQL-expressible.
+    """
+    idx = ivf_index_for(spark, sf_dir)
+    probes = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return SIM.ivf_query(idx, probes, k=5, n_probe_cells=3)
+
+
 @register("ann_ivf_topk", None, "similarity", "ann", "ivf", "kmeans")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer (8 cells, seed 42), probes score
@@ -543,20 +583,31 @@ def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 keywords by smoothed TF-IDF — the relational
     formulation (explode → tf agg → df agg → broadcast df join → window
     top-k).  The df side is |vocabulary| rows, so it broadcasts; the only
-    wide shuffle is the tf aggregation, partitioned by (doc, term)."""
+    wide shuffle is the tf aggregation, partitioned by (doc, term).
+
+    The corpus size rides along as a 1-row global-aggregate crossJoin
+    (the engine's q11/q22 scalar pattern) instead of a driver-side
+    ``docs.count()`` action — one job per invocation, not two
+    (VERDICT r3 What's-wrong item 3)."""
     docs = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
     tok = docs.select("doc_id", F.explode(TF.tokens("text")).alias("t"))
     tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df_), "t").select(
-        "doc_id",
-        F.col("t").alias("term"),
-        F.round(
-            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
-        ).alias("tfidf"),
+    nd = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("t").alias("term"),
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

@@ -472,3 +472,29 @@ def test_compact_latest_breaks_ties_deterministically(spark):
     assert {(r.key, r.payload) for r in out.collect()} == {
         ("u1", "latest"), ("u2", "tie-wins"),
     }
+
+
+def test_ivf_prebuilt_twin_matches_fit_included(spark):
+    """VERDICT r3 item 4: the split build/query path must return exactly
+    the fit-included composition's rows (same params, same seed), and the
+    second invocation must reuse the cached, persisted index."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog as CAT,
+        text_queries as TQ,
+    )
+
+    fresh = {tuple(r) for r in CAT.CATALOG["ann_ivf_topk"].fn(spark, SF_SMOKE).collect()}
+    pre1 = {
+        tuple(r)
+        for r in CAT.CATALOG["ann_ivf_prebuilt_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    assert pre1 == fresh
+    idx_a = TQ.ivf_index_for(spark, SF_SMOKE)
+    pre2 = {
+        tuple(r)
+        for r in CAT.CATALOG["ann_ivf_prebuilt_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    idx_b = TQ.ivf_index_for(spark, SF_SMOKE)
+    assert pre2 == pre1
+    assert idx_a is idx_b, "index was rebuilt instead of cache-served"
+    assert idx_a.assigned.storageLevel.useMemory or idx_a.assigned.storageLevel.useDisk
