@@ -453,6 +453,7 @@ def canonical_docs(
     docs: DataFrame,
     components: DataFrame,
     max_broadcast_losers: int | None = 5_000_000,
+    loser_count: int | None = None,
 ) -> DataFrame:
     """The deduplicated corpus: anti-join out every non-canonical member
     (component members with doc_id != component keep only their min-id
@@ -468,8 +469,19 @@ def canonical_docs(
     loser set is under ``max_broadcast_losers`` rows; above the threshold
     (or with ``max_broadcast_losers=None``) the join is left unhinted and
     AQE picks broadcast vs shuffled-hash from the measured size.
+
+    The gating count is an EAGER Spark job at builder time, and the
+    losers lineage is then evaluated a second time by the anti-join
+    (ADVICE r3).  ``connected_components``' internal checkpointing makes
+    both evaluations cheap on that path; a caller whose ``components``
+    frame is expensive and uncached should either persist it first or
+    pass ``loser_count`` (e.g. carried over from a prior aggregation),
+    which keeps this builder fully lazy — no job runs until the caller's
+    own action.
     """
     losers = components.filter(F.col("doc_id") != F.col("component")).select("doc_id")
-    if max_broadcast_losers is not None and losers.count() <= max_broadcast_losers:
-        losers = F.broadcast(losers)
+    if max_broadcast_losers is not None:
+        n = loser_count if loser_count is not None else losers.count()
+        if n <= max_broadcast_losers:
+            losers = F.broadcast(losers)
     return docs.join(losers, "doc_id", "left_anti")

@@ -322,6 +322,10 @@ def sample_token_budget(
     )
 
 
+# latest persisted gram frame; see boilerplate_spans docstring (ADVICE r3)
+_BOILERPLATE_LAST_GRAMS: DataFrame | None = None
+
+
 def boilerplate_spans(
     docs: DataFrame,
     n: int = 5,
@@ -344,7 +348,12 @@ def boilerplate_spans(
     The exploded gram frame feeds THREE consumers (df aggregate, per-doc
     boilerplate count, per-doc totals); it is persisted MEMORY_AND_DISK so
     the tokenize+shingle CPU runs once, not three times (3.4× measured at
-    sf0.1 — the same pattern as MinHash's persisted shingles).
+    sf0.1 — the same pattern as MinHash's persisted shingles).  Because
+    the returned frame is lazy, the builder cannot unpersist after its
+    own action; instead each invocation unpersists the PREVIOUS
+    invocation's gram frame (module-level holder), so repeated catalog /
+    bench / driver runs hold at most one cached gram frame at a time
+    instead of accumulating for the session's lifetime (ADVICE r3).
 
     Returns (doc_id, n_grams, n_boilerplate, boilerplate_fraction); docs
     shorter than ``n`` tokens have 0 grams and fraction 0.0.
@@ -355,6 +364,12 @@ def boilerplate_spans(
     # dedup.shingle_hashes): shingling directly over the tokens expression
     # inlines the split regex into every element_at — n+2 splits per row,
     # ~18x slower measured at sf0.1.
+    global _BOILERPLATE_LAST_GRAMS
+    if _BOILERPLATE_LAST_GRAMS is not None:
+        try:
+            _BOILERPLATE_LAST_GRAMS.unpersist(blocking=False)
+        except Exception:
+            pass  # prior frame's session already stopped
     grams = (
         docs.select(id_col, TF.tokens(text_col).alias("_toks"))
         .select(
@@ -363,6 +378,7 @@ def boilerplate_spans(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _BOILERPLATE_LAST_GRAMS = grams
     gram_df = (
         grams.filter(F.col("_g").isNotNull())
         .groupBy("_g")

@@ -39,14 +39,20 @@ def pivot_agg(
     outside the list are dropped, or folded into ``other_label``'s column
     when given — the stable-schema contract a 100 TB pipeline needs (a new
     dirty value appearing upstream cannot change the output width).
+
+    NULL pivot values are dropped in BOTH modes: the ``other_label``
+    bucket holds only non-NULL out-of-list values (the remap is gated on
+    ``isNotNull`` — an untyped ``otherwise`` would silently fold NULLs
+    into the bucket in one mode while the plain pivot drops them in the
+    other; ADVICE r3).
     """
     vals = list(pivot_values)
     src = df
     if other_label is not None:
         src = df.withColumn(
             pivot_col,
-            F.when(F.col(pivot_col).isin(vals), F.col(pivot_col)).otherwise(
-                F.lit(other_label)
+            F.when(F.col(pivot_col).isin(vals), F.col(pivot_col)).when(
+                F.col(pivot_col).isNotNull(), F.lit(other_label)
             ),
         )
         vals = vals + [other_label]

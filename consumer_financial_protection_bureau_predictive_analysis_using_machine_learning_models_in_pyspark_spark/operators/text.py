@@ -184,7 +184,13 @@ def unigram_logprob(
     repeats, so the shuffle carries distinct pairs, never raw length) →
     global term frequencies (vocab-sized — broadcast-joined back) → exact
     decimal fold of tf·ln(p).  ln is rounded to 9 decimals before the
-    decimal cast so both engines' libm (≤1 ulp apart) agree bit-for-bit.
+    decimal cast so a ≤1-ulp libm divergence between engines almost
+    always rounds away.  NOT an absolute guarantee: a divergence landing
+    exactly on a 9th-decimal rounding boundary can still flip the last
+    retained digit (ADVICE r3) — measure-zero for real corpora, pinned
+    green on the committed fixtures by the oracle harness; if a future
+    fixture ever trips it, coarsen the rounding (e.g. 6 decimals) on BOTH
+    engines rather than chasing libm.
     Returns (doc_id, n_tokens, mean_logprob).
     """
     toks = df.select(id_col, F.explode(TF.tokens(text_col)).alias("_tok"))

