@@ -608,6 +608,44 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_active_users_approx",
+    None,  # rows-only: Spark's HLL++ and DuckDB's HLL give different
+           # estimates by construction; the error bound vs the exact
+           # query is pinned in tests/test_round3.py
+    "analytics", "active-users", "approx", "sketch",
+)
+def events_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB form of events_active_users: same one-scan stack Expand,
+    with approx_count_distinct (HyperLogLog++, rsd 2%) instead of the
+    exact distinct.  The exact query's shuffle carries every DISTINCT
+    (granularity, bucket, user_id) triple — at 10^9 users that is the
+    dominant cost and the sketch collapses it to a few KB of HLL state
+    per bucket flowing through a plain two-phase aggregate.  Rows-only by
+    design; the estimate-vs-exact relative-error bound (well inside 3×
+    the 2% rsd) is pinned in pytest."""
+    ev = _t(spark, sf_dir, "events")
+    lv = ev.select(
+        F.expr(
+            "stack(3,"
+            " 'day',   CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING),"
+            " 'week',  CAST(CAST(date_trunc('week', ts) AS DATE) AS STRING),"
+            " 'month', CAST(CAST(date_trunc('month', ts) AS DATE) AS STRING)"
+            ") AS (granularity, bucket)"
+        ),
+        "user_id",
+    )
+    return (
+        lv.groupBy("granularity", "bucket")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02)
+            .cast("bigint")
+            .alias("active_users_est")
+        )
+        .orderBy("granularity", "bucket")
+    )
+
+
 from ..sources import fixtures
 from .catalog import _CLEANED_CTE, _cleaned
 
