@@ -188,6 +188,10 @@ _PRIORITY = [
     # r4 additions (rows-only twins of in-window oracle-checked queries)
     "ann_ivf_prebuilt_topk",         # split-lifecycle twin of ann_ivf_topk (pytest equality pin)
     "events_active_users_approx",    # HLL twin of events_active_users (pytest error bound)
+    # r4 breadth pack (oracle-green locally; window candidates for r5)
+    "docs_temperature_mix",          # share^alpha mixture: docs_domain_mix/weighted_sample family
+    "docs_quality_deciles",          # NTILE curriculum: orders_rfm_segments NTILE family
+    "docs_pack_manifest",            # ordered-bin manifest: docs_pack_bins window family
 ]
 
 

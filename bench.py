@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_prebuilt_topk",
     "ann_range_search",
+    # round-4 breadth: temperature mixture + curriculum + manifest
+    "docs_temperature_mix",
+    "docs_quality_deciles",
+    "docs_pack_manifest",
     # round-3 breadth: reshape + deterministic sampling + LM scoring
     "orders_status_pivot",
     "lineitem_unpivot",

@@ -91,13 +91,31 @@ def pack_bins(
     never moves.  At 100 TB use a higher-cardinality stream key (e.g.
     lang × hash-bucket) so no single window partition exceeds an executor.
     """
+    binned = assign_bins(df, budget, part_col, order_col, text_col)
+    return binned.groupBy(part_col, "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+def assign_bins(
+    df: DataFrame,
+    budget: int = 512,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The per-document half of :func:`pack_bins`: one row per input doc
+    with its (part, order, n_tokens, cum, bin_id) assignment.  Split out
+    (r4) so downstream consumers — the per-bin stats of ``pack_bins`` and
+    the ordered manifest of ``pack_manifest`` — share one window pass."""
     n_tok = F.size(TF.tokens(text_col)).cast("bigint")
     w = (
         Window.partitionBy(part_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    binned = (
+    return (
         df.select(part_col, order_col, n_tok.alias("n_tokens"))
         .withColumn("cum", F.sum("n_tokens").over(w))
         .withColumn(
@@ -105,9 +123,37 @@ def pack_bins(
             F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(budget))),
         )
     )
+
+
+def pack_manifest(
+    df: DataFrame,
+    budget: int = 512,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The training-batch manifest a data loader actually consumes: per
+    (part, bin) the ORDERED document id list (comma-joined string — the
+    cross-engine-stable rendering of an ordered list), plus doc/token
+    counts.  Built on the same single window pass as ``pack_bins``.
+
+    Scale posture: collect_list holds one bin's ids — bounded by
+    budget / min_doc_tokens docs per bin, a few hundred at realistic
+    budgets — and sort_array canonicalizes the shuffle-order-dependent
+    collect_list, so the manifest is deterministic on any partitioning.
+    """
+    binned = assign_bins(df, budget, part_col, order_col, text_col)
+    ordered_ids = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list(order_col)),
+            lambda x: x.cast("string"),
+        ),
+    )
     return binned.groupBy(part_col, "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
+        ordered_ids.alias("doc_ids"),
     )
 
 

@@ -108,6 +108,71 @@ def stratified_quota_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain resampling: draw a corpus whose group
+    mixture follows q_g ∝ share_g^alpha (alpha<1 flattens the mixture
+    toward uniform — the multilingual/pretraining reweighting of
+    mBERT/XLM-R and data-mix papers), at ``target_frac`` of the corpus,
+    deterministically.
+
+    Per-group keep probability: keep_g = min(1, target_frac · N · q_g /
+    n_g); each row keeps iff a uniform md5-hash of its id falls under
+    keep_g — the same engine-reproducible Bernoulli as
+    ``docs_weighted_sample`` (no RNG state, identical membership on any
+    partitioning or engine).
+
+    Numeric discipline: q_g's normalizer folds sqrt terms through DECIMAL
+    (order-independent, engine-exact); the remaining arithmetic is
+    correctly-rounded IEEE double ops over identical inputs, written in
+    one fixed association order mirrored by the SQL oracle.
+
+    Scale posture: the weight table has one row per group — a bounded
+    domain dimension (sources/languages), NOT scale-linear — so its
+    broadcast join back is safe at any corpus size; the sample itself is
+    a map-side filter.  Returns the kept rows with keep_frac attached.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    tot = counts.agg(F.sum("_n_g").cast("bigint").alias("_n_tot"))
+    share = F.col("_n_g") / F.col("_n_tot")
+    # alpha=0.5 (the common default) goes through sqrt, which IEEE 754
+    # requires to be correctly rounded — bit-identical in every engine.
+    # Other alphas use pow, where a ≤1-ulp libm divergence is possible
+    # (same measure-zero boundary caveat as unigram_logprob).
+    powed = F.sqrt(share) if alpha == 0.5 else F.pow(share, F.lit(float(alpha)))
+    sd = powed.cast("decimal(20,15)")
+    scored = counts.crossJoin(F.broadcast(tot)).withColumn("_sd", sd)
+    norm = scored.agg(F.sum("_sd").alias("_s_tot"))
+    keep = F.least(
+        F.lit(1.0),
+        F.lit(float(target_frac))
+        * (F.col("_sd").cast("double") / F.col("_s_tot").cast("double"))
+        * (F.col("_n_tot").cast("double") / F.col("_n_g").cast("double")),
+    )
+    weights = (
+        scored.crossJoin(F.broadcast(norm))
+        .withColumn("_keep", keep)
+        .select(group_col, "_n_g", "_keep")
+    )
+    unif = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint") / F.lit(float(16 ** 13))
+    return (
+        df.join(F.broadcast(weights), group_col)
+        .filter(unif < F.col("_keep"))
+        .withColumn(
+            "keep_frac",
+            F.floor(F.col("_keep") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        )
+        .drop("_n_g", "_keep")
+    )
+
+
 def train_test_split(
     df: DataFrame, weights: list[float] | None = None, seed: int = 42
 ) -> list[DataFrame]:
