@@ -192,6 +192,9 @@ _PRIORITY = [
     "docs_temperature_mix",          # share^alpha mixture: docs_domain_mix/weighted_sample family
     "docs_quality_deciles",          # NTILE curriculum: orders_rfm_segments NTILE family
     "docs_pack_manifest",            # ordered-bin manifest: docs_pack_bins window family
+    "docs_bm25_rank",                # BM25 retrieval: docs_tfidf_keywords explode+agg family
+    "docs_hybrid_rrf",               # RRF fusion of bm25+cosine ranks: both inputs in-window
+    "ann_semantic_dedup",            # SemDeDup via IVF cells: rows-only, pytest recall floor
 ]
 
 

@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "docs_temperature_mix",
     "docs_quality_deciles",
     "docs_pack_manifest",
+    "docs_bm25_rank",
+    "docs_hybrid_rrf",
+    "ann_semantic_dedup",
     # round-3 breadth: reshape + deterministic sampling + LM scoring
     "orders_status_pivot",
     "lineitem_unpivot",

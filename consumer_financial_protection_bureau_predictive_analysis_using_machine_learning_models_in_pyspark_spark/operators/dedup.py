@@ -479,9 +479,10 @@ def canonical_docs(
     which keeps this builder fully lazy — no job runs until the caller's
     own action.
     """
+    from . import skew
+
     losers = components.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     if max_broadcast_losers is not None:
         n = loser_count if loser_count is not None else losers.count()
-        if n <= max_broadcast_losers:
-            losers = F.broadcast(losers)
+        losers = skew.broadcast_if_bounded(losers, n, max_broadcast_losers)
     return docs.join(losers, "doc_id", "left_anti")

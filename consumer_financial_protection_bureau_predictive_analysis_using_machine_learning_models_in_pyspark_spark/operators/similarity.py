@@ -512,3 +512,41 @@ def ivf_ann_topk(
         index, probes, k=k, n_probe_cells=n_probe_cells,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def semantic_dedup_pairs(
+    index: IvfIndex,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    cluster the corpus with the IVF coarse quantizer, then compare vectors
+    only WITHIN shared cells — (id1 < id2, cosine ≥ threshold).
+
+    The cluster-then-compare shape is what makes embedding dedup feasible
+    at corpus scale: the self-join is an equi-join on the cell id, so each
+    task compares one cell — O(Σ c_i²) instead of O(N²) — and the
+    quantizer's multi-assignment (n_assign home cells per vector) recovers
+    cross-boundary pairs the same way it recovers ANN recall.  A pair
+    sharing several cells is emitted once (its exact-decimal cosine is
+    deterministic, so distinct on the scored projection suffices).  Pairs
+    in no shared cell are missed — the recall floor vs the exact
+    all-pairs baseline is pinned in tests.
+    """
+    a = index.assigned.select(
+        F.col("neighbor_id").alias("id1"), F.col("vec").alias("vec1"), "cell"
+    )
+    b = index.assigned.select(
+        F.col("neighbor_id").alias("id2"), F.col("vec").alias("vec2"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", dot_decimal(F.col("vec1"), F.col("vec2")).alias("_dot"))
+        .filter(F.col("_dot") >= threshold)
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("_dot").cast("double"), 6).alias("cosine"),
+        )
+        .distinct()
+    )

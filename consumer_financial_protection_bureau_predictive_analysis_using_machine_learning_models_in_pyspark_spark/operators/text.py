@@ -265,3 +265,70 @@ def pii_redact(
         n_phones.alias("n_phones"),
         r3.alias("redacted"),
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k ranking for a fixed query-term set (the Lucene
+    +1-smoothed idf): score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1-b +
+    b·dl/avgdl)), idf_t = ln((N - df_t + 0.5)/(df_t + 0.5) + 1).
+
+    Shape: one token explode feeds BOTH the per-doc length aggregate and
+    the query-term tf aggregate (the filter keeps only |query| terms, so
+    the tf shuffle is tiny); df_t and the (N, Σdl) scalars ride along as
+    broadcast frames — the corpus is scanned once and never re-shuffled
+    by text.  The per-term scores fold through DECIMAL(20,12) so the
+    cross-term sum is order-independent; ln carries the usual ≤1-ulp
+    libm caveat (measure-zero at the 12-decimal cut).  Top-k by
+    (score desc, id) is deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, F.explode(TF.tokens(text_col)).alias("_tok"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("_dl"))
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+        F.sum("_dl").cast("bigint").alias("_sum_dl"),
+    )
+    qt = toks.filter(F.col("_tok").isin(list(query_terms)))
+    tf = qt.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tf")
+    )
+    dfreq = qt.groupBy("_tok").agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("_df")
+    )
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
+    idf = F.log(
+        (F.col("_n_docs").cast("double") - F.col("_df").cast("double") + F.lit(0.5))
+        / (F.col("_df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("_tf").cast("double") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * (F.col("_dl").cast("double") / avgdl)
+    )
+    term_score = idf * (
+        (F.col("_tf").cast("double") * F.lit(float(k1 + 1.0))) / denom
+    )
+    w = Window.orderBy(F.col("_score_dec").desc(), F.col(id_col))
+    return (
+        tf.join(F.broadcast(dfreq), "_tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scal))
+        .withColumn("_term_dec", term_score.cast("decimal(20,12)"))
+        .groupBy(id_col)
+        .agg(F.sum("_term_dec").alias("_score_dec"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.round(F.col("_score_dec").cast("double"), 6).alias("bm25"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..operators import pipeline as PL
 from ..operators import sampling
 from ..operators import text as TX
+from ..operators import similarity as SIM
 from .catalog import _t, register
 from .text_queries import _D_TOKS, _STOP_SQL
 
@@ -206,3 +207,172 @@ def docs_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL.pack_manifest(docs, budget=512, part_col="lang").orderBy(
         "lang", "bin_id"
     )
+
+# ---------------------------------------------------------------------------
+# Retrieval: BM25, hybrid RRF fusion, semantic dedup
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ["hash", "join", "data"]
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in BM25_QUERY) + "]"
+
+_BM25_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+qt AS (SELECT doc_id, t FROM toks WHERE list_contains({_BM25_TERMS_SQL}, t)),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM qt GROUP BY doc_id, t
+),
+dfreq AS (
+  SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY t
+),
+bm AS (
+  SELECT tf.doc_id,
+         SUM(CAST(
+           ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                         / (CAST(s.sum_dl AS DOUBLE)
+                                            / CAST(s.n_docs AS DOUBLE))))))
+           AS DECIMAL(20,12))) AS score_dec
+  FROM tf JOIN dfreq d ON tf.t = d.t
+          JOIN dl l ON tf.doc_id = l.doc_id
+          CROSS JOIN scal s
+  GROUP BY tf.doc_id
+)
+""".strip()
+
+
+@register(
+    "docs_bm25_rank",
+    f"""
+WITH {_BM25_CTE}
+SELECT doc_id, ROUND(CAST(score_dec AS DOUBLE), 6) AS bm25,
+       CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT doc_id, score_dec,
+         ROW_NUMBER() OVER (ORDER BY score_dec DESC, doc_id) AS rk
+  FROM bm
+) r WHERE rk <= 20
+""",
+    "text", "retrieval", "bm25",
+)
+def docs_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed query (k1=1.2, b=0.75, Lucene
+    +1-smoothed idf) — the lexical half of a retrieval stack, as one scan
+    + two narrow aggregates + broadcast stats; per-term scores fold
+    through DECIMAL so the ranking is engine-deterministic."""
+    return TX.bm25_rank(
+        _t(spark, sf_dir, "documents"), BM25_QUERY, k1=1.2, b=0.75, k=20
+    )
+
+
+_RRF_K = 60
+
+_COS_RANK_CTE = """
+cosd AS (
+  SELECT e.vec_id AS doc_id,
+         SUM(CAST(CAST(p.embedding[i.i] AS DOUBLE)
+                  * CAST(e.embedding[i.i] AS DOUBLE) AS DECIMAL(20,15)))
+           AS dot_dec
+  FROM embeddings p
+  CROSS JOIN embeddings e
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  WHERE p.vec_id = 0 AND e.vec_id <> 0
+  GROUP BY e.vec_id
+),
+cosr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY dot_dec DESC, doc_id) AS r_cos
+  FROM cosd QUALIFY r_cos <= 50
+)
+""".strip()
+
+
+@register(
+    "docs_hybrid_rrf",
+    f"""
+WITH {_BM25_CTE},
+bmr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_dec DESC, doc_id) AS r_bm
+  FROM bm QUALIFY r_bm <= 50
+),
+{_COS_RANK_CTE}
+SELECT COALESCE(bmr.doc_id, cosr.doc_id) AS doc_id,
+       CAST(COALESCE(CAST(r_bm AS INTEGER), 0) AS INTEGER) AS bm25_rank,
+       CAST(COALESCE(CAST(r_cos AS INTEGER), 0) AS INTEGER) AS cosine_rank,
+       ROUND(COALESCE(1.0 / ({_RRF_K} + r_bm), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + r_cos), 0.0), 6) AS rrf
+FROM bmr FULL OUTER JOIN cosr ON bmr.doc_id = cosr.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+""",
+    "retrieval", "hybrid", "rrf", "fusion",
+)
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    RRF(d) = Σ 1/(60 + rank_i(d)) over the BM25 lexical ranking and the
+    exact-cosine dense ranking for probe vec 0 (documents and embeddings
+    share the id space).  Both input rankings are deterministic top-50
+    cuts; the fused score is a fixed-order two-term IEEE sum, so the
+    fusion is engine-exact.  Absent ranks report 0 (convention) and
+    contribute nothing.
+
+    Scale posture: rank lists are k-bounded (50 rows) regardless of
+    corpus size — the FULL OUTER fuse is a tiny-frame join; all the heavy
+    lifting stays in the two upstream rankings, each already
+    scale-disciplined (BM25: one scan; cosine: broadcast probe).
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = TX.bm25_rank(docs, BM25_QUERY, k1=1.2, b=0.75, k=50).select(
+        F.col("doc_id"), F.col("rank").alias("r_bm")
+    )
+    cos = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_cos")
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_bm")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_cos")), F.lit(0.0)),
+        6,
+    )
+    return (
+        bm.join(cos, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("r_bm"), F.lit(0)).cast("int").alias("bm25_rank"),
+            F.coalesce(F.col("r_cos"), F.lit(0)).cast("int").alias("cosine_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "ann_semantic_dedup", None, "similarity", "dedup", "semdedup", "ivf"
+)
+def ann_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs over a prebuilt IVF index
+    (cluster-then-compare; see operators/similarity.semantic_dedup_pairs).
+
+    Dedup wants higher recall than ANN serving, so this entry uses an
+    n_assign=3 index (its own cache key; measured on the fixture:
+    recall vs the exact all-pairs baseline 0.92 @ threshold 0.15,
+    0.98 @ 0.35, vs 0.65/0.83 with the ANN default n_assign=2).
+    Rows-only: the KMeans codebook is not SQL-expressible; precision is
+    exact by construction and the recall floor is pinned in pytest."""
+    from .text_queries import ivf_index_for
+
+    idx = ivf_index_for(spark, sf_dir, n_assign=3)
+    return SIM.semantic_dedup_pairs(idx, threshold=0.15).orderBy("id1", "id2")
+

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import skew
 from .catalog import register, _t
 
 # Exact decimal folds shared by every revenue aggregate below (same
@@ -422,8 +423,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # |per_part| <= |filtered part| (one row per part seen in lineitem);
     # counting the narrow dim is a pushdown scan, not a lineitem pass.
-    if part.count() <= Q17_BROADCAST_MAX_PARTS:
-        per_part = F.broadcast(per_part)
+    per_part = skew.broadcast_if_bounded(
+        per_part, part.count(), Q17_BROADCAST_MAX_PARTS
+    )
     small = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part, F.col("a_partkey") == F.col("l_partkey"))

