@@ -195,6 +195,8 @@ _PRIORITY = [
     "docs_bm25_rank",                # BM25 retrieval: docs_tfidf_keywords explode+agg family
     "docs_hybrid_rrf",               # RRF fusion of bm25+cosine ranks: both inputs in-window
     "ann_semantic_dedup",            # SemDeDup via IVF cells: rows-only, pytest recall floor
+    "docs_quality_deciles_approx",   # sketch twin of docs_quality_deciles (pytest bound)
+    "stream_static_enrich",          # stream-static join: stream_windowed_counts family
 ]
 
 

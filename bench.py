@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "docs_bm25_rank",
     "docs_hybrid_rrf",
     "ann_semantic_dedup",
+    "docs_quality_deciles_approx",
     # round-3 breadth: reshape + deterministic sampling + LM scoring
     "orders_status_pivot",
     "lineitem_unpivot",

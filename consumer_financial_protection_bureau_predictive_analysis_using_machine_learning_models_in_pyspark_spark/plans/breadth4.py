@@ -169,6 +169,43 @@ def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_quality_deciles_approx",
+    None,  # rows-only: Spark's KLL/GK percentile_approx and DuckDB's
+           # quantile sketches give different boundaries by construction;
+           # the bucket-size bound vs the exact deciles is pinned in pytest
+    "text", "quality", "curriculum", "approx", "sketch",
+)
+def docs_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB curriculum path the exact query's docstring names: decile
+    boundaries from ONE percentile_approx sketch aggregate (broadcast as a
+    1-row frame), bucket assignment as a map-side array fold — no global
+    sort anywhere, so it scales like a plain two-phase aggregate.  Bucket
+    populations approach n/10 as the sketch accuracy rises; the deviation
+    bound vs the exact NTILE deciles is pinned in pytest."""
+    q = TX.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    probs = [i / 10.0 for i in range(1, 10)]
+    thr = q.agg(
+        F.percentile_approx("quality", probs, 10_000).alias("_thr")
+    )
+    bucket = (
+        F.size(F.filter(F.col("_thr"), lambda t: F.col("quality") > t)) + 1
+    )
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .select("doc_id", "quality", bucket.cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pack manifest (ordered per-bin document lists)
 # ---------------------------------------------------------------------------

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming import jobs as SJ
-from .catalog import register
+from .catalog import _t, register
 
 _SINK_IDS = itertools.count()
 
@@ -77,6 +77,54 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window_start").cast("string").alias("window_start"),
         "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_static_enrich",
+    """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+dim AS (
+  SELECT user_id,
+         CASE WHEN COUNT(*) >= 10 THEN 'heavy'
+              WHEN COUNT(*) >= 5 THEN 'mid'
+              ELSE 'light' END AS tier
+  FROM events GROUP BY user_id
+)
+SELECT CAST(date_trunc('hour', e.ts) AS STRING) AS window_start,
+       d.tier,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d USING (user_id), wm
+WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+""",
+    "streaming", "stream-static-join", "watermark",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join run AS A STREAM and drained: events enriched
+    with a static per-user activity tier, then watermarked tumbling
+    counts per tier.  The oracle replays the batch equivalent under the
+    same append-mode emission predicate as stream_windowed_counts.  The
+    static side re-resolves per micro-batch and holds no join state; the
+    per-user dim is scale-linear so it is deliberately unhinted (see
+    streaming/jobs.static_enrich_counts)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.when(F.count(F.lit(1)) >= 10, "heavy")
+        .when(F.count(F.lit(1)) >= 5, "mid")
+        .otherwise("light")
+        .alias("tier")
+    )
+    out = _drain(
+        spark,
+        SJ.static_enrich_counts(SJ.read_events_stream(spark, sf_dir), dim),
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "tier",
         "n_events",
         "sum_value",
     )

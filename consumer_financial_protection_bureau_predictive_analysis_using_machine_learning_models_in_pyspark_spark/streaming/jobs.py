@@ -407,3 +407,39 @@ def read_rollup(
             F.sum("sum_dec").cast("double").alias("sum_value"),
         )
     )
+
+
+def static_enrich_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Stream-static join: enrich a watermarked event stream with a static
+    dimension (user_id -> tier), then tumbling-window counts per tier.
+
+    The static side is re-resolved every micro-batch (Spark re-plans the
+    batch join, so a refreshed dim snapshot is picked up on the next
+    trigger) and the join itself keeps NO state — only the downstream
+    windowed aggregate does.  The dim here is a per-user frame, i.e.
+    scale-LINEAR, so it carries no broadcast hint (the r2 verdict class);
+    a contractually bounded dim (country list, plan tiers) is where a
+    hint would be justified.
+    """
+    e = events.withWatermark("ts", watermark)
+    return (
+        e.join(dim, "user_id")
+        .groupBy(F.window("ts", window).alias("w"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "tier",
+            "n_events",
+            "sum_value",
+        )
+    )

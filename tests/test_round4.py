@@ -148,3 +148,20 @@ def test_hybrid_rrf_fuses_both_rankings(spark):
     single = [r for r in rows if (r.bm25_rank > 0) != (r.cosine_rank > 0)]
     if both and single:
         assert max(r.rrf for r in both) >= max(r.rrf for r in single)
+
+
+def test_quality_deciles_approx_tracks_exact(spark):
+    """The sketch-based curriculum path must produce 10 quality-ordered
+    buckets whose sizes stay within 25% of the exact NTILE deciles (the
+    sketch at accuracy 10k is near-exact at fixture scale)."""
+    exact = {r.decile: r.n_docs for r in
+             catalog.CATALOG["docs_quality_deciles"].fn(spark, SF_SMOKE).collect()}
+    approx = catalog.CATALOG["docs_quality_deciles_approx"].fn(spark, SF_SMOKE).collect()
+    assert [r.decile for r in approx] == list(range(1, 11))
+    for lo, hi in zip(approx, approx[1:]):
+        assert lo.max_quality <= hi.min_quality
+    n = sum(exact.values())
+    for r in approx:
+        assert abs(r.n_docs - n / 10.0) <= 0.25 * (n / 10.0) + 2, (
+            r.decile, r.n_docs, n / 10.0,
+        )
