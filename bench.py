@@ -133,6 +133,7 @@ def main() -> None:
     )
 
     _tq.ivf_index_for(spark, sf_dir)
+    _tq.ivf_index_for(spark, sf_dir, n_assign=3)  # ann_semantic_dedup's index
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

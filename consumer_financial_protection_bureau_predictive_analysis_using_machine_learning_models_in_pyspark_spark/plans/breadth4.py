@@ -400,7 +400,10 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs over a prebuilt IVF index
-    (cluster-then-compare; see operators/similarity.semantic_dedup_pairs).
+    (cluster-then-compare), served by the per-cell BLAS fast path
+    (operators/similarity.semantic_dedup_pairs_fast; the exact-decimal
+    expression twin semantic_dedup_pairs is the reference semantics and
+    the two are equality-pinned on the fixture in pytest).
 
     Dedup wants higher recall than ANN serving, so this entry uses an
     n_assign=3 index (its own cache key; measured on the fixture:
@@ -411,5 +414,5 @@ def ann_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text_queries import ivf_index_for
 
     idx = ivf_index_for(spark, sf_dir, n_assign=3)
-    return SIM.semantic_dedup_pairs(idx, threshold=0.15).orderBy("id1", "id2")
+    return SIM.semantic_dedup_pairs_fast(idx, threshold=0.15).orderBy("id1", "id2")
 

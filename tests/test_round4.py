@@ -165,3 +165,21 @@ def test_quality_deciles_approx_tracks_exact(spark):
         assert abs(r.n_docs - n / 10.0) <= 0.25 * (n / 10.0) + 2, (
             r.decile, r.n_docs, n / 10.0,
         )
+
+
+def test_semantic_dedup_fast_matches_expression_path(spark):
+    """The per-cell BLAS fast path must emit exactly the expression
+    path's pair set on the fixture (same index, same threshold), with
+    cosines agreeing to the 6-decimal rounding."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        similarity as SIM,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    idx = SIM.ivf_build(emb, n_assign=3)
+    slow = {(r.id1, r.id2): r.cosine
+            for r in SIM.semantic_dedup_pairs(idx, 0.15).collect()}
+    fast = {(r.id1, r.id2): r.cosine
+            for r in SIM.semantic_dedup_pairs_fast(idx, 0.15).collect()}
+    assert set(fast) == set(slow)
+    assert all(abs(fast[k] - slow[k]) <= 1e-6 for k in fast)
