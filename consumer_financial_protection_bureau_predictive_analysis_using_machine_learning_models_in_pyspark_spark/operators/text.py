@@ -280,11 +280,13 @@ def bm25_rank(
     +1-smoothed idf): score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1-b +
     b·dl/avgdl)), idf_t = ln((N - df_t + 0.5)/(df_t + 0.5) + 1).
 
-    Shape: one token explode feeds BOTH the per-doc length aggregate and
-    the query-term tf aggregate (the filter keeps only |query| terms, so
-    the tf shuffle is tiny); df_t and the (N, Σdl) scalars ride along as
-    broadcast frames — the corpus is scanned once and never re-shuffled
-    by text.  The per-term scores fold through DECIMAL(20,12) so the
+    Shape: the tokenized corpus is aggregated twice — per-doc lengths,
+    and query-term tf (the isin filter keeps only |query| terms, so that
+    shuffle is tiny).  Catalyst does not share the explode subplan, so
+    these are two passes over the narrow text column (cheap scans; at
+    100 TB persist the exploded frame or pre-compute dl as a stored
+    column to collapse them); df_t and the (N, Σdl) scalars ride along
+    as broadcast frames and text itself never shuffles.  The per-term scores fold through DECIMAL(20,12) so the
     cross-term sum is order-independent; ln carries the usual ≤1-ulp
     libm caveat (measure-zero at the 12-decimal cut).  Top-k by
     (score desc, id) is deterministic.
