@@ -135,30 +135,41 @@ def temperature_sample(
     Scale posture: the weight table has one row per group — a bounded
     domain dimension (sources/languages), NOT scale-linear — so its
     broadcast join back is safe at any corpus size; the sample itself is
-    a map-side filter.  Returns the kept rows with keep_frac attached.
+    a map-side filter.  Returns the kept rows with ``keep_frac`` and the
+    group's corpus count ``group_total`` attached (so reports need no
+    second corpus aggregate).
     """
+    from pyspark.sql import Window
+
+    # The corpus is aggregated ONCE; the normalizer scalars (_n_tot,
+    # _s_tot) come from unpartitioned windows over the group-cardinality
+    # aggregate — a single-partition pass over a frame bounded by the
+    # domain dimension, NOT the corpus, so the "no partitionBy" warning
+    # class does not apply.  (crossJoin scalar frames here would re-run
+    # the corpus aggregate once per scalar through the shared lineage.)
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
-    tot = counts.agg(F.sum("_n_g").cast("bigint").alias("_n_tot"))
+    with_tot = counts.withColumn(
+        "_n_tot", F.sum("_n_g").over(everything).cast("bigint")
+    )
     share = F.col("_n_g") / F.col("_n_tot")
     # alpha=0.5 (the common default) goes through sqrt, which IEEE 754
     # requires to be correctly rounded — bit-identical in every engine.
     # Other alphas use pow, where a ≤1-ulp libm divergence is possible
     # (same measure-zero boundary caveat as unigram_logprob).
     powed = F.sqrt(share) if alpha == 0.5 else F.pow(share, F.lit(float(alpha)))
-    sd = powed.cast("decimal(20,15)")
-    scored = counts.crossJoin(F.broadcast(tot)).withColumn("_sd", sd)
-    norm = scored.agg(F.sum("_sd").alias("_s_tot"))
+    scored = with_tot.withColumn("_sd", powed.cast("decimal(20,15)")).withColumn(
+        "_s_tot", F.sum("_sd").over(everything)
+    )
     keep = F.least(
         F.lit(1.0),
         F.lit(float(target_frac))
         * (F.col("_sd").cast("double") / F.col("_s_tot").cast("double"))
         * (F.col("_n_tot").cast("double") / F.col("_n_g").cast("double")),
     )
-    weights = (
-        scored.crossJoin(F.broadcast(norm))
-        .withColumn("_keep", keep)
-        .select(group_col, "_n_g", "_keep")
-    )
+    weights = scored.withColumn("_keep", keep).select(group_col, "_n_g", "_keep")
     unif = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
     ).cast("bigint") / F.lit(float(16 ** 13))
@@ -169,6 +180,7 @@ def temperature_sample(
             "keep_frac",
             F.floor(F.col("_keep") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
         )
+        .withColumn("group_total", F.col("_n_g").cast("bigint"))
         .drop("_n_g", "_keep")
     )
 

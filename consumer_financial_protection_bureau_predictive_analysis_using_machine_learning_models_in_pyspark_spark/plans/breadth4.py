@@ -82,16 +82,13 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = sampling.temperature_sample(
         docs, "source", "doc_id", alpha=0.5, target_frac=0.5
     )
-    totals = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total")
-    )
     return (
         kept.groupBy("source")
         .agg(
+            F.min("group_total").alias("n_total"),
             F.count(F.lit(1)).cast("bigint").alias("n_kept"),
             F.min("keep_frac").alias("keep_frac"),
         )
-        .join(F.broadcast(totals), "source")
         .select("source", "n_total", "keep_frac", "n_kept")
         .orderBy("source")
     )
