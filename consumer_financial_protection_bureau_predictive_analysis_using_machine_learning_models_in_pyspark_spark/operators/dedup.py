@@ -309,6 +309,18 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    # Convergence signal (r4): labels are monotonically non-increasing, so
+    # the label-sum strictly decreases on every round that changes ANY
+    # label — an exact DECIMAL(38,0) sum comparison replaces the previous
+    # labels⋈labels diff-count, saving one O(N) self-join per round (the
+    # sum is a plain aggregate over the frame the checkpoint just
+    # materialized; decimal keeps it overflow-proof at any id width).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -325,16 +337,12 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     p.unpersist()
     if not converged:
         import warnings
