@@ -197,6 +197,7 @@ _PRIORITY = [
     "ann_semantic_dedup",            # SemDeDup via IVF cells: rows-only, pytest recall floor
     "docs_quality_deciles_approx",   # sketch twin of docs_quality_deciles (pytest bound)
     "stream_static_enrich",          # stream-static join: stream_windowed_counts family
+    "ann_semantic_canonical",        # SemDeDup end-to-end composition: pieces all tested
 ]
 
 

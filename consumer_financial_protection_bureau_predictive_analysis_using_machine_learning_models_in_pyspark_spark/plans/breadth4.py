@@ -393,6 +393,51 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_semantic_canonical", None, "similarity", "dedup", "semdedup",
+    "canonical",
+)
+def ann_semantic_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: embeddings → per-cell near-dup pairs →
+    connected components → canonical member per cluster — the full
+    "semantic dedup a corpus" composition (pairs from the BLAS fast
+    path, min-label components, anti-join keep set), reported as
+    per-source kept/total counts.  Every stage is an already-tested
+    operator; this entry proves they compose.  Rows-only (KMeans
+    quantizer upstream); the keep-set invariants (one survivor per
+    cluster, survivor is the min id, non-cluster docs untouched) are
+    pinned in pytest.
+
+    Threshold note: the pair-listing entry uses 0.15 (report weakly
+    similar pairs too); DEDUP needs a near-duplicate bar — at 0.15 the
+    fixture's 12%-dense pair graph is one connected component and the
+    whole corpus collapses to a single survivor.  0.35 keeps only
+    tight clusters (the SemDeDup regime: drop ε-balls, not neighbors).
+    """
+    from ..operators import dedup as DD
+    from .text_queries import ivf_index_for
+
+    idx = ivf_index_for(spark, sf_dir, n_assign=3)
+    pairs = SIM.semantic_dedup_pairs_fast(idx, threshold=0.35).select(
+        F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
+    )
+    comp = DD.connected_components(pairs)
+    docs = _t(spark, sf_dir, "documents")
+    kept = DD.canonical_docs(docs, comp)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .join(
+            docs.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_total")
+            ),
+            "source",
+        )
+        .select("source", "n_total", "n_kept")
+        .orderBy("source")
+    )
+
+
+@register(
     "ann_semantic_dedup", None, "similarity", "dedup", "semdedup", "ivf"
 )
 def ann_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -183,3 +183,47 @@ def test_semantic_dedup_fast_matches_expression_path(spark):
             for r in SIM.semantic_dedup_pairs_fast(idx, 0.15).collect()}
     assert set(fast) == set(slow)
     assert all(abs(fast[k] - slow[k]) <= 1e-6 for k in fast)
+
+
+def test_semantic_canonical_invariants(spark):
+    """End-to-end SemDeDup: each near-dup cluster keeps exactly its min
+    id; docs in no cluster pass through; kept + losers == corpus."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+        similarity as SIM,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.text_queries import (  # noqa: E501
+        ivf_index_for,
+    )
+
+    idx = ivf_index_for(spark, SF_SMOKE, n_assign=3)
+    pairs = SIM.semantic_dedup_pairs_fast(idx, threshold=0.35).select(
+        F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
+    )
+    comp = {r.doc_id: r.component for r in DD.connected_components(pairs).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    kept = {
+        r.doc_id
+        for r in DD.canonical_docs(
+            docs,
+            spark.createDataFrame(
+                list(comp.items()), "doc_id long, component long"
+            ),
+        ).collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    clustered = set(comp)
+    losers = {d for d, c in comp.items() if d != c}
+    # exactly the losers are dropped
+    assert kept == all_ids - losers
+    # each cluster's survivor is its min id
+    by_comp: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, []).append(d)
+    for c, members in by_comp.items():
+        assert min(members) == c
+        assert set(members) & kept == {c}
+    # sanity: some clustering actually happened on the fixture (at this
+    # threshold every fixture doc may appear in SOME pair, so only the
+    # loser set is guaranteed non-empty)
+    assert losers and clustered <= all_ids
