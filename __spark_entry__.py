@@ -198,6 +198,7 @@ _PRIORITY = [
     "docs_quality_deciles_approx",   # sketch twin of docs_quality_deciles (pytest bound)
     "stream_static_enrich",          # stream-static join: stream_windowed_counts family
     "ann_semantic_canonical",        # SemDeDup end-to-end composition: pieces all tested
+    "events_value_outliers_mad",     # median/MAD robust outliers: quantiles/rolling-dev family
 ]
 
 

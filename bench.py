@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "docs_hybrid_rrf",
     "ann_semantic_dedup",
     "docs_quality_deciles_approx",
+    "events_value_outliers_mad",
     # round-3 breadth: reshape + deterministic sampling + LM scoring
     "orders_status_pivot",
     "lineitem_unpivot",

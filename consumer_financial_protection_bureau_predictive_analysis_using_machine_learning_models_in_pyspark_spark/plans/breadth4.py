@@ -458,3 +458,65 @@ def ann_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivf_index_for(spark, sf_dir, n_assign=3)
     return SIM.semantic_dedup_pairs_fast(idx, threshold=0.15).orderBy("id1", "id2")
 
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_outliers_mad",
+    """
+WITH med AS (
+  SELECT user_id, median(CAST(value AS DOUBLE)) AS med
+  FROM events GROUP BY user_id
+),
+dev AS (
+  SELECT e.event_id, e.user_id, CAST(e.value AS DOUBLE) AS value, m.med,
+         abs(CAST(e.value AS DOUBLE) - m.med) AS dev
+  FROM events e JOIN med m USING (user_id)
+),
+mad AS (SELECT user_id, median(dev) AS mad FROM dev GROUP BY user_id)
+SELECT d.event_id, d.user_id, d.value, d.med, m.mad
+FROM dev d JOIN mad m USING (user_id)
+WHERE d.dev > 3 * m.mad
+ORDER BY d.event_id
+""",
+    "analytics", "outliers", "median", "mad",
+)
+def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection: |value − median| > 3·MAD — the
+    median/median-absolute-deviation rule that, unlike z-scores, is not
+    itself dragged by the outliers it hunts.
+
+    Numeric parity: Spark's and DuckDB's EXACT median agree bit-for-bit
+    (both interpolate even counts as (a+b)/2 in double; verified on the
+    fixture before this query was committed), and the remaining ops
+    (abs/sub/mult/compare) are correctly-rounded IEEE on identical
+    inputs, so no rounding discipline is needed anywhere.
+
+    Scale posture: two keyed aggregates (median, then MAD) and two keyed
+    joins back — the per-key exact median is a sort within the key's
+    partition, no global sort.  Exact median at extreme key cardinality
+    is the cost knob: swap approx_percentile(0.5) in (the
+    events_value_quantiles twin pattern) when keys hold billions of rows.
+    The dev lineage feeds two consumers, so events scans twice (narrow
+    columns; persist the dev projection to collapse if needed).
+    """
+    ev = _t(spark, sf_dir, "events")
+    val = F.col("value").cast("double")
+    med = ev.groupBy("user_id").agg(F.median(val).alias("med"))
+    dev = ev.join(med, "user_id").select(
+        "event_id",
+        "user_id",
+        val.alias("value"),
+        "med",
+        F.abs(val - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("user_id").agg(F.median("dev").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .filter(F.col("dev") > F.lit(3.0) * F.col("mad"))
+        .select("event_id", "user_id", "value", "med", "mad")
+        .orderBy("event_id")
+    )
+

@@ -429,3 +429,16 @@ def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
     # rows as the full-scan filter, from a fraction of the input
     full = ev.filter(F.col("event_date") == F.lit(one_day)).count()
     assert pruned.count() == full > 0
+
+
+@pytest.mark.parametrize("name", ["docs_bm25_rank", "docs_hybrid_rrf"])
+def test_retrieval_queries_no_cartesian_and_broadcast_stats(spark, name):
+    """The r4 retrieval stack must keep its scalar/df-side frames on the
+    broadcast path and never degenerate into a nested-loop join (the
+    1-row scalar crossJoin is the only permitted nested-loop, and only
+    with a broadcast build side)."""
+    plan = _physical(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # any nested-loop present must be a broadcast scalar, never shuffled
+    assert "ShuffledNestedLoopJoin" not in plan
