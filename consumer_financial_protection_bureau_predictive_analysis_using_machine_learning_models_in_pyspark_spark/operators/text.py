@@ -183,14 +183,13 @@ def unigram_logprob(
     Shape: explode once → per-(doc, term) counts (map-side combine absorbs
     repeats, so the shuffle carries distinct pairs, never raw length) →
     global term frequencies (vocab-sized — broadcast-joined back) → exact
-    decimal fold of tf·ln(p).  ln is rounded to 9 decimals before the
-    decimal cast so a ≤1-ulp libm divergence between engines almost
-    always rounds away.  NOT an absolute guarantee: a divergence landing
-    exactly on a 9th-decimal rounding boundary can still flip the last
-    retained digit (ADVICE r3) — measure-zero for real corpora, pinned
-    green on the committed fixtures by the oracle harness; if a future
-    fixture ever trips it, coarsen the rounding (e.g. 6 decimals) on BOTH
-    engines rather than chasing libm.
+    decimal fold of tf·ln(p).  ln is rounded to 6 decimals before the
+    decimal cast so a ≤1-ulp libm divergence between engines rounds
+    away: at 6 decimals the gap between the double result and the
+    nearest rounding boundary is ~1e9 ulps, so a last-bit libm
+    difference cannot flip the retained digit (the 9-decimal version of
+    this operator DID trip a boundary on one sf0.01 term — round-4
+    driver hash mismatch — which is why both engines now round at 6).
     Returns (doc_id, n_tokens, mean_logprob).
     """
     toks = df.select(id_col, F.explode(TF.tokens(text_col)).alias("_tok"))
@@ -202,9 +201,9 @@ def unigram_logprob(
         .select(
             "_tok",
             F.round(
-                F.log(F.col("_cnt").cast("double") / F.col("_total")), 9
+                F.log(F.col("_cnt").cast("double") / F.col("_total")), 6
             )
-            .cast("decimal(20,9)")
+            .cast("decimal(20,6)")
             .alias("_logp"),
         )
     )
@@ -214,15 +213,15 @@ def unigram_logprob(
         .agg(
             F.sum("_tf").cast("bigint").alias("n_tokens"),
             # tf must be a NARROW decimal before the multiply: bigint
-            # promotes to decimal(20,0), and (20,0)x(20,9) exceeds Spark's
-            # 38-digit cap, which silently cuts the product's scale to 6.
-            # (10,0)x(20,9) -> (31,9) keeps the fold exact.
+            # promotes to decimal(20,0), and a (20,0)x wide-decimal product
+            # exceeds Spark's 38-digit cap, which silently cuts the
+            # product's scale. (10,0)x(20,6) -> (31,6) keeps the fold exact.
             # The exact decimal sum is the oracle-checkable value: a
             # rounded MEAN can land exactly on a round-half boundary
             # (sum/2^k divisions preserve it), where engines' half-up vs
             # half-even tie-breaks disagree at the last emitted digit.
             F.sum(F.col("_tf").cast("decimal(10,0)") * F.col("_logp"))
-            .cast("decimal(30,9)")
+            .cast("decimal(30,6)")
             .alias("sum_logprob"),
             F.round(
                 F.sum(F.col("_tf").cast("decimal(10,0)") * F.col("_logp"))

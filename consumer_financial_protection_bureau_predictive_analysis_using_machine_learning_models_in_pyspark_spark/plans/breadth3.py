@@ -130,13 +130,13 @@ vocab AS (
 ),
 tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
 lp AS (
-  SELECT t, CAST(ROUND(ln(CAST(cnt AS DOUBLE) / total), 9)
-                 AS DECIMAL(20,9)) AS logp
+  SELECT t, CAST(ROUND(ln(CAST(cnt AS DOUBLE) / total), 6)
+                 AS DECIMAL(20,6)) AS logp
   FROM vocab, tot
 )
 SELECT tf.doc_id,
        CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-       CAST(SUM(tf.tf * lp.logp) AS DECIMAL(30,9)) AS sum_logprob
+       CAST(SUM(tf.tf * lp.logp) AS DECIMAL(30,6)) AS sum_logprob
 FROM tf JOIN lp ON tf.t = lp.t
 GROUP BY tf.doc_id
 ORDER BY tf.doc_id
