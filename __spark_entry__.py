@@ -38,62 +38,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # overflow slots hold near-twin queries whose operators are already covered
 # by an in-window sibling (each overflow entry names its covering twin).
 #
-# ROTATION (r4): the window rotates round-over-round so every proven query
-# eventually earns a driver row.  This round swaps in the 15-query r3
-# breadth pack (never driver-checked, all strict-local-oracle green in r3)
-# and rotates out 15 r3 driver-green entries whose operator families stay
-# represented in-window (each names its covering twin in the overflow
-# comments below).  q2/q3/q17 stay in-window deliberately: their broadcast
-# strategy changed this round (VERDICT r3 items 1-2) and the fix needs a
-# fresh driver row.
+# ROTATION (r5): the window rotates round-over-round so every proven query
+# eventually earns a driver row.  This round swaps in the 11-entry r4
+# breadth pack (never driver-checked; the 7 oracled ones are strict-local
+# green, the 4 rows-only ones are pytest-pinned) and rotates out 11 r4
+# driver-green entries whose operator families stay represented in-window
+# (each names its covering twin in the overflow comments below).
+# docs_unigram_logprob stays in-window deliberately: its ln(p) rounding was
+# coarsened 9→6 decimals after the r4 driver hash mismatch (VERDICT r4
+# item 1) and the fix needs a fresh driver row.
 _PRIORITY = [
     # complaints reference-parity core
     "complaints_clean",
     "complaints_flagship",
     "complaints_binary_metrics",
-    "complaints_monthly_trend",       # r4 window debut (r3 breadth pack)
     # sources / sinks / skew
     "complaints_json_clean",
     "sink_roundtrip_orders",
     "salted_lineitem_agg",
     "skewjoin_events_enrich",
-    # TPC-H shapes: q1 agg; q2/q3/q17 re-checked after the r4 broadcast
-    # fixes; plus the r3 relational-breadth shapes making their window
-    # debut (pivot, unpivot, SCD2, RFM, FULL OUTER)
+    # TPC-H shapes
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_top_unshipped_orders",
     "q17_small_quantity_revenue",
-    "orders_status_pivot",            # r4 window debut
-    "lineitem_unpivot",               # r4 window debut
-    "orders_scd2",                    # r4 window debut
-    "orders_rfm_segments",            # r4 window debut
-    "customer_halves_full_outer",     # r4 window debut
+    "q18_large_volume_customers",     # re-check: broadcast now runtime-gated (r5)
+    "lineitem_unpivot",
+    "orders_scd2",
     # relational / behavioral-analytics extensions
     "events_sessionize",
     "events_funnel",
     "events_cohort_retention",
-    "events_rolling_mean_dev",        # r4 window debut
-    "events_value_histogram",         # r4 window debut
-    "events_active_users",            # r4 window debut
+    "events_value_outliers_mad",      # r5 window debut (r4 breadth pack)
+    "events_active_users_approx",     # r5 window debut (rows-only: HLL sketch)
     # text analysis + training-data pipeline
     "docs_tfidf_keywords",
     "docs_filter_chain",
     "docs_decontaminate",
     "docs_chunk",
     "docs_token_budget_sample",
-    "docs_domain_mix",
-    "docs_stratified_sample",         # r4 window debut
-    "docs_weighted_sample",           # r4 window debut
-    "docs_unigram_logprob",           # r4 window debut
-    "docs_boilerplate_spans",         # r4 window debut
+    "docs_weighted_sample",
+    "docs_unigram_logprob",           # re-check after 9→6 decimal fix (r5)
+    "docs_temperature_mix",           # r5 window debut
+    "docs_quality_deciles",           # r5 window debut
+    "docs_quality_deciles_approx",    # r5 window debut (rows-only: sketch twin)
+    "docs_pack_manifest",             # r5 window debut
+    "docs_bm25_rank",                 # r5 window debut
+    "docs_hybrid_rrf",                # r5 window debut
     # dedup family
     "dedup_minhash_lsh",
     "dedup_incremental",
     # similarity / ANN / entity resolution
     "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_range_search",               # r4 window debut
+    "ann_ivf_prebuilt_topk",          # r5 window debut (rows-only: MLlib vectors)
+    "ann_semantic_canonical",         # r5 window debut (rows-only: IVF cells)
+    "ann_range_search",
     "er_fuzzy_part_match",
     # multimodal
     "media_meta_stats",
@@ -103,14 +102,25 @@ _PRIORITY = [
     "stream_dedup_events",
     "stream_running_user_stats",
     "stream_click_purchase_join",
-    "stream_minute_rollup",           # r4 window debut (rows-only by design)
+    "stream_static_enrich",           # r5 window debut
     # ML pipelines (slowest — end of the window)
     "ml_timely_lr",
     "ml_response_dt",
     "ml_timely_lr_tuned",
     "ml_lda_topics_em",
     # ---- window boundary (~50) ----  overflow: operator covered by twin
-    "q18_large_volume_customers",    # rotated out r4 (driver-green r3); HAVING semi-reduction: q17 in-window
+    "complaints_monthly_trend",      # rotated out r5 (driver-green r4); F1 date parts: complaints reference core + events windows
+    "orders_status_pivot",           # rotated out r5 (green r4); reshape family: lineitem_unpivot in-window
+    "orders_rfm_segments",           # rotated out r5 (green r4); NTILE family: docs_quality_deciles in-window
+    "customer_halves_full_outer",    # rotated out r5 (green r4); FULL OUTER: docs_hybrid_rrf fuse in-window
+    "events_rolling_mean_dev",       # rotated out r5 (green r4); rolling deviation: events_value_outliers_mad in-window
+    "events_value_histogram",        # rotated out r5 (green r4); bucket fold: docs_quality_deciles_approx in-window
+    "events_active_users",           # rotated out r5 (green r4); exact twin of in-window events_active_users_approx
+    "docs_domain_mix",               # rotated out r5 (green r4); mixture family: docs_temperature_mix in-window
+    "docs_stratified_sample",        # rotated out r5 (green r4); hash-rank sampling: docs_weighted_sample in-window
+    "docs_boilerplate_spans",        # rotated out r5 (green r4); cross-doc gram agg: docs_bm25_rank explode+agg in-window
+    "ann_ivf_topk",                  # rotated out r5 (rows r4); fit-included twin of in-window ann_ivf_prebuilt_topk
+    "stream_minute_rollup",          # rotated out r5 (rows r4); foreachBatch rollup: stream family in-window
     "q21_waiting_suppliers",         # rotated out r4 (green r3); anti/semi family: q17 + orders_scd2 windows
     "q5_local_supplier_volume",      # rotated out r4 (green r3); star join: q1/q2 in-window
     "q7_volume_shipping",            # rotated out r4 (green r3); star rollup: q2 join ladder
@@ -185,20 +195,7 @@ _PRIORITY = [
     "docs_language_id",              # text family: docs_token_stats etc.
     "docs_fingerprints",             # text family: docs_token_stats etc.
     "dedup_simhash",                 # dedup family: minhash/jaccard twins
-    # r4 additions (rows-only twins of in-window oracle-checked queries)
-    "ann_ivf_prebuilt_topk",         # split-lifecycle twin of ann_ivf_topk (pytest equality pin)
-    "events_active_users_approx",    # HLL twin of events_active_users (pytest error bound)
-    # r4 breadth pack (oracle-green locally; window candidates for r5)
-    "docs_temperature_mix",          # share^alpha mixture: docs_domain_mix/weighted_sample family
-    "docs_quality_deciles",          # NTILE curriculum: orders_rfm_segments NTILE family
-    "docs_pack_manifest",            # ordered-bin manifest: docs_pack_bins window family
-    "docs_bm25_rank",                # BM25 retrieval: docs_tfidf_keywords explode+agg family
-    "docs_hybrid_rrf",               # RRF fusion of bm25+cosine ranks: both inputs in-window
-    "ann_semantic_dedup",            # SemDeDup via IVF cells: rows-only, pytest recall floor
-    "docs_quality_deciles_approx",   # sketch twin of docs_quality_deciles (pytest bound)
-    "stream_static_enrich",          # stream-static join: stream_windowed_counts family
-    "ann_semantic_canonical",        # SemDeDup end-to-end composition: pieces all tested
-    "events_value_outliers_mad",     # median/MAD robust outliers: quantiles/rolling-dev family
+    "ann_semantic_dedup",            # SemDeDup pair scoring: in-window ann_semantic_canonical composes it
 ]
 
 

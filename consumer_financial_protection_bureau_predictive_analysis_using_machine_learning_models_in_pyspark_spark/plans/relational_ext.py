@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import sampling, windows as W
+from ..operators import sampling, skew, windows as W
 from ..sources import fixtures, readers
 from ..streaming import windows as SW
 from .catalog import _CLEANED_CTE, _cleaned, _t, register
@@ -456,6 +456,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gate for q18's HAVING-survivor broadcast: ~1.5 M keys at SF 100k under
+# the TPC-H qty distribution, a few MB of long keys — comfortably under a
+# driver's broadcast budget.  None disables the hint entirely.
+Q18_BROADCAST_MAX_ORDERS: int | None = 4_000_000
+
+
 @register(
     "q18_large_volume_customers",
     """
@@ -479,9 +485,18 @@ LIMIT 100
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: aggregate-filter (HAVING) feeding a join — the
-    semi-join-reduction benchmark.  The `big` order-key set is tiny after
-    the HAVING cut, so it broadcasts and lineitem is scanned exactly twice
-    (once to find big orders, once to total them) with no wide shuffle."""
+    semi-join-reduction benchmark.  The HAVING sum(qty) > 300 cut keeps
+    ~1e-5 of orders (TPC-H qty distribution), so the `big` key set is a
+    few MB even at SF 100k — but that bound is DATA-dependent, so the
+    broadcast hint is runtime-gated through ``skew.broadcast_if_bounded``
+    (the unified r4 gate, same discipline as q17/canonical_docs) rather
+    than asserted: the survivor set is persisted (it is tiny by the
+    HAVING contract), counted, and hinted only under
+    ``Q18_BROADCAST_MAX_ORDERS``.  The count materializes the cached agg,
+    so lineitem is still scanned exactly twice overall (once to find big
+    orders — reused from cache by the main job — once to total them);
+    over the threshold the frame is left unhinted and AQE picks the join
+    strategy from runtime sizes."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -490,8 +505,13 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey").agg(qty.alias("q")).filter(F.col("q") > 300)
         .select("l_orderkey")
     )
+    if Q18_BROADCAST_MAX_ORDERS is not None:
+        big = big.persist()
+        big = skew.broadcast_if_bounded(
+            big, big.count(), Q18_BROADCAST_MAX_ORDERS
+        )
     return (
-        F.broadcast(big)
+        big
         .join(o, o.o_orderkey == big.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
         .join(l.alias("l2"), F.col("l2.l_orderkey") == o.o_orderkey)

