@@ -196,6 +196,8 @@ _PRIORITY = [
     "docs_fingerprints",             # text family: docs_token_stats etc.
     "dedup_simhash",                 # dedup family: minhash/jaccard twins
     "ann_semantic_dedup",            # SemDeDup pair scoring: in-window ann_semantic_canonical composes it
+    # r5 additions (rows-only twins of in-window oracle-checked queries)
+    "events_value_outliers_mad_approx",  # sketch twin of in-window events_value_outliers_mad (pytest Jaccard pin)
 ]
 
 

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "ann_semantic_canonical",
     "docs_quality_deciles_approx",
     "events_value_outliers_mad",
+    "events_value_outliers_mad_approx",
     "events_active_users_approx",
     "stream_static_enrich",
     # round-3 breadth: reshape + deterministic sampling + LM scoring

@@ -368,8 +368,11 @@ def sample_token_budget(
     )
 
 
-# latest persisted gram frame; see boilerplate_spans docstring (ADVICE r3)
-_BOILERPLATE_LAST_GRAMS: DataFrame | None = None
+# per-session latest persisted gram frame; see boilerplate_spans docstring
+# (ADVICE r3/r4).  Keyed by SparkSession so one session's eviction can
+# never touch another's cache; the lock makes concurrent builders safe.
+_BOILERPLATE_LAST_GRAMS: dict[int, DataFrame] = {}
+_BOILERPLATE_LOCK = __import__("threading").Lock()
 
 
 def boilerplate_spans(
@@ -378,6 +381,7 @@ def boilerplate_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    evict_previous: bool = True,
 ) -> DataFrame:
     """Cross-document repeated-span detection: the fraction of each
     document made of word n-grams that appear in >= ``min_docs`` DISTINCT
@@ -396,10 +400,14 @@ def boilerplate_spans(
     the tokenize+shingle CPU runs once, not three times (3.4× measured at
     sf0.1 — the same pattern as MinHash's persisted shingles).  Because
     the returned frame is lazy, the builder cannot unpersist after its
-    own action; instead each invocation unpersists the PREVIOUS
-    invocation's gram frame (module-level holder), so repeated catalog /
-    bench / driver runs hold at most one cached gram frame at a time
-    instead of accumulating for the session's lifetime (ADVICE r3).
+    own action.  Lifetime control (ADVICE r3/r4): the persisted handle is
+    ATTACHED to the returned frame as ``.boilerplate_grams`` so the
+    caller owns it (``out.boilerplate_grams.unpersist()`` when done);
+    as a convenience for repeated catalog/bench/driver runs, each
+    invocation also evicts the SAME session's previous gram frame (a
+    per-session holder behind a lock — never another session's, never
+    racing a concurrent builder).  A caller still consuming an earlier
+    result passes ``evict_previous=False`` to keep that cache live.
 
     Returns (doc_id, n_grams, n_boilerplate, boilerplate_fraction); docs
     shorter than ``n`` tokens have 0 grams and fraction 0.0.
@@ -410,12 +418,6 @@ def boilerplate_spans(
     # dedup.shingle_hashes): shingling directly over the tokens expression
     # inlines the split regex into every element_at — n+2 splits per row,
     # ~18x slower measured at sf0.1.
-    global _BOILERPLATE_LAST_GRAMS
-    if _BOILERPLATE_LAST_GRAMS is not None:
-        try:
-            _BOILERPLATE_LAST_GRAMS.unpersist(blocking=False)
-        except Exception:
-            pass  # prior frame's session already stopped
     grams = (
         docs.select(id_col, TF.tokens(text_col).alias("_toks"))
         .select(
@@ -424,7 +426,15 @@ def boilerplate_spans(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _BOILERPLATE_LAST_GRAMS = grams
+    skey = id(docs.sparkSession)
+    with _BOILERPLATE_LOCK:
+        prev = _BOILERPLATE_LAST_GRAMS.pop(skey, None) if evict_previous else None
+        _BOILERPLATE_LAST_GRAMS[skey] = grams
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # prior frame's session already stopped
     gram_df = (
         grams.filter(F.col("_g").isNotNull())
         .groupBy("_g")
@@ -439,7 +449,7 @@ def boilerplate_spans(
         .cast("bigint")
         .alias("n_grams")
     )
-    return (
+    out = (
         totals.join(per_doc, id_col, "left")
         .na.fill({"n_boilerplate": 0})
         .select(
@@ -454,3 +464,5 @@ def boilerplate_spans(
             .alias("boilerplate_fraction"),
         )
     )
+    out.boilerplate_grams = grams  # caller-owned cache handle (ADVICE r4)
+    return out

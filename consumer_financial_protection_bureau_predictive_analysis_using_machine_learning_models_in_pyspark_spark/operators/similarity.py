@@ -595,16 +595,20 @@ def semantic_dedup_pairs_fast(
     measure-zero; the fixture equality with the exact path is pinned in
     tests).  Cell sizes are bounded by the quantizer (cells ≈ n/n_cells
     × n_assign), so per-task memory is the cell matrix, not the corpus.
-    """
-    from collections.abc import Iterator  # noqa: F401  (doc parity w/ fast path)
 
+    id1/id2 inherit the index's id type (long ids stay long, string ids
+    stay string — ADVICE r4; the pandas worker never forces a dtype, and
+    the ``<`` dedup ordering follows that type's natural order in both
+    the numpy comparison here and the expression path's Column ``<``).
+    """
     import numpy as np
     import pandas as pd
 
     thr = float(threshold)
+    id_type = index.assigned.schema["neighbor_id"].dataType.simpleString()
 
     def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["neighbor_id"].to_numpy(np.int64)
+        ids = g["neighbor_id"].to_numpy()  # keep the source dtype
         m = np.array(list(g["vec"]), dtype=np.float64)
         s = m @ m.T
         i, j = np.where(s >= thr)
@@ -619,6 +623,7 @@ def semantic_dedup_pairs_fast(
         )
 
     out = index.assigned.groupBy("cell").applyInPandas(
-        lambda _key, g: cell_pairs(g), "id1 long, id2 long, cosine double"
+        lambda _key, g: cell_pairs(g),
+        f"id1 {id_type}, id2 {id_type}, cosine double",
     )
     return out.groupBy("id1", "id2").agg(F.min("cosine").alias("cosine"))

@@ -285,10 +285,16 @@ def bm25_rank(
     these are two passes over the narrow text column (cheap scans; at
     100 TB persist the exploded frame or pre-compute dl as a stored
     column to collapse them); df_t and the (N, Σdl) scalars ride along
-    as broadcast frames and text itself never shuffles.  The per-term scores fold through DECIMAL(20,12) so the
-    cross-term sum is order-independent; ln carries the usual ≤1-ulp
-    libm caveat (measure-zero at the 12-decimal cut).  Top-k by
-    (score desc, id) is deterministic.
+    as broadcast frames and text itself never shuffles.  The per-term
+    scores fold through DECIMAL(20,12) so the cross-term sum is
+    order-independent; ln carries the usual ≤1-ulp libm caveat
+    (measure-zero at the 12-decimal cut).  Top-k by (score desc, id) is
+    deterministic and runs as orderBy+limit — Spark's
+    TakeOrderedAndProject, a per-partition local top-k merged at the
+    driver — NOT an unpartitioned ranking window, which would funnel
+    every doc matching any query term into one task (scale-linear for
+    common terms; ADVICE r4).  Only the k survivors see the row_number
+    window that materializes their rank.
     """
     from pyspark.sql import Window
 
@@ -325,8 +331,9 @@ def bm25_rank(
         .withColumn("_term_dec", term_score.cast("decimal(20,12)"))
         .groupBy(id_col)
         .agg(F.sum("_term_dec").alias("_score_dec"))
+        .orderBy(F.col("_score_dec").desc(), F.col(id_col))
+        .limit(k)  # TakeOrderedAndProject: distributed local top-k + merge
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
         .select(
             id_col,
             F.round(F.col("_score_dec").cast("double"), 6).alias("bm25"),

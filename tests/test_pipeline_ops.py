@@ -498,3 +498,53 @@ def test_ivf_prebuilt_twin_matches_fit_included(spark):
     assert pre2 == pre1
     assert idx_a is idx_b, "index was rebuilt instead of cache-served"
     assert idx_a.assigned.storageLevel.useMemory or idx_a.assigned.storageLevel.useDisk
+
+
+def test_ivf_cache_release_and_session_affinity(spark):
+    """VERDICT r4 item 5 / ADVICE r4: repeated invocations must not
+    accumulate persisted blocks (one cached frame per key, evictable),
+    and a cache entry from a foreign session must be rebuilt, not served."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        text_queries as TQ,
+    )
+
+    TQ.ivf_index_release()
+    assert not TQ._IVF_CACHE
+
+    def n_persisted() -> int:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return jmap.size()
+
+    base = n_persisted()
+    for _ in range(3):
+        TQ.ivf_index_for(spark, SF_SMOKE)
+    assert n_persisted() == base + 1, "repeat invocations accumulated blocks"
+
+    # release evicts and unpersists
+    assert TQ.ivf_index_release(SF_SMOKE) == 1
+    assert n_persisted() == base
+    assert not TQ._IVF_CACHE
+
+    # a cache entry bound to another session object is dropped and rebuilt
+    idx = TQ.ivf_index_for(spark, SF_SMOKE)
+
+    class _NotThisSession:
+        pass
+
+    key = (SF_SMOKE, 8, 2)
+    cached = TQ._IVF_CACHE[key]
+    assert cached is idx
+
+    class _ForeignFrame:
+        sparkSession = _NotThisSession()
+
+        def unpersist(self):
+            raise RuntimeError("dead session")
+
+    class _ForeignIdx:
+        assigned = _ForeignFrame()
+
+    TQ._IVF_CACHE[key] = _ForeignIdx()
+    rebuilt = TQ.ivf_index_for(spark, SF_SMOKE)
+    assert rebuilt is not idx and rebuilt.assigned.sparkSession is spark
+    TQ.ivf_index_release()
