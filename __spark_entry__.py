@@ -198,6 +198,7 @@ _PRIORITY = [
     "ann_semantic_dedup",            # SemDeDup pair scoring: in-window ann_semantic_canonical composes it
     # r5 additions (rows-only twins of in-window oracle-checked queries)
     "events_value_outliers_mad_approx",  # sketch twin of in-window events_value_outliers_mad (pytest Jaccard pin)
+    "ann_semantic_dedup_incremental",    # incremental-ingest twin of ann_semantic_canonical (pytest recall pin)
 ]
 
 

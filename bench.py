@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "docs_hybrid_rrf",
     "ann_semantic_dedup",
     "ann_semantic_canonical",
+    "ann_semantic_dedup_incremental",
     "docs_quality_deciles_approx",
     "events_value_outliers_mad",
     "events_value_outliers_mad_approx",

@@ -514,6 +514,23 @@ def ivf_ann_topk(
     )
 
 
+def _dot_double_unrolled(a: str | Column, b: str | Column, dim: int) -> Column:
+    """Native-double dot product as an EXPLICIT per-element product sum,
+    not a higher-order aggregate: HOF lambdas run interpreted per element,
+    while the unrolled expression stays inside whole-stage codegen (~25×
+    measured on the 2.2M-candidate sf0.1 self-join); the caller's codebook
+    or schema fixes ``dim``."""
+    terms = [
+        F.element_at(a, i + 1).cast("double")
+        * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    dot = terms[0]
+    for t in terms[1:]:
+        dot = dot + t
+    return dot
+
+
 def semantic_dedup_pairs(
     index: IvfIndex,
     threshold: float = 0.15,
@@ -543,20 +560,9 @@ def semantic_dedup_pairs(
     # DECIMAL fold runs only on survivors.  Lossless: per-element products
     # are exact (float32 inputs in double), so the double sum is within
     # ~dim ulp (< 1e-13 here) of the decimal value — a 1e-9 margin cannot
-    # drop a qualifying pair, and the exact filter still decides.  The
-    # prefilter is an EXPLICIT per-element product sum, not a higher-order
-    # aggregate: HOF lambdas run interpreted per element, while the
-    # unrolled expression stays inside whole-stage codegen (~25× measured
-    # on the 2.2M-candidate sf0.1 self-join); the codebook fixes dim.
+    # drop a qualifying pair, and the exact filter still decides.
     dim = len(index.centroids[0])
-    terms = [
-        F.element_at("vec1", i + 1).cast("double")
-        * F.element_at("vec2", i + 1).cast("double")
-        for i in range(dim)
-    ]
-    dot_dbl = terms[0]
-    for t in terms[1:]:
-        dot_dbl = dot_dbl + t
+    dot_dbl = _dot_double_unrolled("vec1", "vec2", dim)
     return (
         a.join(b, "cell")
         .filter(F.col("id1") < F.col("id2"))
@@ -627,3 +633,109 @@ def semantic_dedup_pairs_fast(
         f"id1 {id_type}, id2 {id_type}, cosine double",
     )
     return out.groupBy("id1", "id2").agg(F.min("cosine").alias("cosine"))
+
+
+def semantic_dedup_incremental(
+    index: IvfIndex,
+    batch: DataFrame,
+    threshold: float = 0.35,
+    n_probe_cells: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    canonical_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Steady-state SemDeDup: triage a NEW embedding batch against an
+    existing, already-deduplicated canonical corpus — the semantic twin
+    of :func:`pipeline.incremental_dedup`'s fingerprint triage, closing
+    the incremental-ingest gap (re-running full-corpus SemDeDup per
+    ingest re-pays O(Σ c_i²) on the whole corpus; this pays it on the
+    batch's candidate cells only).
+
+    Returns (doc_id, status) for every batch document:
+
+    - ``dup_of_corpus`` — within ``threshold`` cosine of a canonical
+      corpus vector reachable through the batch vector's
+      ``n_probe_cells`` nearest IVF cells;
+    - ``dup_in_batch``  — novel vs the corpus, but in a near-dup
+      component of this batch whose min-id representative is another
+      batch doc;
+    - ``kept``          — novel: the doc to append to the canonical set.
+
+    Shape: the batch assigns to its probe cells with the same
+    shuffle-free codebook fold the index used (no KMeans re-fit — the
+    quantizer is the persisted offline artifact), broadcasts (an ingest
+    batch is small BY CONTRACT, exactly like ``ivf_query``'s probe set),
+    and equi-joins the index on cell, so corpus candidates are its cells'
+    members only — the corpus itself never reshuffles, and with
+    ``canonical_ids`` the corpus side semi-join-reduces to canonical
+    members before scoring.  In-batch near-dup components are computed
+    over batch-vs-batch pairs among corpus-novel docs only (a
+    batch-sized graph), mirroring incremental_dedup's rank-within-batch
+    step.  Scoring is the codegen'd unrolled double dot (membership at
+    the exact threshold boundary follows float64 — same contract as the
+    BLAS fast path; rows-only, so no cross-engine decimal discipline is
+    needed).  Agreement with full-corpus batch SemDeDup on a two-batch
+    fixture is pinned in tests/test_round5.py.
+    """
+    from . import dedup as DD
+
+    dim = len(index.centroids[0])
+    corpus = index.assigned
+    if canonical_ids is not None:
+        keep_col = canonical_ids.columns[0]
+        corpus = corpus.join(
+            F.broadcast(canonical_ids.select(F.col(keep_col).alias("neighbor_id"))),
+            "neighbor_id",
+            "left_semi",
+        )
+    pb = batch.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pvec"),
+        F.explode(
+            _top_cells(F.col(vec_col), index.centroids, n_probe_cells)
+        ).alias("cell"),
+    )
+    thr = F.lit(float(threshold))
+    corpus_hits = (
+        corpus.join(F.broadcast(pb), "cell")
+        .filter(_dot_double_unrolled("pvec", "vec", dim) >= thr)
+        .select("probe_id")
+        .distinct()
+    )
+    novel = pb.join(corpus_hits, "probe_id", "left_anti")
+    a = novel.select(
+        F.col("probe_id").alias("doc_a"), F.col("pvec").alias("va"), "cell"
+    )
+    b = novel.select(
+        F.col("probe_id").alias("doc_b"), F.col("pvec").alias("vb"), "cell"
+    )
+    batch_pairs = (
+        a.join(b, "cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(_dot_double_unrolled("va", "vb", dim) >= thr)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    comp = DD.connected_components(batch_pairs)
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(
+            corpus_hits.select(
+                F.col("probe_id").alias("doc_id"),
+                F.lit("dup_of_corpus").alias("_s1"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            comp.filter(F.col("doc_id") != F.col("component")).select(
+                "doc_id", F.lit("dup_in_batch").alias("_s2")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_s1"), F.col("_s2"), F.lit("kept")).alias("status"),
+        )
+    )

@@ -565,3 +565,52 @@ def events_value_outliers_mad_approx(spark: SparkSession, sf_dir: str) -> DataFr
         .select("event_id", "user_id", "value", "med", "mad")
         .orderBy("event_id")
     )
+
+
+@register(
+    "ann_semantic_dedup_incremental", None,
+    "similarity", "dedup", "semdedup", "incremental",
+)
+def ann_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup — the steady-state ingest flow
+    (operators.similarity.semantic_dedup_incremental): the corpus is the
+    already-deduplicated 80% slice (vec_id % 5 != 0: its prebuilt IVF
+    index + SemDeDup canonical set stand for yesterday's artifacts), and
+    the 20% slice arrives as today's batch, scored ONLY against its probe
+    cells' canonical members — never the whole corpus, never a re-fit of
+    the quantizer.  Returns per-status batch counts
+    (dup_of_corpus / dup_in_batch / kept).
+
+    Rows-only: the KMeans codebook upstream is not SQL-expressible.
+    Deterministic for the fixed seed; agreement with full-corpus batch
+    SemDeDup on the same split is pinned in tests/test_round5.py.
+    """
+    from ..operators import dedup as DD
+    from .text_queries import ivf_index_for
+
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    idx = ivf_index_for(
+        spark, sf_dir, n_assign=3, where="pmod(vec_id, 5) != 0"
+    )
+    pairs = SIM.semantic_dedup_pairs_fast(idx, threshold=0.35).select(
+        F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
+    )
+    losers = (
+        DD.connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("component"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    canon = (
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+        .select("vec_id")
+        .join(losers, "vec_id", "left_anti")
+    )
+    st = SIM.semantic_dedup_incremental(
+        idx, batch, threshold=0.35, canonical_ids=canon
+    )
+    return (
+        st.groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("status")
+    )

@@ -509,8 +509,12 @@ def ivf_index_for(
     sf_dir: str,
     n_cells: int = 8,
     n_assign: int = 2,
+    where: str | None = None,
 ) -> object:
-    key = (sf_dir, n_cells, n_assign)
+    """``where`` (a SQL predicate over the embeddings table) scopes the
+    index to a corpus subset — e.g. the "existing corpus" half of the
+    incremental-ingest entries; it participates in the cache key."""
+    key = (sf_dir, n_cells, n_assign, where)
     idx = _IVF_CACHE.get(key)
     if idx is not None and idx.assigned.sparkSession is not spark:
         # built under a different (possibly stopped) session: its persisted
@@ -521,6 +525,8 @@ def ivf_index_for(
         from pyspark import StorageLevel
 
         emb = _t(spark, sf_dir, "embeddings")
+        if where is not None:
+            emb = emb.filter(where)
         idx = SIM.ivf_build(emb, n_cells=n_cells, n_assign=n_assign)
         idx.assigned = idx.assigned.persist(StorageLevel.MEMORY_AND_DISK)
         idx.assigned.count()  # materialize: the "index is on disk" contract

@@ -531,7 +531,7 @@ def test_ivf_cache_release_and_session_affinity(spark):
     class _NotThisSession:
         pass
 
-    key = (SF_SMOKE, 8, 2)
+    key = (SF_SMOKE, 8, 2, None)
     cached = TQ._IVF_CACHE[key]
     assert cached is idx
 
