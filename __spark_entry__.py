@@ -199,6 +199,8 @@ _PRIORITY = [
     # r5 additions (rows-only twins of in-window oracle-checked queries)
     "events_value_outliers_mad_approx",  # sketch twin of in-window events_value_outliers_mad (pytest Jaccard pin)
     "ann_semantic_dedup_incremental",    # incremental-ingest twin of ann_semantic_canonical (pytest recall pin)
+    "ann_recall_eval",               # oracled recall@5 of LSH vs exact baseline (both CTEs already oracled)
+    "ann_int8_rerank_topk",          # quantized shortlist + exact re-rank (pytest equality pin vs ann_cosine_topk)
 ]
 
 

@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_prebuilt_topk",
     "ann_range_search",
+    "ann_recall_eval",
+    "ann_int8_rerank_topk",
     # round-4 breadth: temperature mixture + curriculum + manifest
     "docs_temperature_mix",
     "docs_quality_deciles",

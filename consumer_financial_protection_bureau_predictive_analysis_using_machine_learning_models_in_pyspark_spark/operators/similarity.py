@@ -739,3 +739,172 @@ def semantic_dedup_incremental(
             F.coalesce(F.col("_s1"), F.col("_s2"), F.lit("kept")).alias("status"),
         )
     )
+
+
+def recall_at_k(
+    predicted: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    probe_col: str = "probe_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Retrieval evaluation: per-probe recall@k of ``predicted`` against
+    ``truth`` (both in the (probe_id, neighbor_id, rank) shape every
+    top-k operator here emits) — the metric that closes the ANN loop:
+    every approximate index (LSH, IVF, int8) is only as good as its
+    measured recall against the exact baseline.
+
+    Both sides cut to rank <= k first (so a caller can pass deeper lists
+    without skewing the denominator); hits are a semi-join on the
+    (probe, neighbor) pair — two narrow keyed aggregates and one keyed
+    join, no vectors move at all.
+    Returns (probe_id, n_truth, n_hit, recall).
+    """
+    t = truth.filter(F.col("rank") <= k).select(probe_col, neighbor_col)
+    p = predicted.filter(F.col("rank") <= k).select(probe_col, neighbor_col)
+    hits = (
+        t.join(p, [probe_col, neighbor_col], "left_semi")
+        .groupBy(probe_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    denom = t.groupBy(probe_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    return (
+        denom.join(hits, probe_col, "left")
+        .na.fill({"n_hit": 0})
+        .select(
+            probe_col,
+            "n_truth",
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale = max|x|/127,
+    q_i = round(x_i/scale) ∈ [-127, 127] — the standard 4× index-size
+    reduction (FAISS SQ8) that keeps ANN shortlists cheap at 100 TB:
+    the quantized frame IS the serving artifact; full-precision vectors
+    stay in the base table and are fetched only for re-ranking.
+
+    HOF transform runs interpreted, but quantization is the offline
+    build step (once per corpus version), not the query path — the same
+    justification as ivf_build's codebook fold.
+    Returns (id_col, qvec array<tinyint>, qscale double).
+    """
+    v = F.col(vec_col)
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0)
+    )
+    return (
+        df.withColumn("_s", scale)
+        .select(
+            F.col(id_col),
+            F.transform(
+                v,
+                lambda x: F.round(x.cast("double") / F.col("_s")).cast(
+                    "tinyint"
+                ),
+            ).alias("qvec"),
+            F.col("_s").cast("double").alias("qscale"),
+        )
+    )
+
+
+def cosine_topk_int8_rerank(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized shortlist, full-precision re-rank —
+    the production memory/accuracy trade (FAISS SQ8 + refine).
+
+    Stage 1 scans only the quantized corpus (4× smaller than float32 —
+    at 100 TB that is the difference between an in-memory and a spilled
+    index) and scores with an integer dot UNROLLED into whole-stage
+    codegen (int multiplies, one double rescale at the end), keeping the
+    per-probe top ``shortlist`` ids.  Stage 2 fetches ONLY those
+    shortlist×|probes| full-precision vectors by id (a semi-reduced join
+    against the base table — the corpus itself never reshuffles) and
+    re-ranks with the exact decimal dot, so the final top-k ORDER is
+    exact for every true neighbor the shortlist caught; recall vs the
+    exact baseline is pinned in pytest (1.0 on the fixture at
+    shortlist=4k).
+    Returns (probe_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(probes.select(vec_col).first()[0])
+    cq = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("cq"),
+        F.col("qscale").alias("cs"),
+    )
+    pq = quantize_embeddings(probes, id_col, vec_col).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("qvec").alias("pq"),
+        F.col("qscale").alias("ps"),
+    )
+    iterms = [
+        F.element_at("cq", i + 1).cast("int")
+        * F.element_at("pq", i + 1).cast("int")
+        for i in range(dim)
+    ]
+    idot = iterms[0]
+    for t in iterms[1:]:
+        idot = idot + t
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    short = (
+        cq.join(F.broadcast(pq), F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (idot.cast("double") * F.col("cs") * F.col("ps")).alias("qdot"),
+        )
+        .withColumn("_srank", F.row_number().over(w))
+        .filter(F.col("_srank") <= shortlist)
+        .select("probe_id", "neighbor_id")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    pfull = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.col("dot_dec").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.join(full, "neighbor_id")
+        .join(F.broadcast(pfull), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            dot_decimal(F.col("probe_vec"), F.col("vec")).alias("dot_dec"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(F.col("dot_dec").cast("double"), 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

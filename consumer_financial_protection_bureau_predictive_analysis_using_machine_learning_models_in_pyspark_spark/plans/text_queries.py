@@ -784,3 +784,100 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle."""
     pairs = DD.minhash_dedup_pairs(spark, _aug(spark, sf_dir), threshold=0.5)
     return DD.connected_components_star(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation + quantized serving (round 5)
+# ---------------------------------------------------------------------------
+
+_LSH_TOPK_CTES = f"""
+bucketed AS (
+  SELECT vec_id, embedding,
+         {{bucket_expr}} AS bucket
+  FROM embeddings
+),
+lpairs AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         SUM(CAST(CAST(p.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(20,15))) AS dot_dec
+  FROM bucketed p
+  JOIN bucketed e ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+  WHERE p.vec_id < 10
+  GROUP BY p.vec_id, e.vec_id
+),
+lsh AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY dot_dec DESC, neighbor_id) AS rank
+    FROM lpairs
+  ) r WHERE rank <= 5
+),
+epairs AS ({_ANN_DOT}),
+exact AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY dot_dec DESC, neighbor_id) AS rank
+    FROM epairs
+  ) r WHERE rank <= 5
+)
+""".strip()
+
+
+@register(
+    "ann_recall_eval",
+    "WITH "
+    + _LSH_TOPK_CTES.format(bucket_expr=_hyperplane_sql(_DIM, 8, "embedding"))
+    + """
+SELECT e.probe_id,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS recall
+FROM exact e
+LEFT JOIN lsh l
+  ON e.probe_id = l.probe_id AND e.neighbor_id = l.neighbor_id
+GROUP BY e.probe_id
+ORDER BY e.probe_id
+""",
+    "similarity", "ann", "eval", "recall",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a first-class query: per-probe
+    recall@5 of the LSH index against the exact brute-force baseline
+    (operators.similarity.recall_at_k) — the measurement loop every
+    approximate index in this engine is tuned by, here oracle-checked
+    end-to-end because both sides' rankings are decimal-exact.
+
+    Scale: the eval joins two (probe, neighbor, rank) lists that are
+    k-bounded per probe — the expensive parts are the retrievals
+    themselves; the metric adds two keyed aggregates over ≤ k·|probes|
+    rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    pred = SIM.lsh_ann_topk(emb, probes, dim=_DIM, k=5, n_planes=8)
+    truth = SIM.cosine_topk(emb, probes, k=5)
+    return SIM.recall_at_k(pred, truth, k=5).orderBy("probe_id")
+
+
+@register(
+    "ann_int8_rerank_topk", None,
+    "similarity", "ann", "quantized", "rerank",
+)
+def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage serving: int8-quantized shortlist (4× smaller scan) +
+    exact decimal re-rank of the shortlist only
+    (operators.similarity.cosine_topk_int8_rerank).  Rows-only: the
+    tinyint rounding boundary is engine-specific; top-5 equality with
+    the oracle-checked exact baseline is pinned in tests/test_round5.py
+    (recall 1.0 on the fixture at shortlist=20)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        SIM.cosine_topk_int8_rerank(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=20, dim=_DIM
+        )
+        .orderBy("probe_id", "rank")
+    )

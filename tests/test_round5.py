@@ -144,6 +144,57 @@ def test_incremental_semdedup_two_batch_fixture(spark):
     assert jac >= 0.7, f"keep-set drift vs batch mode: jaccard {jac:.3f}"
 
 
+def test_int8_rerank_matches_exact_topk(spark):
+    """The quantized-shortlist + exact-re-rank path must return the exact
+    baseline's top-5 verbatim on the fixture (shortlist=20 absorbs the
+    int8 approximation error entirely — the re-rank stage restores exact
+    ORDER for every shortlist member, so only a true neighbor missing
+    from the shortlist could diverge)."""
+    exact = {
+        tuple(r)
+        for r in catalog.CATALOG["ann_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    got = {
+        tuple(r)
+        for r in catalog.CATALOG["ann_int8_rerank_topk"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == exact
+
+
+def test_quantize_embeddings_roundtrip_error(spark):
+    """int8 symmetric quantization: values round-trip within scale/2 =
+    max|x|/254 per element, and the schema is the 4x-smaller artifact
+    (tinyint array + one double scale)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(50)
+    q = SIM.quantize_embeddings(emb)
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    joined = emb.join(q, "vec_id").select("vec_id", "embedding", "qvec", "qscale")
+    for r in joined.collect():
+        for x, qx in zip(r.embedding, r.qvec):
+            assert abs(float(x) - qx * r.qscale) <= r.qscale / 2 + 1e-12
+        assert max(abs(v) for v in r.qvec) <= 127
+
+
+def test_recall_at_k_handcomputed(spark):
+    """recall_at_k on a hand-built truth/prediction pair: probe 1 finds
+    2 of 3, probe 2 finds 0 of 1, deeper-than-k rows are ignored."""
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (1, 99, 4)],
+        "probe_id long, neighbor_id long, rank int",
+    )
+    pred = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2), (1, 77, 3), (2, 21, 1), (2, 20, 4)],
+        "probe_id long, neighbor_id long, rank int",
+    )
+    got = {
+        r.probe_id: (r.n_truth, r.n_hit, r.recall)
+        for r in SIM.recall_at_k(pred, truth, k=3).collect()
+    }
+    assert got == {1: (3, 2, round(2 / 3, 6)), 2: (1, 0, 0.0)}
+
+
 def test_boilerplate_grams_caller_owned_cache(spark):
     """ADVICE r4: the persisted gram frame's handle rides on the result
     (caller-controlled lifetime); auto-evict is per-session and can be
