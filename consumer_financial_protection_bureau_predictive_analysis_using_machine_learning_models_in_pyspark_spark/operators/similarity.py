@@ -671,15 +671,28 @@ def semantic_dedup_incremental(
     members before scoring.  In-batch near-dup components are computed
     over batch-vs-batch pairs among corpus-novel docs only (a
     batch-sized graph), mirroring incremental_dedup's rank-within-batch
-    step.  Scoring is the codegen'd unrolled double dot (membership at
-    the exact threshold boundary follows float64 — same contract as the
-    BLAS fast path; rows-only, so no cross-engine decimal discipline is
-    needed).  Agreement with full-corpus batch SemDeDup on a two-batch
-    fixture is pinned in tests/test_round5.py.
+    step.
+
+    Scoring is per-cell BLAS on BOTH stages (the r4 lesson, re-learned
+    here: a first cut scored corpus candidates with the codegen'd
+    unrolled dot and spent ~14 s at sf0.1 on the ~4×10⁸-candidate cell
+    fan-out; one dgemm per cogrouped cell does the same arithmetic at
+    memory bandwidth — ~10× measured).  Corpus hits come from a
+    cell-cogrouped ``applyInPandas`` (corpus members × batch probes of
+    the same cell, one matmul, emit probe ids with any row ≥ threshold);
+    in-batch pairs reuse :func:`semantic_dedup_pairs_fast` over the
+    novel probes' own cell assignment re-wrapped as an
+    :class:`IvfIndex`.  Membership at the exact threshold boundary
+    follows float64 — same contract as the fast path; rows-only, so no
+    cross-engine decimal discipline is needed.  Agreement with
+    full-corpus batch SemDeDup on a two-batch fixture is pinned in
+    tests/test_round5.py.
     """
+    import numpy as np
+    import pandas as pd
+
     from . import dedup as DD
 
-    dim = len(index.centroids[0])
     corpus = index.assigned
     if canonical_ids is not None:
         keep_col = canonical_ids.columns[0]
@@ -695,26 +708,37 @@ def semantic_dedup_incremental(
             _top_cells(F.col(vec_col), index.centroids, n_probe_cells)
         ).alias("cell"),
     )
-    thr = F.lit(float(threshold))
+    thr = float(threshold)
+    id_type = pb.schema["probe_id"].dataType.simpleString()
+
+    def cell_hits(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = this cell's (canonical) corpus members, right = its probes
+        if left.empty or right.empty:
+            return pd.DataFrame({"probe_id": right["probe_id"][:0]})
+        c = np.array(list(left["vec"]), dtype=np.float64)
+        p = np.array(list(right["pvec"]), dtype=np.float64)
+        hit = (p @ c.T >= thr).any(axis=1)
+        return pd.DataFrame({"probe_id": right["probe_id"][hit]})
+
     corpus_hits = (
-        corpus.join(F.broadcast(pb), "cell")
-        .filter(_dot_double_unrolled("pvec", "vec", dim) >= thr)
-        .select("probe_id")
+        corpus.select("cell", "vec")
+        .groupby("cell")
+        .cogroup(pb.groupby("cell"))
+        .applyInPandas(cell_hits, f"probe_id {id_type}")
         .distinct()
     )
     novel = pb.join(corpus_hits, "probe_id", "left_anti")
-    a = novel.select(
-        F.col("probe_id").alias("doc_a"), F.col("pvec").alias("va"), "cell"
+    novel_idx = IvfIndex(
+        novel.select(
+            F.col("probe_id").alias("neighbor_id"),
+            F.col("pvec").alias("vec"),
+            "cell",
+        ),
+        index.centroids,
+        n_probe_cells,
     )
-    b = novel.select(
-        F.col("probe_id").alias("doc_b"), F.col("pvec").alias("vb"), "cell"
-    )
-    batch_pairs = (
-        a.join(b, "cell")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(_dot_double_unrolled("va", "vb", dim) >= thr)
-        .select("doc_a", "doc_b")
-        .distinct()
+    batch_pairs = semantic_dedup_pairs_fast(novel_idx, threshold).select(
+        F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
     )
     comp = DD.connected_components(batch_pairs)
     return (

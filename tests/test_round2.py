@@ -29,7 +29,7 @@ def test_connected_components_chain_reliable_checkpoint(spark, tmp_path):
     got = {
         (r.doc_id, r.component)
         for r in DD.connected_components(
-            pairs, checkpoint_dir=str(tmp_path / "ckpt")
+            pairs, checkpoint_dir=str(tmp_path / "ckpt"), driver_max_edges=None
         ).collect()
     }
     assert got == {(i, 0) for i in range(10)}
@@ -44,7 +44,7 @@ def test_connected_components_max_iter_stops(spark):
     chain = [(i, i + 1) for i in range(9)]
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
     labels = {r.doc_id: r.component for r in DD.connected_components(
-        pairs, max_iter=2).collect()}
+        pairs, max_iter=2, driver_max_edges=None).collect()}
     assert labels[0] == 0 and labels[1] == 0 and labels[2] == 0
     assert all(lbl >= 0 for lbl in labels.values())
     # far end of the chain cannot have converged in 2 rounds

@@ -144,6 +144,48 @@ def test_incremental_semdedup_two_batch_fixture(spark):
     assert jac >= 0.7, f"keep-set drift vs batch mode: jaccard {jac:.3f}"
 
 
+def test_components_driver_gate_matches_iterative(spark, monkeypatch):
+    """The counted-threshold driver union-find (r5) returns labels
+    identical to the distributed fixpoint, and the gate is honest: the
+    driver path runs under the threshold, the iterative path above it."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(12)]          # 12-hop chain
+        + [(100, 103), (103, 101), (101, 102)]   # out-of-order cluster
+        + [(200, 201)]                           # pair
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = {
+        (r.doc_id, r.component)
+        for r in DD.connected_components(
+            pairs, max_iter=50, driver_max_edges=None
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.component)
+        for r in DD.connected_components(pairs).collect()
+    }
+    assert got == want
+    assert (100, 100) in got and (103, 100) in got and (12, 0) in got
+
+    called = {}
+    orig = DD._components_union_find
+
+    def spy(e):
+        called["n"] = len(e)
+        return orig(e)
+
+    monkeypatch.setattr(DD, "_components_union_find", spy)
+    DD.connected_components(pairs).collect()
+    assert called["n"] == len(edges), "under threshold must take driver path"
+    called.clear()
+    DD.connected_components(pairs, driver_max_edges=0).collect()
+    assert not called, "over threshold must stay distributed"
+
+
 def test_int8_rerank_matches_exact_topk(spark):
     """The quantized-shortlist + exact-re-rank path must return the exact
     baseline's top-5 verbatim on the fixture (shortlist=20 absorbs the
