@@ -201,6 +201,8 @@ _PRIORITY = [
     "ann_semantic_dedup_incremental",    # incremental-ingest twin of ann_semantic_canonical (pytest recall pin)
     "ann_recall_eval",               # oracled recall@5 of LSH vs exact baseline (both CTEs already oracled)
     "ann_int8_rerank_topk",          # quantized shortlist + exact re-rank (pytest equality pin vs ann_cosine_topk)
+    "dedup_incremental_bloom",       # Bloom-prefiltered twin sharing dedup_incremental's oracle verbatim
+    "stream_semantic_dedup",         # foreachBatch SemDeDup ingest loop (pytest sequential-equivalence pin)
 ]
 
 

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "docs_token_budget_sample",
     "dedup_exact",
     "dedup_incremental",
+    "dedup_incremental_bloom",
     "dedup_minhash_lsh",
     "dedup_minhash_fast",
     "dedup_simhash",

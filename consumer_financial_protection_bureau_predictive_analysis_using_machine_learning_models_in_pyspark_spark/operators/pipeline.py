@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -466,3 +468,92 @@ def boilerplate_spans(
     )
     out.boilerplate_grams = grams  # caller-owned cache handle (ADVICE r4)
     return out
+
+
+def incremental_dedup_bloom(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 1 << 22,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """``incremental_dedup`` with a Bloom-filter corpus prefilter — SAME
+    statuses, exactly (shares the incremental oracle), different 100 TB
+    shape: the corpus's distinct-fingerprint projection is far too large
+    to broadcast and joining the batch against it shuffles the whole
+    corpus side; here the corpus folds into an ``n_bits`` Bloom filter
+    instead and never shuffles at all.
+
+    Build: distinct corpus fingerprints → ``n_hashes`` bit positions per
+    fp (``xxhash64(fp, seed_i)`` — computed by the JVM on BOTH sides, so
+    builder and prober can never disagree) → per-word ``bit_or`` fold
+    (map-side partial; the shuffle carries ≤ n_bits/64 word partials) →
+    a dense uint64 array on the driver, ``sc.broadcast`` to executors.
+    Driver/executor memory is n_bits/8 bytes by CONFIG, not by data
+    (default 512 KiB; ~1.2 GiB serves a billion-row corpus at 1% fpp —
+    torrent-broadcast territory, still no shuffle).
+
+    Probe: an Arrow-batched pandas UDF tests the precomputed position
+    arrays against the broadcast words (vectorized bit lookups — the
+    documented Python crossing; a closure-captured numpy array, NOT a
+    per-row py4j call).  Bloom positives are then verified EXACTLY: the
+    maybe-fingerprints (batch-bounded, broadcast) semi-join the corpus
+    projection, so false positives cannot leak into ``dup_of_corpus``
+    and false negatives are impossible by construction — the output is
+    bit-identical to ``incremental_dedup``.
+    """
+    import numpy as np
+
+    fp = TF.content_fingerprint(text_col)
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    corpus_fp = corpus.select(fp.alias("fp")).distinct()
+    words = (
+        corpus_fp.select(F.explode(positions).alias("pos"))
+        .select(
+            F.shiftright("pos", 6).alias("word"),
+            # shiftleft's bit count must be a literal in the Python API —
+            # the variable shift lives in an expr string instead
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    dense = np.zeros(n_bits >> 6, dtype=np.uint64)
+    for r in words:
+        dense[r.word] = np.uint64(r.bits)
+    bc = corpus.sparkSession.sparkContext.broadcast(dense)
+
+    @F.pandas_udf("boolean")
+    def maybe(pos: pd.Series) -> pd.Series:
+        w = bc.value
+        p = np.stack(pos.to_numpy()).astype(np.int64)
+        hit = (w[p >> 6] >> (p & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series((hit != 0).all(axis=1))
+
+    b = batch.select("doc_id", fp.alias("fp")).withColumn(
+        "_maybe", maybe(positions)
+    )
+    maybe_fps = b.filter(F.col("_maybe")).select("fp").distinct()
+    confirmed = corpus_fp.join(
+        F.broadcast(maybe_fps), "fp", "left_semi"
+    ).withColumn("in_corpus", F.lit(1))
+    rank_w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        b.join(F.broadcast(confirmed), "fp", "left")
+        .withColumn("rn", F.row_number().over(rank_w))
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )

@@ -127,9 +127,9 @@ def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental",
-    f"""
+# Shared by dedup_incremental AND its Bloom-prefiltered twin: both are
+# EXACT (the Bloom path verifies positives), so one oracle serves both.
+_INCR_DEDUP_SQL = f"""
 WITH batch AS (
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
   UNION ALL
@@ -151,14 +151,10 @@ SELECT doc_id,
             ELSE 'kept' END AS status
 FROM ranked
 ORDER BY doc_id
-""",
-    "pipeline", "dedup", "incremental",
-)
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Steady-state dedup: triage a synthetic ingest batch against the
-    existing corpus.  Batch = re-keyed 10% slice (exact corpus dups) plus a
-    twice-ingested ``' v2'``-suffixed slice (novel content, duplicated
-    within the batch) — exercising all three statuses deterministically."""
+"""
+
+
+def _incr_batch(spark: SparkSession, sf_dir: str):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     part_a = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -168,8 +164,36 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part_b = novel.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
     part_c = novel.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
-    batch = part_a.union(part_b).union(part_c)
+    return docs, part_a.union(part_b).union(part_c)
+
+
+@register(
+    "dedup_incremental",
+    _INCR_DEDUP_SQL,
+    "pipeline", "dedup", "incremental",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state dedup: triage a synthetic ingest batch against the
+    existing corpus.  Batch = re-keyed 10% slice (exact corpus dups) plus a
+    twice-ingested ``' v2'``-suffixed slice (novel content, duplicated
+    within the batch) — exercising all three statuses deterministically."""
+    docs, batch = _incr_batch(spark, sf_dir)
     return PL.incremental_dedup(docs, batch).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental_bloom",
+    _INCR_DEDUP_SQL,
+    "pipeline", "dedup", "incremental", "bloom",
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-prefiltered twin of ``dedup_incremental``
+    (operators.pipeline.incremental_dedup_bloom): the corpus folds into a
+    broadcast Bloom filter and NEVER shuffles; Bloom positives are
+    exactly verified, so the statuses — and therefore the oracle — are
+    identical to the join-based form.  Same synthetic batch."""
+    docs, batch = _incr_batch(spark, sf_dir)
+    return PL.incremental_dedup_bloom(docs, batch).orderBy("doc_id")
 
 
 @register(

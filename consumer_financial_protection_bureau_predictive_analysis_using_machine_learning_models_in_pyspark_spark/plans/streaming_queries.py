@@ -274,3 +274,95 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("string").alias("purchase_ts"),
         "purchase_value",
     )
+
+
+_SEMDEDUP_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_semantic_dedup", None,
+    "streaming", "semdedup", "incremental", "foreachBatch",
+)
+def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SemDeDup end-to-end (streaming.jobs.
+    run_streaming_semantic_dedup): the 80% corpus slice's canonical IVF
+    index is the offline artifact; the 20% batch slice arrives as TWO
+    parquet files (vec_id%10==0 then %10==5), each a micro-batch, and
+    every batch is triaged against corpus canonicals + earlier batches'
+    kept docs, with statuses and kept-vector state written idempotently
+    under _batch_id partitions.  Rows-only (KMeans upstream);
+    sequential equivalence with batch-mode incremental dedup and replay
+    idempotency are pinned in pytest.
+
+    The work dir is memoized per sf_dir and cleaned at exit (repeated
+    calls resume the checkpoint: a drained source adds no batches and
+    the statuses re-read the same partitions)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import dedup as DD
+    from ..operators import similarity as SIM
+    from ..streaming import jobs as SJ
+    from .text_queries import ivf_index_for
+
+    work = _SEMDEDUP_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_semdedup_")
+        if not _SEMDEDUP_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _SEMDEDUP_DIRS.values()
+                ]
+            )
+        _SEMDEDUP_DIRS[sf_dir] = work
+        emb = _t(spark, sf_dir, "embeddings")
+        in_dir = f"{work}/in"
+        emb.filter("pmod(vec_id, 10) == 0").coalesce(1).write.parquet(
+            f"{in_dir}/b0"
+        )
+        emb.filter("pmod(vec_id, 10) == 5").coalesce(1).write.parquet(
+            f"{in_dir}/b1"
+        )
+        # flatten: the file source tails a directory of files; mtimes fix
+        # the micro-batch order (b0 strictly first)
+        flat = f"{work}/batches"
+        os.makedirs(flat)
+        for i, sub in enumerate(("b0", "b1")):
+            for f in os.listdir(f"{in_dir}/{sub}"):
+                if f.endswith(".parquet"):
+                    dst = f"{flat}/batch_{i}.parquet"
+                    shutil.copyfile(f"{in_dir}/{sub}/{f}", dst)
+                    os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    flat = f"{work}/batches"
+
+    idx = ivf_index_for(
+        spark, sf_dir, n_assign=3, where="pmod(vec_id, 5) != 0"
+    )
+    pairs = SIM.semantic_dedup_pairs_fast(idx, threshold=0.35).select(
+        F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
+    )
+    losers = (
+        DD.connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("component"))
+        .select(F.col("doc_id").alias("neighbor_id"))
+    )
+    canon_assigned = idx.assigned.join(losers, "neighbor_id", "left_anti")
+    canon_idx = SIM.IvfIndex(canon_assigned, idx.centroids, idx.n_assign)
+
+    stream = SJ.read_embeddings_stream(spark, flat, max_files_per_trigger=1)
+    SJ.run_streaming_semantic_dedup(
+        stream,
+        canon_idx,
+        f"{work}/out",
+        f"{work}/kept",
+        f"{work}/ckpt",
+        threshold=0.35,
+    )
+    return (
+        spark.read.parquet(f"{work}/out")
+        .select("doc_id", "status", F.col("_batch_id").cast("int").alias("batch"))
+        .orderBy("batch", "doc_id")
+    )

@@ -443,3 +443,108 @@ def static_enrich_counts(
             "sum_value",
         )
     )
+
+
+def read_embeddings_stream(
+    spark, dir_path: str, max_files_per_trigger: int | None = 1
+):
+    """File-source stream over a directory of embedding parquet files —
+    each arriving file (an ingest batch from the upstream embedder) is a
+    micro-batch with ``maxFilesPerTrigger=1``.  Kafka stand-in, same as
+    ``read_events_stream``."""
+    schema = spark.read.parquet(dir_path).schema
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(dir_path)
+
+
+def run_streaming_semantic_dedup(
+    stream: DataFrame,
+    index,
+    out_dir: str,
+    kept_dir: str,
+    checkpoint: str,
+    threshold: float = 0.35,
+    n_probe_cells: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming SemDeDup: each micro-batch of new embeddings is triaged
+    against the canonical corpus PLUS everything kept from earlier
+    batches — the continuous-ingest form of
+    ``similarity.semantic_dedup_incremental`` (which this calls per
+    batch; the quantizer codebook never re-fits).
+
+    State is carried in storage, not in the stream: ``kept_dir`` holds
+    the (neighbor_id, vec, cell) rows of every previously-kept batch doc
+    under its ``_batch_id`` partition, and each micro-batch unions the
+    (already canonical-only) ``index.assigned`` with kept rows from
+    STRICTLY EARLIER batches — the ``_batch_id < batch_id`` cut is what
+    makes replay idempotent: a re-run batch (failure between write and
+    offset commit) does not see its own previous output, so it
+    re-derives identical statuses and overwrites its own partitions
+    (same exactly-once discipline as ``run_foreach_batch_parquet``).
+
+    Statuses land in ``out_dir`` partitioned by ``_batch_id``;
+    sequential equivalence with batch-mode incremental dedup is pinned
+    in tests/test_round5.py.
+    """
+    from ..operators import similarity as SIM
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = index.assigned
+        try:
+            kept_prev = (
+                spark.read.parquet(kept_dir)
+                .filter(F.col("_batch_id") < batch_id)
+                .select("neighbor_id", "vec", "cell")
+            )
+            assigned = base.union(kept_prev)
+        except Exception:  # first batch: no kept_dir yet
+            assigned = base
+        idx = SIM.IvfIndex(assigned, index.centroids, index.n_assign)
+        st = SIM.semantic_dedup_incremental(
+            idx,
+            batch_df,
+            threshold,
+            n_probe_cells=n_probe_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).persist()
+        (
+            st.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+        kept_ids = st.filter(F.col("status") == "kept").select(
+            F.col("doc_id").alias(id_col)
+        )
+        newly_kept = batch_df.join(kept_ids, id_col, "left_semi").select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(
+                SIM._top_cells(
+                    F.col(vec_col), index.centroids, index.n_assign
+                )
+            ).alias("cell"),
+        )
+        (
+            newly_kept.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(kept_dir)
+        )
+        st.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -237,6 +237,106 @@ def test_recall_at_k_handcomputed(spark):
     assert got == {1: (3, 2, round(2 / 3, 6)), 2: (1, 0, 0.0)}
 
 
+def test_stream_semantic_dedup_equals_sequential_batches(spark):
+    """The streaming SemDeDup job must produce exactly the statuses of
+    applying semantic_dedup_incremental sequentially: micro-batch 0
+    against the corpus canonicals, micro-batch 1 against canonicals +
+    batch 0's kept docs.  This pins the foreachBatch state handoff
+    (kept_dir union, _batch_id < current cut) to the batch operator's
+    semantics."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        text_queries as TQ,
+    )
+
+    streamed = {
+        (r.batch, r.doc_id): r.status
+        for r in catalog.CATALOG["stream_semantic_dedup"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert streamed, "stream produced no statuses"
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    idx = TQ.ivf_index_for(
+        spark, SF_SMOKE, n_assign=3, where="pmod(vec_id, 5) != 0"
+    )
+    pairs = SIM.semantic_dedup_pairs_fast(idx, 0.35).select(
+        F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
+    )
+    losers = (
+        DD.connected_components(pairs)
+        .filter("doc_id != component")
+        .select(F.col("doc_id").alias("neighbor_id"))
+    )
+    canon_assigned = idx.assigned.join(losers, "neighbor_id", "left_anti")
+
+    def assigned_of(df):
+        return df.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("vec"),
+            F.explode(
+                SIM._top_cells(F.col("embedding"), idx.centroids, 3)
+            ).alias("cell"),
+        )
+
+    b0 = emb.filter("pmod(vec_id, 10) == 0")
+    b1 = emb.filter("pmod(vec_id, 10) == 5")
+    idx0 = SIM.IvfIndex(canon_assigned, idx.centroids, 3)
+    st0 = {
+        r.doc_id: r.status
+        for r in SIM.semantic_dedup_incremental(idx0, b0, 0.35).collect()
+    }
+    kept0 = b0.join(
+        spark.createDataFrame(
+            [(d,) for d, s in st0.items() if s == "kept"], "vec_id long"
+        ),
+        "vec_id",
+        "left_semi",
+    )
+    idx1 = SIM.IvfIndex(
+        canon_assigned.union(assigned_of(kept0)), idx.centroids, 3
+    )
+    st1 = {
+        r.doc_id: r.status
+        for r in SIM.semantic_dedup_incremental(idx1, b1, 0.35).collect()
+    }
+    want = {(0, d): s for d, s in st0.items()} | {
+        (1, d): s for d, s in st1.items()
+    }
+    assert streamed == want
+
+
+def test_bloom_incremental_exact_under_false_positives(spark):
+    """Force the Bloom filter into heavy false-positive territory (64
+    bits for hundreds of corpus fingerprints) — the exact-verify stage
+    must still produce statuses identical to the join-based operator,
+    proving FPs cannot leak into dup_of_corpus."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = docs.filter("doc_id % 10 == 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).union(
+        docs.filter("doc_id % 20 == 5").select(
+            "doc_id", F.concat("text", F.lit(" novel")).alias("text")
+        )
+    )
+    want = {
+        (r.doc_id, r.status)
+        for r in PL.incremental_dedup(docs, batch).collect()
+    }
+    got = {
+        (r.doc_id, r.status)
+        for r in PL.incremental_dedup_bloom(
+            docs, batch, n_bits=64, n_hashes=2
+        ).collect()
+    }
+    assert got == want
+
+
 def test_boilerplate_grams_caller_owned_cache(spark):
     """ADVICE r4: the persisted gram frame's handle rides on the result
     (caller-controlled lifetime); auto-evict is per-session and can be
