@@ -468,3 +468,32 @@ def test_retrieval_queries_no_cartesian_and_broadcast_stats(spark, name):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # any nested-loop present must be a broadcast scalar, never shuffled
     assert "ShuffledNestedLoopJoin" not in plan
+
+
+def test_int8_rerank_shortlist_stays_jvm_side(spark):
+    """The quantized shortlist stage must run without any Python
+    evaluation (quantization + integer dot are column expressions; the
+    only sort is the per-probe ranking window), and the re-rank fetch
+    must be a broadcast join of the k-bounded shortlist, not a shuffle
+    of the corpus."""
+    plan = _physical(spark, "ann_int8_rerank_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_incremental_corpus_never_shuffle_joins(spark):
+    """dedup_incremental_bloom's contract: the corpus side folds into the
+    Bloom filter (word-partial aggregate) and is re-touched only through
+    broadcast semi-joins — no SortMergeJoin / shuffled hash join against
+    the corpus fingerprint projection anywhere in the plan."""
+    plan = _physical(spark, "dedup_incremental_bloom")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # the only Python crossing is the Arrow-batched membership probe; it
+    # is re-evaluated once per consumer branch of the batch frame (the
+    # batch is bounded by the ingest contract, so this is a constant
+    # factor on the small side, never the corpus)
+    assert 1 <= plan.count("ArrowEvalPython") <= 4
+    assert "BatchEvalPython" not in plan  # never row-at-a-time
