@@ -203,6 +203,8 @@ _PRIORITY = [
     "ann_int8_rerank_topk",          # quantized shortlist + exact re-rank (pytest equality pin vs ann_cosine_topk)
     "dedup_incremental_bloom",       # Bloom-prefiltered twin sharing dedup_incremental's oracle verbatim
     "stream_semantic_dedup",         # foreachBatch SemDeDup ingest loop (pytest sequential-equivalence pin)
+    "dedup_incremental_minhash",     # near-dup incremental triage, full band/verify/component SQL oracle
+    "orders_profile",                # one-pass per-column data-quality profile (oracled)
 ]
 
 

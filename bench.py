@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "events_value_quantiles",
     "skewjoin_events_enrich",
     "er_fuzzy_part_match",
+    "orders_profile",
     # text / dedup / similarity (LLM-data-pipeline surface)
     "docs_token_stats",
     "docs_tfidf_keywords",
@@ -65,6 +66,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_incremental",
     "dedup_incremental_bloom",
+    "dedup_incremental_minhash",
     "dedup_minhash_lsh",
     "dedup_minhash_fast",
     "dedup_simhash",

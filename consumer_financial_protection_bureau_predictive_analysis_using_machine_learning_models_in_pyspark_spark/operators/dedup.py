@@ -554,3 +554,97 @@ def canonical_docs(
         n = loser_count if loser_count is not None else losers.count()
         losers = skew.broadcast_if_bounded(losers, n, max_broadcast_losers)
     return docs.join(losers, "doc_id", "left_anti")
+
+
+def incremental_dedup_minhash(
+    spark: SparkSession,
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """NEAR-duplicate incremental triage — the MinHash member of the
+    incremental family (exact fingerprints: ``pipeline.incremental_dedup``;
+    embeddings: ``similarity.semantic_dedup_incremental``): a new document
+    batch is screened against an existing corpus by LSH band buckets, and
+    only bucket-sharing candidates pay the exact-Jaccard verify.
+
+    Returns (doc_id, status) per batch doc: ``dup_of_corpus`` (exact
+    shingle Jaccard ≥ threshold with some corpus doc sharing a band
+    bucket), ``dup_in_batch`` (corpus-novel, but in a verified near-dup
+    component of the batch whose min-id representative is another batch
+    doc — the graph is restricted to corpus-novel docs, mirroring the
+    semantic twin), else ``kept``.
+
+    Scale posture: the corpus's band keys and shingle hashes are the
+    offline index (at steady state: persisted tables keyed by band/doc —
+    recomputed here because the operator takes raw frames); the
+    batch-vs-corpus candidate join is an equi-join on (band, key) with
+    the batch side broadcast, so the corpus NEVER shuffles — and the
+    verify stage touches only candidate corpus docs (semi-join reduction
+    on the hash frame).  In-batch components ride the counted driver
+    gate of ``connected_components``.  LSH recall bounds apply: a true
+    near-dup pair sharing no band bucket is missed (same contract as
+    ``minhash_dedup_pairs``, whose band parameters this shares).
+    """
+    from pyspark import StorageLevel
+
+    par = spark.sparkContext.defaultParallelism
+    c_hashes = shingle_hashes(
+        corpus.repartition(par, "doc_id"), text_col, hash_fn=hash_fn
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    b_hashes = shingle_hashes(batch, text_col, hash_fn=hash_fn).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    c_bands = minhash_band_keys(c_hashes)
+    b_bands = minhash_band_keys(b_hashes)
+
+    cand_corpus = (
+        c_bands.withColumnRenamed("doc_id", "doc_b")
+        .join(
+            F.broadcast(b_bands.withColumnRenamed("doc_id", "doc_a")),
+            ["band", "key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify against candidate corpus docs only (semi-reduced hash fetch)
+    c_cand_hashes = c_hashes.join(
+        F.broadcast(cand_corpus.select(F.col("doc_b").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    )
+    verified = jaccard_on_pairs(
+        cand_corpus, b_hashes.union(c_cand_hashes)
+    ).filter(F.col("jaccard") >= threshold)
+    corpus_dups = verified.select(F.col("doc_a").alias("doc_id")).distinct()
+
+    novel_bands = b_bands.join(corpus_dups, "doc_id", "left_anti")
+    batch_pairs = jaccard_on_pairs(
+        lsh_candidate_pairs(novel_bands), b_hashes
+    ).filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b")
+    comp = connected_components(batch_pairs)
+
+    out = (
+        batch.select("doc_id")
+        .join(
+            corpus_dups.withColumn("_s1", F.lit("dup_of_corpus")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            comp.filter(F.col("doc_id") != F.col("component")).select(
+                "doc_id", F.lit("dup_in_batch").alias("_s2")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_s1"), F.col("_s2"), F.lit("kept")).alias(
+                "status"
+            ),
+        )
+    )
+    return out

@@ -614,3 +614,39 @@ def ann_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("status")
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
+@register(
+    "orders_profile",
+    _PROFILE_SQL,
+    "quality", "profile", "stats",
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate data-quality profile of the orders table
+    (operators.metrics.profile_table): per column — row/null/distinct
+    counts and min/max — computed in ONE aggregation job with every
+    column's stats as parallel agg expressions (the reference's
+    four-filter-jobs pattern inverted; the oracle's per-column UNION is
+    the shape this operator exists to avoid).  approx_distinct=True is
+    the 100 TB knob (HLL instead of one dedup shuffle per column)."""
+    from ..operators import metrics as M
+
+    orders = _t(spark, sf_dir, "orders")
+    return M.profile_table(orders, _PROFILE_COLS).orderBy("col_name")

@@ -881,3 +881,162 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash triage (round 5) — near-dup member of the
+# incremental family; same band/permutation constants as dedup_minhash_lsh
+# ---------------------------------------------------------------------------
+
+_INCR_MH_SQL = f"""
+WITH RECURSIVE batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' xtail' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         'unique novel content '
+           || CAST(doc_id AS VARCHAR) || 'a ' || CAST(doc_id AS VARCHAR) || 'b '
+           || CAST(doc_id AS VARCHAR) || 'c ' || CAST(doc_id AS VARCHAR) || 'd '
+           || CAST(doc_id AS VARCHAR) || 'e ' || CAST(doc_id AS VARCHAR) || 'f '
+           || CAST(doc_id AS VARCHAR) || 'g ' || CAST(doc_id AS VARCHAR) || 'h' AS text
+  FROM documents WHERE doc_id % 20 = 5
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         'unique novel content '
+           || CAST(doc_id AS VARCHAR) || 'a ' || CAST(doc_id AS VARCHAR) || 'b '
+           || CAST(doc_id AS VARCHAR) || 'c ' || CAST(doc_id AS VARCHAR) || 'd '
+           || CAST(doc_id AS VARCHAR) || 'e ' || CAST(doc_id AS VARCHAR) || 'f '
+           || CAST(doc_id AS VARCHAR) || 'g ' || CAST(doc_id AS VARCHAR) || 'h' AS text
+  FROM documents WHERE doc_id % 20 = 5
+),
+alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM batch
+),
+tok AS (SELECT doc_id, {_D_TOKS} AS toks FROM alldocs),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))) AS s
+  FROM tok WHERE len(toks) >= 3
+),
+hashed AS (
+  SELECT doc_id, {_D_HASH.format(x='s')} AS h FROM sh
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+sigs AS (
+  SELECT doc_id, i, MIN((a * h + b) % {P}) AS mh
+  FROM hashed CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {DD.BAND_ROWS} AS band,
+         string_agg(CAST(mh AS STRING), ',' ORDER BY i) AS key
+  FROM sigs GROUP BY doc_id, i // {DD.BAND_ROWS}
+),
+sizes AS (
+  SELECT doc_id, COUNT(DISTINCT h) AS n FROM hashed GROUP BY doc_id
+),
+dh AS (SELECT DISTINCT doc_id, h FROM hashed),
+cand_cb AS (
+  SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands b JOIN bands c
+    ON b.band = c.band AND b.key = c.key
+   AND b.doc_id >= 1000000 AND c.doc_id < 1000000
+),
+jacc_cb AS (
+  SELECT p.doc_a, p.doc_b
+  FROM cand_cb p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  LEFT JOIN (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM cand_cb c
+    JOIN dh ha ON ha.doc_id = c.doc_a
+    JOIN dh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+    GROUP BY c.doc_a, c.doc_b
+  ) i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE) >= 0.5
+),
+corpus_dups AS (SELECT DISTINCT doc_a AS doc_id FROM jacc_cb),
+novel_bands AS (
+  SELECT * FROM bands
+  WHERE doc_id >= 1000000 AND doc_id NOT IN (SELECT doc_id FROM corpus_dups)
+),
+cand_bb AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM novel_bands a JOIN novel_bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+jacc_bb AS (
+  SELECT p.doc_a, p.doc_b
+  FROM cand_bb p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  LEFT JOIN (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM cand_bb c
+    JOIN dh ha ON ha.doc_id = c.doc_a
+    JOIN dh hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+    GROUP BY c.doc_a, c.doc_b
+  ) i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE) >= 0.5
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM jacc_bb
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM jacc_bb
+),
+reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT b.doc_id,
+       CASE WHEN cd.doc_id IS NOT NULL THEN 'dup_of_corpus'
+            WHEN c.component IS NOT NULL AND c.component <> b.doc_id
+              THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM batch b
+LEFT JOIN corpus_dups cd ON cd.doc_id = b.doc_id
+LEFT JOIN comp c ON c.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    _INCR_MH_SQL,
+    "pipeline", "dedup", "incremental", "minhash", "lsh",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup incremental triage (operators.dedup
+    .incremental_dedup_minhash): the batch is an ' xtail'-suffixed corpus
+    slice (near-dup of its source doc wherever the shingle Jaccard
+    survives the one-token tail — long docs yes, short docs no, both
+    deterministic) plus a twice-ingested synthetic-novel slice (kept +
+    dup_in_batch).  The oracle replays the full band/verify/component
+    pipeline in SQL with the shared permutation constants."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" xtail")).alias("text"),
+    )
+    did = F.col("doc_id").cast("string")
+    novel_txt = F.concat(
+        F.lit("unique novel content "),
+        did, F.lit("a "), did, F.lit("b "), did, F.lit("c "),
+        did, F.lit("d "), did, F.lit("e "), did, F.lit("f "),
+        did, F.lit("g "), did, F.lit("h"),
+    )
+    nov = docs.filter(F.col("doc_id") % 20 == 5).select("doc_id", novel_txt.alias("text"))
+    batch = near.union(
+        nov.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    ).union(nov.select((F.col("doc_id") + 3000000).alias("doc_id"), "text"))
+    return DD.incremental_dedup_minhash(spark, docs, batch).orderBy("doc_id")

@@ -337,6 +337,48 @@ def test_bloom_incremental_exact_under_false_positives(spark):
     assert got == want
 
 
+def test_profile_table_nulls_and_single_scan(spark):
+    """profile_table counts nulls correctly and reads the input exactly
+    once (one aggregation job, per-column stats as parallel agg
+    expressions — never a scan per column); the approx knob tracks the
+    exact distinct counts."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        metrics as M,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "x int, y string",
+    )
+    got = {r.col_name: r for r in M.profile_table(df).collect()}
+    assert (got["x"].n_rows, got["x"].n_null, got["x"].n_distinct) == (4, 1, 3)
+    assert (got["y"].n_null, got["y"].n_distinct) == (1, 2)
+    assert got["x"].min_value == "1" and got["x"].max_value == "3"
+
+    plan = (
+        catalog.CATALOG["orders_profile"]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1, "profile must scan the table once"
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    exact = {
+        r.col_name: r.n_distinct
+        for r in M.profile_table(orders, ["o_custkey", "o_orderkey"]).collect()
+    }
+    approx = {
+        r.col_name: r.n_distinct
+        for r in M.profile_table(
+            orders, ["o_custkey", "o_orderkey"], approx_distinct=True
+        ).collect()
+    }
+    for c in exact:
+        assert abs(approx[c] - exact[c]) / exact[c] < 0.05
+
+
 def test_boilerplate_grams_caller_owned_cache(spark):
     """ADVICE r4: the persisted gram frame's handle rides on the result
     (caller-controlled lifetime); auto-evict is per-session and can be
