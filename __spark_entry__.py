@@ -205,6 +205,7 @@ _PRIORITY = [
     "stream_semantic_dedup",         # foreachBatch SemDeDup ingest loop (pytest sequential-equivalence pin)
     "dedup_incremental_minhash",     # near-dup incremental triage, full band/verify/component SQL oracle
     "orders_profile",                # one-pass per-column data-quality profile (oracled)
+    "csv_roundtrip_customer",        # CSV source/sink interchange round-trip (oracled off the source table)
 ]
 
 

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "skewjoin_events_enrich",
     "er_fuzzy_part_match",
     "orders_profile",
+    "csv_roundtrip_customer",
     # text / dedup / similarity (LLM-data-pipeline surface)
     "docs_token_stats",
     "docs_tfidf_keywords",

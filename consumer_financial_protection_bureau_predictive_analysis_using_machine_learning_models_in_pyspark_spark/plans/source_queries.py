@@ -148,3 +148,42 @@ def salted_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     ).orderBy("l_returnflag")
+
+
+@register(
+    "csv_roundtrip_customer",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+       MIN(c_name) AS first_name,
+       MAX(c_name) AS last_name
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    "source", "sink", "csv",
+)
+def csv_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S3 CSV interchange round-trip: write customer as headered CSV
+    (sinks.write_csv), read it back with an EXPLICIT schema
+    (readers.read_csv — no inference pass), aggregate.  The oracle
+    aggregates the source table directly, so any value corruption across
+    the text hop (double shortest-repr round-trip, quoting of embedded
+    delimiters) breaks the hash."""
+    cust = _t(spark, sf_dir, "customer")
+    out = _scratch(sf_dir, "customer_csv")
+    sinks.write_csv(cust, out)
+    back = readers.read_csv(spark, out, cust.schema)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_balance"),
+            F.min("c_name").alias("first_name"),
+            F.max("c_name").alias("last_name"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -86,3 +86,21 @@ def read_complaints_json(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", schemas.CORRUPT_COL)
         .json(path)
     )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+):
+    """CSV scan with an EXPLICIT schema (inference costs an extra full
+    pass and can mis-type sparse columns — same discipline as the JSON
+    reader) and PERMISSIVE malformed-row handling."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+        .csv(path)
+    )

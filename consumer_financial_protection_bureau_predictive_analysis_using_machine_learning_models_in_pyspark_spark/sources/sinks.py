@@ -66,3 +66,18 @@ def to_pandas_small(df: DataFrame, limit: int = 100_000):
             f"to_pandas_small: result has >{limit} rows; write_parquet instead"
         )
     return df.toPandas()
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+) -> None:
+    """CSV sink for interchange with non-columnar consumers.  Spark's
+    writer quotes embedded delimiters/quotes; doubles render in
+    shortest-round-trip form, so numeric values survive the text hop
+    bit-exactly (proven by the csv_roundtrip_customer oracle).  CSV is an
+    interchange format here, not a canonical store — at 100 TB the
+    canonical store is partitioned Parquet."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
