@@ -204,6 +204,44 @@ def jaccard_on_pairs(
     )
 
 
+def jaccard_on_pairs_lr(
+    pairs: DataFrame, hashes_a: DataFrame, hashes_b: DataFrame
+) -> DataFrame:
+    """Two-sided form of :func:`jaccard_on_pairs` for BIPARTITE candidate
+    pairs (doc_a ids only in ``hashes_a``, doc_b ids only in
+    ``hashes_b`` — the batch-vs-corpus triage shape): each join leg
+    shuffles only its own side's hashes instead of the union, halving
+    the verify shuffle when one side is a corpus fetch.  Same distinct
+    (doc_id, h) contract."""
+    sa = hashes_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    sb = hashes_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    ha = hashes_a.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = hashes_b.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        pairs.join(ha, "doc_a")
+        .join(hb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sa.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sb.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_dedup_pairs(
     spark: SparkSession,
     df: DataFrame,
@@ -609,14 +647,16 @@ def incremental_dedup_minhash(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify against candidate corpus docs only (semi-reduced hash fetch)
+    # verify against candidate corpus docs only (semi-reduced hash fetch);
+    # the bipartite two-sided verify keeps each join leg on its own side's
+    # hashes — the corpus fetch never rides the batch leg's shuffle
     c_cand_hashes = c_hashes.join(
         F.broadcast(cand_corpus.select(F.col("doc_b").alias("doc_id")).distinct()),
         "doc_id",
         "left_semi",
     )
-    verified = jaccard_on_pairs(
-        cand_corpus, b_hashes.union(c_cand_hashes)
+    verified = jaccard_on_pairs_lr(
+        cand_corpus, b_hashes, c_cand_hashes
     ).filter(F.col("jaccard") >= threshold)
     corpus_dups = verified.select(F.col("doc_a").alias("doc_id")).distinct()
 
