@@ -206,6 +206,7 @@ _PRIORITY = [
     "dedup_incremental_minhash",     # near-dup incremental triage, full band/verify/component SQL oracle
     "orders_profile",                # one-pass per-column data-quality profile (oracled)
     "csv_roundtrip_customer",        # CSV source/sink interchange round-trip (oracled off the source table)
+    "docs_corpus_datasheet",         # one-pass per-source dataset datasheet (oracled)
 ]
 
 

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "csv_roundtrip_customer",
     # text / dedup / similarity (LLM-data-pipeline surface)
     "docs_token_stats",
+    "docs_corpus_datasheet",
     "docs_tfidf_keywords",
     "docs_quality_score",
     "docs_language_id",

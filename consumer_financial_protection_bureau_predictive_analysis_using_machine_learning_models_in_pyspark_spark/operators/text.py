@@ -340,3 +340,74 @@ def bm25_rank(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def corpus_datasheet(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """The dataset datasheet: per ``group_col`` (source/domain) — doc
+    count, whitespace-token and BPE-estimate totals, exact-decimal
+    quality mass, and predicted-English share — the summary table every
+    corpus release ships, computed in ONE aggregation pass (per-doc
+    expressions project once, every stat is a parallel agg — never a
+    pass per metric; at 100 TB this is a single map-reduce over the
+    narrow (group, text) projection).
+
+    Quality folds as DECIMAL(12,6) (order-independent — the rounded
+    per-doc score is the same column docs_quality_score exposes);
+    language share reuses language_id's argmax expression in place.
+    Returns (group, n_docs, n_tokens, bpe_estimate, sum_quality,
+    n_pred_en).
+    """
+    text = F.col(text_col)
+    toks = TF.tokens(text_col)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in TF.STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")).cast("double")
+        / F.length(text).cast("double")
+    )
+    quality = F.round(
+        0.25 * F.least(F.lit(1.0), F.length(text) / F.lit(500.0))
+        + 0.25 * alpha_ratio
+        + 0.25 * (n_stop.cast("double") / n_tokens.cast("double"))
+        + 0.25 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)),
+        6,
+    )
+    scores = {}
+    for lang, words in TF.LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    s = scores
+    pred = (
+        F.when(
+            (s["en"] == 0) & (s["es"] == 0) & (s["de"] == 0) & (s["fr"] == 0),
+            F.lit("und"),
+        )
+        .when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]),
+            F.lit("en"),
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), F.lit("es"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        n_tokens.cast("bigint").alias("_nt"),
+        F.ceil(F.length(text) / 4.0).cast("bigint").alias("_bpe"),
+        quality.cast("decimal(12,6)").alias("_q"),
+        (pred == "en").cast("int").alias("_en"),
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            F.sum("_bpe").cast("bigint").alias("bpe_estimate"),
+            F.sum("_q").cast("double").alias("sum_quality"),
+            F.sum("_en").cast("bigint").alias("n_pred_en"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -1040,3 +1040,48 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         nov.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
     ).union(nov.select((F.col("doc_id") + 3000000).alias("doc_id"), "text"))
     return DD.incremental_dedup_minhash(spark, docs, batch).orderBy("doc_id")
+
+
+@register(
+    "docs_corpus_datasheet",
+    f"""
+WITH s AS (
+  SELECT source, text, {_D_TOKS} AS toks,
+         {_lang_score_sql('en')} AS score_en,
+         {_lang_score_sql('es')} AS score_es,
+         {_lang_score_sql('de')} AS score_de,
+         {_lang_score_sql('fr')} AS score_fr
+  FROM documents
+),
+q AS (
+  SELECT source, toks, text,
+         ROUND(0.25 * least(1.0, length(text) / 500.0)
+             + 0.25 * (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE))
+             + 0.25 * (CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE))
+             + 0.25 * least(1.0, len(toks) / 100.0), 6) AS quality,
+         CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+              WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+              WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+              WHEN score_de >= score_fr THEN 'de'
+              ELSE 'fr' END AS lang_pred
+  FROM s
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_estimate,
+       CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) AS sum_quality,
+       CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+FROM q
+GROUP BY source
+ORDER BY source
+""",
+    "text", "datasheet", "quality", "langid",
+)
+def docs_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset datasheet (operators.text.corpus_datasheet):
+    doc/token/BPE totals, exact-decimal quality mass, predicted-English
+    count — the release summary table, in ONE aggregation pass."""
+    return TX.corpus_datasheet(_t(spark, sf_dir, "documents")).orderBy("source")
