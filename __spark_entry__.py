@@ -196,7 +196,8 @@ _PRIORITY = [
     "docs_fingerprints",             # text family: docs_token_stats etc.
     "dedup_simhash",                 # dedup family: minhash/jaccard twins
     "ann_semantic_dedup",            # SemDeDup pair scoring: in-window ann_semantic_canonical composes it
-    # r5 additions (rows-only twins of in-window oracle-checked queries)
+    # r5 additions (strict-local oracle green or pytest-pinned; window
+    # candidates for the r6 rotation)
     "events_value_outliers_mad_approx",  # sketch twin of in-window events_value_outliers_mad (pytest Jaccard pin)
     "ann_semantic_dedup_incremental",    # incremental-ingest twin of ann_semantic_canonical (pytest recall pin)
     "ann_recall_eval",               # oracled recall@5 of LSH vs exact baseline (both CTEs already oracled)
