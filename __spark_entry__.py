@@ -208,6 +208,7 @@ _PRIORITY = [
     "orders_profile",                # one-pass per-column data-quality profile (oracled)
     "csv_roundtrip_customer",        # CSV source/sink interchange round-trip (oracled off the source table)
     "docs_corpus_datasheet",         # one-pass per-source dataset datasheet (oracled)
+    "orders_profile_approx",         # HLL twin of orders_profile (pytest agreement bound)
 ]
 
 

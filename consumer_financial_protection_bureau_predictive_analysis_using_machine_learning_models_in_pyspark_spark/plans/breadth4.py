@@ -650,3 +650,22 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     return M.profile_table(orders, _PROFILE_COLS).orderBy("col_name")
+
+
+@register(
+    "orders_profile_approx", None,  # rows-only: HLL estimates are
+    # engine-specific; agreement with the exact profile is pinned in
+    # tests/test_round5.py
+    "quality", "profile", "stats", "approx", "sketch",
+)
+def orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``orders_profile``: HLL approx_count_distinct
+    (rsd 2%) replaces the per-column exact distinct — the profile stays
+    ONE aggregation job but drops the per-column dedup shuffles, the
+    same exact/approx twin pattern as quantiles/deciles/active-users."""
+    from ..operators import metrics as M
+
+    orders = _t(spark, sf_dir, "orders")
+    return M.profile_table(
+        orders, _PROFILE_COLS, approx_distinct=True
+    ).orderBy("col_name")
