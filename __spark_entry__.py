@@ -209,6 +209,7 @@ _PRIORITY = [
     "csv_roundtrip_customer",        # CSV source/sink interchange round-trip (oracled off the source table)
     "docs_corpus_datasheet",         # one-pass per-source dataset datasheet (oracled)
     "orders_profile_approx",         # HLL twin of orders_profile (pytest agreement bound)
+    "dedup_incremental_minhash_prebuilt",  # serving twin from the persisted corpus band index (same oracle)
 ]
 
 

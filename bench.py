@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_incremental_bloom",
     "dedup_incremental_minhash",
+    "dedup_incremental_minhash_prebuilt",
     "dedup_minhash_lsh",
     "dedup_minhash_fast",
     "dedup_simhash",
@@ -153,6 +154,10 @@ def main() -> None:
     # the incremental-ingest entry serves from the 80%-corpus index — the
     # same offline-build lifecycle as the two above
     _tq.ivf_index_for(spark, sf_dir, n_assign=3, where="pmod(vec_id, 5) != 0")
+    # corpus MinHash index for the prebuilt near-dup triage twin
+    # (dedup_incremental_minhash right above it stays fit-included — the
+    # honest comparator, same convention as ann_ivf_topk)
+    _tq.minhash_index_for(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

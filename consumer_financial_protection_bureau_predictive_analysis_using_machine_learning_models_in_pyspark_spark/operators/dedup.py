@@ -601,6 +601,8 @@ def incremental_dedup_minhash(
     text_col: str = "text",
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    corpus_hashes: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-duplicate incremental triage — the MinHash member of the
     incremental family (exact fingerprints: ``pipeline.incremental_dedup``;
@@ -616,8 +618,11 @@ def incremental_dedup_minhash(
     semantic twin), else ``kept``.
 
     Scale posture: the corpus's band keys and shingle hashes are the
-    offline index (at steady state: persisted tables keyed by band/doc —
-    recomputed here because the operator takes raw frames); the
+    offline index — pass them as ``corpus_hashes``/``corpus_bands``
+    (persisted frames, e.g. from ``plans.text_queries
+    .minhash_index_for``) and the build cost amortizes across ingest
+    batches exactly like the prebuilt IVF index; omitted, they are
+    recomputed from the raw corpus (the honest fit-included form); the
     batch-vs-corpus candidate join is an equi-join on (band, key) with
     the batch side broadcast, so the corpus NEVER shuffles — and the
     verify stage touches only candidate corpus docs (semi-join reduction
@@ -629,13 +634,18 @@ def incremental_dedup_minhash(
     from pyspark import StorageLevel
 
     par = spark.sparkContext.defaultParallelism
-    c_hashes = shingle_hashes(
-        corpus.repartition(par, "doc_id"), text_col, hash_fn=hash_fn
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if corpus_hashes is not None:
+        c_hashes = corpus_hashes
+    else:
+        c_hashes = shingle_hashes(
+            corpus.repartition(par, "doc_id"), text_col, hash_fn=hash_fn
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     b_hashes = shingle_hashes(batch, text_col, hash_fn=hash_fn).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    c_bands = minhash_band_keys(c_hashes)
+    c_bands = (
+        corpus_bands if corpus_bands is not None else minhash_band_keys(c_hashes)
+    )
     b_bands = minhash_band_keys(b_hashes)
 
     cand_corpus = (

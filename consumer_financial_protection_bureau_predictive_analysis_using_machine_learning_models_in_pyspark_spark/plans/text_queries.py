@@ -1010,19 +1010,7 @@ ORDER BY b.doc_id
 """
 
 
-@register(
-    "dedup_incremental_minhash",
-    _INCR_MH_SQL,
-    "pipeline", "dedup", "incremental", "minhash", "lsh",
-)
-def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEAR-dup incremental triage (operators.dedup
-    .incremental_dedup_minhash): the batch is an ' xtail'-suffixed corpus
-    slice (near-dup of its source doc wherever the shingle Jaccard
-    survives the one-token tail — long docs yes, short docs no, both
-    deterministic) plus a twice-ingested synthetic-novel slice (kept +
-    dup_in_batch).  The oracle replays the full band/verify/component
-    pipeline in SQL with the shared permutation constants."""
+def _incr_mh_frames(spark: SparkSession, sf_dir: str):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     near = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -1039,7 +1027,46 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = near.union(
         nov.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
     ).union(nov.select((F.col("doc_id") + 3000000).alias("doc_id"), "text"))
+    return docs, batch
+
+
+@register(
+    "dedup_incremental_minhash",
+    _INCR_MH_SQL,
+    "pipeline", "dedup", "incremental", "minhash", "lsh",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup incremental triage (operators.dedup
+    .incremental_dedup_minhash): the batch is an ' xtail'-suffixed corpus
+    slice (near-dup of its source doc wherever the shingle Jaccard
+    survives the one-token tail — long docs yes, short docs no, both
+    deterministic) plus a twice-ingested synthetic-novel slice (kept +
+    dup_in_batch).  The oracle replays the full band/verify/component
+    pipeline in SQL with the shared permutation constants.  Fit-included
+    BY DESIGN (the honest comparator — corpus index built in-query); the
+    steady-state serving path is the prebuilt twin below."""
+    docs, batch = _incr_mh_frames(spark, sf_dir)
     return DD.incremental_dedup_minhash(spark, docs, batch).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental_minhash_prebuilt",
+    _INCR_MH_SQL,
+    "pipeline", "dedup", "incremental", "minhash", "lsh", "prebuilt",
+)
+def dedup_incremental_minhash_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The steady-state serving twin: corpus shingle hashes + band keys
+    come from the persisted per-sf_dir index (``minhash_index_for`` —
+    the same offline-build lifecycle split as ann_ivf_prebuilt_topk), so
+    each ingest batch pays only its own assignment + verify.  Same
+    statuses, same oracle as the fit-included form."""
+    docs, batch = _incr_mh_frames(spark, sf_dir)
+    hashes, bands = minhash_index_for(spark, sf_dir)
+    return DD.incremental_dedup_minhash(
+        spark, docs, batch, corpus_hashes=hashes, corpus_bands=bands
+    ).orderBy("doc_id")
 
 
 @register(
@@ -1085,3 +1112,51 @@ def docs_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc/token/BPE totals, exact-decimal quality mass, predicted-English
     count — the release summary table, in ONE aggregation pass."""
     return TX.corpus_datasheet(_t(spark, sf_dir, "documents")).orderBy("source")
+
+
+# Prebuilt corpus MinHash index (round 5): the (shingle-hash, band-key)
+# frames of the documents corpus, persisted once per sf_dir — the same
+# offline-build lifecycle as the IVF cache above (session-validated,
+# releasable).
+_MINHASH_IDX_CACHE: dict[tuple, tuple] = {}
+
+
+def minhash_index_for(spark: SparkSession, sf_dir: str) -> tuple:
+    """(hashes, bands) of the documents corpus, built+persisted once per
+    (sf_dir, session).  Serves incremental near-dup triage the way
+    ``ivf_index_for`` serves ANN probes; ``minhash_index_release``
+    evicts."""
+    key = (sf_dir,)
+    idx = _MINHASH_IDX_CACHE.get(key)
+    if idx is not None and idx[0].sparkSession is not spark:
+        _MINHASH_IDX_CACHE.pop(key, None)
+        idx = None
+    if idx is None:
+        from pyspark import StorageLevel
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        par = spark.sparkContext.defaultParallelism
+        hashes = DD.shingle_hashes(docs.repartition(par, "doc_id")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        bands = DD.minhash_band_keys(hashes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        bands.count()  # materialize both (bands consumes hashes)
+        idx = (hashes, bands)
+        _MINHASH_IDX_CACHE[key] = idx
+    return idx
+
+
+def minhash_index_release(sf_dir: str | None = None) -> int:
+    """Evict cached MinHash corpus indexes (all, or just ``sf_dir``'s)."""
+    evicted = 0
+    for key in [k for k in _MINHASH_IDX_CACHE if sf_dir is None or k[0] == sf_dir]:
+        hashes, bands = _MINHASH_IDX_CACHE.pop(key)
+        for f in (bands, hashes):
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+        evicted += 1
+    return evicted

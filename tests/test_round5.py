@@ -337,6 +337,37 @@ def test_bloom_incremental_exact_under_false_positives(spark):
     assert got == want
 
 
+def test_minhash_index_cache_reuse_and_release(spark):
+    """The corpus MinHash index follows the IVF cache's lifecycle:
+    cache-served on repeat, session-validated, releasable — and the
+    prebuilt entry's statuses equal the fit-included entry's."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        text_queries as TQ,
+    )
+
+    TQ.minhash_index_release()
+    a = TQ.minhash_index_for(spark, SF_SMOKE)
+    b = TQ.minhash_index_for(spark, SF_SMOKE)
+    assert a is b, "index rebuilt instead of cache-served"
+    assert a[0].storageLevel.useMemory or a[0].storageLevel.useDisk
+
+    fit = {
+        tuple(r)
+        for r in catalog.CATALOG["dedup_incremental_minhash"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    pre = {
+        tuple(r)
+        for r in catalog.CATALOG["dedup_incremental_minhash_prebuilt"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert pre == fit
+    assert TQ.minhash_index_release(SF_SMOKE) == 1
+    assert not TQ._MINHASH_IDX_CACHE
+
+
 def test_profile_table_nulls_and_single_scan(spark):
     """profile_table counts nulls correctly and reads the input exactly
     once (one aggregation job, per-column stats as parallel agg
