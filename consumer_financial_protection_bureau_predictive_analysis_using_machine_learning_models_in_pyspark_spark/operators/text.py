@@ -27,9 +27,13 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic document quality in [0,1]: length, alphabetic ratio,
-    stopword ratio, token-count saturation — equal-weighted."""
+    stopword ratio, token-count saturation — equal-weighted.  ``keep``
+    carries extra passthrough columns (e.g. ``source`` for per-domain
+    standardization) so downstream grouping never re-joins the corpus."""
     text = F.col(text_col)
     toks = TF.tokens(text_col)
     n_tokens = F.size(toks)
@@ -42,6 +46,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     tok_score = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
     return df.select(
         "doc_id",
+        *keep,
         n_tokens.cast("bigint").alias("n_tokens"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -410,4 +415,119 @@ def corpus_datasheet(
             F.sum("_en").cast("bigint").alias("n_pred_en"),
         )
         .withColumnRenamed("grp", group_col)
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining: top-k token bigrams by pointwise mutual
+    information, PMI = ln( P(xy) / (P(x)P(y)) ) — the standard
+    phrase-detection pass (word2vec-style phrase merging, tokenizer
+    vocabulary curation) a corpus pipeline runs before training.
+
+    Shape: bigrams are built IN-ROW (zip the token array against its
+    own tail — no positional self-join, no shuffle to form pairs), then
+    one explode feeds the bigram counts and one the unigram counts; the
+    vocab and the two 1-row totals broadcast back onto the (tiny,
+    min_count-filtered) bigram frame.  The PMI argument is computed as
+    ONE double division of two products of exactly-represented integer
+    doubles, left-associated identically in the SQL oracle, so the only
+    engine-variant op is the final ln — absorbed by 6-decimal rounding
+    (the unigram_logprob lesson).  Returns (t1, t2, c_xy, pmi),
+    deterministically ordered (pmi desc, t1, t2) and limited to top_k.
+    """
+    toks = df.select(TF.tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_toks) - 2),"
+                " i -> struct(_toks[i] AS t1, _toks[i + 1] AS t2))"
+            )
+        ).alias("_p")
+    ).select("_p.t1", "_p.t2")
+    uni = df.select(F.explode(TF.tokens(text_col)).alias("t"))
+    c_uni = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = c_uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    c_bi = pairs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    n_bi = c_bi.agg(F.sum("c_xy").cast("double").alias("n_bi"))
+    scored = (
+        c_bi.filter(F.col("c_xy") >= min_count)
+        .join(F.broadcast(c_uni.select(F.col("t").alias("t1"), F.col("c").alias("c_x"))), "t1")
+        .join(F.broadcast(c_uni.select(F.col("t").alias("t2"), F.col("c").alias("c_y"))), "t2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "t1",
+            "t2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_bi") * F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "t1", "t2").limit(top_k)
+
+
+def quality_zscore_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain quality standardization: each source's docs are scored
+    against the SOURCE's own quality distribution (mean, population sd),
+    and the outlier count |z| > 2 is reported — the calibration step
+    that stops one verbose domain's absolute scores from drowning
+    another's in a global quality cut.
+
+    Two-phase, join-back shape: phase 1 folds exact DECIMAL sums of q
+    and q^2 per source (one keyed agg; mean/sd derive from the exact
+    sums with a FIXED double expression order mirrored in the oracle);
+    phase 2 broadcasts the domain-sized stats table back onto the doc
+    stream for the outlier compare — the corpus itself never shuffles.
+    Output per source: n_docs, mean_q, sd_q, n_outliers.
+    """
+    q = quality_score(df, text_col, keep=("source",)).select(
+        "source", F.col("quality").cast("decimal(12,6)").alias("_q")
+    )
+    stats = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_q").alias("_sum_q"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_sum_q2"),
+    )
+    mean = F.col("_sum_q").cast("double") / F.col("n_docs").cast("double")
+    var = F.col("_sum_q2").cast("double") / F.col("n_docs").cast("double") - (
+        F.col("_sum_q").cast("double") / F.col("n_docs").cast("double")
+    ) * (F.col("_sum_q").cast("double") / F.col("n_docs").cast("double"))
+    stats = stats.select(
+        "source",
+        "n_docs",
+        mean.alias("_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sd"),
+    )
+    outliers = (
+        q.join(F.broadcast(stats), "source")
+        .select(
+            "source",
+            (
+                F.abs(F.col("_q").cast("double") - F.col("_mean"))
+                > F.lit(2.0) * F.col("_sd")
+            ).cast("int").alias("_out"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_out").cast("bigint").alias("n_outliers"))
+    )
+    return stats.join(outliers, "source").select(
+        "source",
+        "n_docs",
+        F.round("_mean", 6).alias("mean_q"),
+        F.round("_sd", 6).alias("sd_q"),
+        "n_outliers",
     )

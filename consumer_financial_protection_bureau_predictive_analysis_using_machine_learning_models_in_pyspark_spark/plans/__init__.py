@@ -18,5 +18,6 @@ from . import tpch_ext2  # noqa: F401
 from . import analytics_queries  # noqa: F401
 from . import breadth3  # noqa: F401
 from . import breadth4  # noqa: F401
+from . import breadth6  # noqa: F401
 
 CATALOG = catalog.CATALOG

@@ -1,0 +1,310 @@
+"""Round-6 breadth pack: the physical-layout and corpus-statistics
+operations that decide what a 100 TB scan COSTS before any query runs —
+
+- orders_mv_merge:        incremental materialized-view maintenance
+                          (merge delta partials into stored MV state;
+                          history is never re-aggregated);
+- lineitem_zorder_layout: Z-order (Morton) clustering audit — per-range-
+                          bucket bounding boxes proving multi-dimensional
+                          locality;
+- lineitem_skipping_stats: min-max data-skipping manifest under two
+                          candidate shard layouts + the pruning dividend
+                          for a date-range predicate, in one scan;
+- docs_bigram_pmi:        PMI collocation mining (phrase detection for
+                          tokenizer/vocabulary curation);
+- docs_quality_zscore:    per-domain quality standardization (outliers
+                          against each source's own distribution).
+
+Oracle discipline (see catalog.py header): integer/bit arithmetic and
+DECIMAL folds wherever exactness is needed; single-ln double expressions
+with identical association order and 6-decimal rounding where not (the
+unigram_logprob lesson).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import layout as LY
+from ..operators import text as TX
+from .catalog import _t, register
+from .text_queries import _D_TOKS, _STOP_SQL
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+_MV_SPLIT = "1997-01-01 00:00:00"
+
+
+@register(
+    "orders_mv_merge",
+    """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       MAX(o_orderdate) AS max_date
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+    "layout", "materialized-view", "incremental", "merge",
+)
+def orders_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance (operators.layout.orders_mv_partial /
+    mv_merge): the per-customer order aggregate is maintained by merging
+    the post-split delta's PARTIAL state into the pre-split base state —
+    union of two key-sized partial frames + one re-fold, never a rescan
+    of history.  The oracle is the from-scratch aggregate over all
+    orders: algebraic-merge correctness is exactly "merged == full
+    recompute".  At 100 TB the base frame is the stored MV read back
+    keyed (facts: O(delta)); here both partials are built in-query so
+    the equivalence is end-to-end checkable."""
+    orders = _t(spark, sf_dir, "orders")
+    split = F.lit(_MV_SPLIT).cast("timestamp")
+    base = LY.orders_mv_partial(orders.filter(F.col("o_orderdate") < split))
+    delta = LY.orders_mv_partial(orders.filter(F.col("o_orderdate") >= split))
+    return (
+        LY.mv_merge(base, delta)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.col("_sum_dec").cast("double").alias("sum_total"),
+            "max_date",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering audit
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_BUCKETS = 32
+
+
+def _interleave_sql(xa: str, ya: str, bits: int) -> str:
+    """The Morton-interleave fold as portable integer SQL — the same
+    shift/mask terms ``operators.layout._interleave`` builds as Columns."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xa} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({ya} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@register(
+    "lineitem_zorder_layout",
+    f"""
+WITH mm AS (
+  SELECT MIN(l_partkey) AS minx, MAX(l_partkey) AS maxx,
+         MIN(l_suppkey) AS miny, MAX(l_suppkey) AS maxy
+  FROM lineitem
+),
+b AS (
+  SELECT LEAST({(1 << _Z_BITS) - 1},
+               ((l_partkey - minx) * {1 << _Z_BITS}) // (maxx - minx + 1)) AS bx,
+         LEAST({(1 << _Z_BITS) - 1},
+               ((l_suppkey - miny) * {1 << _Z_BITS}) // (maxy - miny + 1)) AS yb
+  FROM lineitem CROSS JOIN mm
+),
+z AS (
+  SELECT bx, yb, {_interleave_sql("bx", "yb", _Z_BITS)} AS zval FROM b
+)
+SELECT CAST((zval * {_Z_BUCKETS}) // {1 << (2 * _Z_BITS)} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(bx) AS min_x_bin, MAX(bx) AS max_x_bin,
+       MIN(yb) AS min_y_bin, MAX(yb) AS max_y_bin
+FROM z
+GROUP BY bucket
+ORDER BY bucket
+""",
+    "layout", "zorder", "clustering",
+)
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit (operators.layout.zorder_values /
+    zorder_extent_report): lineitem keyed by the Morton interleave of
+    (l_partkey, l_suppkey) 8-bit bins, folded per range bucket (what a
+    ``repartitionByRange(32, zval)`` write would co-locate) into the
+    bucket's bounding box in bin space.  The payoff is visible in the
+    result: each bucket covers a ~45-of-256-wide square of BOTH key
+    ranges, so a predicate on either key prunes ~/sqrt instead of
+    nothing — the multi-dimensional clustering every lake format's
+    OPTIMIZE ZORDER runs.  Pure per-row integer bit math (min/max
+    scalars are a 1-row broadcast) + one keyed agg."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = LY.zorder_values(li, "l_partkey", "l_suppkey", bits=_Z_BITS)
+    return LY.zorder_extent_report(z, bits=_Z_BITS, n_buckets=_Z_BUCKETS).orderBy(
+        "bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min-max data-skipping manifest + pruning dividend
+# ---------------------------------------------------------------------------
+
+_SKIP_LO = "1998-01-01 00:00:00"
+_SKIP_HI = "1998-12-31 23:59:59"
+_SKIP_PRED = (
+    f"max_v < TIMESTAMP '{_SKIP_LO}' OR min_v > TIMESTAMP '{_SKIP_HI}'"
+)
+
+
+@register(
+    "lineitem_skipping_stats",
+    f"""
+WITH m AS (
+  SELECT 'hash' AS layout, l_orderkey % 64 AS shard,
+         COUNT(*) AS n_rows, MIN(l_shipdate) AS min_v, MAX(l_shipdate) AS max_v
+  FROM lineitem GROUP BY layout, shard
+  UNION ALL
+  SELECT 'bydate', CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT),
+         COUNT(*), MIN(l_shipdate), MAX(l_shipdate)
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_shards,
+       CAST(SUM(CASE WHEN {_SKIP_PRED} THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+       CAST(SUM(CASE WHEN {_SKIP_PRED} THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+       CAST(SUM(CASE WHEN {_SKIP_PRED} THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned
+FROM m
+GROUP BY layout
+ORDER BY layout
+""",
+    "layout", "data-skipping", "minmax", "manifest",
+)
+def lineitem_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping manifest + pruning dividend (operators.layout
+    .skipping_manifest / pruning_report): per-shard min-max l_shipdate
+    stats under two candidate layouts — hash-on-orderkey (ingest order)
+    vs. ship-month — computed in ONE scan (each row explodes into two
+    narrow (layout, shard) tags), then folded into the pruning outcome
+    for a 1998 date-range predicate.  The result says what re-clustering
+    buys BEFORE paying for it: the hash layout skips 0 of 64 shards,
+    the date layout skips every non-1998 month.  This is the stats
+    table lake formats keep per file, as an operator."""
+    li = _t(spark, sf_dir, "lineitem")
+    manifest = LY.skipping_manifest(
+        li,
+        {
+            "hash": F.col("l_orderkey") % 64,
+            "bydate": F.year("l_shipdate") * 12 + F.month("l_shipdate"),
+        },
+        "l_shipdate",
+    )
+    report = LY.pruning_report(
+        manifest,
+        _dt.datetime(1998, 1, 1, 0, 0, 0),
+        _dt.datetime(1998, 12, 31, 23, 59, 59),
+    )
+    return report.orderBy("layout")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_bigram_pmi",
+    f"""
+WITH tk AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+pairs AS (
+  SELECT toks[i] AS t1, toks[i + 1] AS t2
+  FROM (SELECT unnest(range(1, len(toks))) AS i, toks FROM tk WHERE len(toks) >= 2)
+),
+cb AS (
+  SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM pairs GROUP BY t1, t2
+),
+cu AS (
+  SELECT t, COUNT(*) AS c FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY t
+),
+nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM cu),
+nb AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS n_bi FROM cb)
+SELECT t1, t2, c_xy,
+       ROUND(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni)
+                / (n_bi * CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE))), 6) AS pmi
+FROM cb
+JOIN cu cx ON cb.t1 = cx.t
+JOIN cu cy ON cb.t2 = cy.t
+CROSS JOIN nu CROSS JOIN nb
+WHERE c_xy >= 3
+ORDER BY pmi DESC, t1, t2
+LIMIT 50
+""",
+    "text", "pmi", "collocations", "phrases",
+)
+def docs_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators.text.bigram_pmi): top-50
+    bigrams by ln(P(xy)/(P(x)P(y))), min count 3 — the phrase-detection
+    pass of tokenizer/vocabulary curation.  Bigrams form in-row (token
+    array zipped with its own tail: no positional self-join), the vocab
+    broadcasts back onto the count-filtered bigram frame, and the PMI
+    argument is one double division of integer-exact products so the
+    only engine-variant op is the final ln, absorbed by 6-decimal
+    rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bigram_pmi(docs, min_count=3, top_k=50)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quality standardization
+# ---------------------------------------------------------------------------
+
+_Q_SQL = f"""
+ROUND(0.25 * least(1.0, length(text) / 500.0)
+    + 0.25 * (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE))
+    + 0.25 * (CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE))
+    + 0.25 * least(1.0, len(toks) / 100.0), 6)
+""".strip()
+
+
+@register(
+    "docs_quality_zscore",
+    f"""
+WITH s AS (SELECT source, text, {_D_TOKS} AS toks FROM documents),
+q AS (SELECT source, CAST({_Q_SQL} AS DECIMAL(12,6)) AS qv FROM s),
+st AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(qv) AS sum_q, SUM(qv * qv) AS sum_q2
+  FROM q GROUP BY source
+),
+d AS (
+  SELECT source, n_docs,
+         CAST(sum_q AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean,
+         sqrt(GREATEST(CAST(sum_q2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+              - (CAST(sum_q AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                * (CAST(sum_q AS DOUBLE) / CAST(n_docs AS DOUBLE)), 0.0)) AS sd
+  FROM st
+),
+o AS (
+  SELECT q.source,
+         CAST(SUM(CASE WHEN abs(CAST(q.qv AS DOUBLE) - d.mean) > 2.0 * d.sd
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM q JOIN d ON q.source = d.source GROUP BY q.source
+)
+SELECT d.source, d.n_docs,
+       ROUND(d.mean, 6) AS mean_q,
+       ROUND(d.sd, 6) AS sd_q,
+       o.n_outliers
+FROM d JOIN o ON d.source = o.source
+ORDER BY d.source
+""",
+    "text", "quality", "zscore", "calibration",
+)
+def docs_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality calibration (operators.text
+    .quality_zscore_by_source): mean/sd of the heuristic quality score
+    per source from exact DECIMAL sums of q and q², plus the |z| > 2
+    outlier count against the source's OWN distribution — the step that
+    stops a global quality cut from flattening one domain.  The
+    domain-sized stats table broadcasts back for the outlier compare;
+    the corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_zscore_by_source(docs).orderBy("source")

@@ -1,0 +1,190 @@
+"""Round-6 additions: Z-order layout, data-skipping manifest,
+incremental MV maintenance, PMI collocations, per-domain quality
+z-scores.  Oracle parity is covered by test_oracle_parity (all five are
+oracled); these tests pin the algebraic and physical-plan claims the
+oracles can't express."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+    layout as LY,
+    text as TX,
+)
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+    catalog,
+)
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# Z-order
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_interleave_known_values(spark):
+    """Hand-checked Morton codes: z(x=1,y=0)=2 (x bits land at odd
+    positions), z(0,1)=1, z(3,3)=15, z(255,255)=65535."""
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (255, 255)], "x: long, y: long"
+    )
+    out = df.select(
+        LY._interleave(F.col("x"), F.col("y"), 8).alias("z")
+    ).collect()
+    assert [r.z for r in out] == [2, 1, 15, 65535]
+
+
+def test_zorder_bucket_bounding_boxes_are_squares(spark):
+    """The locality claim, as numbers: a z-aligned bucket of 2^11 codes
+    fixes the high 5 interleaved bits, so its x extent fits a 32-bin
+    window and its y extent a 64-bin window — versus the 256-bin stripe
+    a 1-D sort would give the secondary key."""
+    rep = catalog.CATALOG["lineitem_zorder_layout"].fn(spark, SF_SMOKE).collect()
+    assert len(rep) > 1
+    for r in rep:
+        assert r.max_x_bin - r.min_x_bin <= 31, r
+        assert r.max_y_bin - r.min_y_bin <= 63, r
+
+
+def test_zorder_no_python_udf(spark):
+    """Pure integer column math: the plan must stay inside codegen —
+    no BatchEvalPython / ArrowEvalPython stages."""
+    df = catalog.CATALOG["lineitem_zorder_layout"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping manifest
+# ---------------------------------------------------------------------------
+
+
+def test_skipping_stats_dividend(spark):
+    """Hash-on-orderkey shards all straddle the full date range (skip
+    0); ship-month shards skip every non-1998 month exactly."""
+    rows = {
+        r.layout: r
+        for r in catalog.CATALOG["lineitem_skipping_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    assert rows["hash"].n_skipped == 0
+    assert rows["hash"].rows_skipped == 0
+    bydate = rows["bydate"]
+    assert bydate.n_skipped == bydate.n_shards - 12
+    # both layouts scan the same total rows overall
+    assert (
+        rows["hash"].rows_scanned
+        == bydate.rows_scanned + bydate.rows_skipped
+    )
+
+
+def test_skipping_manifest_single_scan(spark):
+    """The one-scan claim: both candidate layouts' stats come from a
+    single parquet scan (the explode fans each row into layout tags)."""
+    df = catalog.CATALOG["lineitem_skipping_stats"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Incremental MV maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_mv_merge_is_split_invariant(spark):
+    """Algebraic-merge property: merging partials from ANY partition of
+    the facts yields the same state — checked by comparing a two-way
+    date split against a three-way key split."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    split = F.lit("1997-01-01").cast("timestamp")
+    a = LY.mv_merge(
+        LY.orders_mv_partial(orders.filter(F.col("o_orderdate") < split)),
+        LY.orders_mv_partial(orders.filter(F.col("o_orderdate") >= split)),
+    )
+    b = LY.mv_merge(
+        LY.mv_merge(
+            LY.orders_mv_partial(orders.filter(F.col("o_custkey") % 3 == 0)),
+            LY.orders_mv_partial(orders.filter(F.col("o_custkey") % 3 == 1)),
+        ),
+        LY.orders_mv_partial(orders.filter(F.col("o_custkey") % 3 == 2)),
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_mv_merge_handles_disjoint_keys(spark):
+    """Keys present in only one side must stream through unchanged."""
+    from decimal import Decimal
+
+    base = spark.createDataFrame(
+        [(1, 2, Decimal("10.00"), dt.datetime(1995, 1, 1))],
+        "o_custkey: long, n_orders: long, _sum_dec: decimal(18,2), max_date: timestamp",
+    )
+    delta = spark.createDataFrame(
+        [(2, 1, Decimal("5.00"), dt.datetime(1998, 1, 1))],
+        "o_custkey: long, n_orders: long, _sum_dec: decimal(18,2), max_date: timestamp",
+    )
+    out = {r.o_custkey: r for r in LY.mv_merge(base, delta).collect()}
+    assert out[1].n_orders == 2 and out[2].n_orders == 1
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_pmi_hand_computed(spark):
+    """Tiny corpus with one true collocation: 'new york' appears in
+    every doc, 'the' pairs with everything.  PMI('new','york') must be
+    the exact ln((c_xy * N_uni^2) / (N_bi * c_x * c_y))."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york new york"),
+            (2, "the new york the"),
+            (3, "the cat new york"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        (r.t1, r.t2): r
+        for r in TX.bigram_pmi(docs, min_count=2, top_k=10).collect()
+    }
+    r = out[("new", "york")]
+    # counts: 'new york' bigram 5x; tokens: new=5, york=5, the=3, cat=1
+    # => N_uni=14; bigrams per doc: 5+3+3 => N_bi=11
+    assert r.c_xy == 5
+    expected = round(math.log((5.0 * 14.0 * 14.0) / (11.0 * 5.0 * 5.0)), 6)
+    assert abs(r.pmi - expected) < 1e-9
+    # the collocation outranks the function-word pair
+    assert ("the", "new") not in out or out[("the", "new")].pmi < r.pmi
+
+
+def test_bigram_pmi_no_shuffle_to_form_pairs(spark):
+    """Bigrams form in-row: the plan must contain no self-join of the
+    token stream (joins in the plan are only the broadcast vocab/count
+    joins — i.e. every join is a BroadcastHashJoin)."""
+    df = catalog.CATALOG["docs_bigram_pmi"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quality z-scores
+# ---------------------------------------------------------------------------
+
+
+def test_quality_zscore_bounds(spark):
+    """Population-sd invariants: sd >= 0; outlier count obeys the
+    Chebyshev bound n/4 for |z| > 2 (loose sanity, holds for ANY
+    distribution); every source in the corpus is present."""
+    rep = catalog.CATALOG["docs_quality_zscore"].fn(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rep) == n_sources
+    for r in rep:
+        assert r.sd_q >= 0.0
+        assert 0 <= r.n_outliers <= r.n_docs / 4.0 + 1
