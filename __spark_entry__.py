@@ -38,77 +38,93 @@ def entry(spark: SparkSession) -> DataFrame:
 # overflow slots hold near-twin queries whose operators are already covered
 # by an in-window sibling (each overflow entry names its covering twin).
 #
-# ROTATION (r5): the window rotates round-over-round so every proven query
-# eventually earns a driver row.  This round swaps in the 11-entry r4
-# breadth pack (never driver-checked; the 7 oracled ones are strict-local
-# green, the 4 rows-only ones are pytest-pinned) and rotates out 11 r4
-# driver-green entries whose operator families stay represented in-window
-# (each names its covering twin in the overflow comments below).
-# docs_unigram_logprob stays in-window deliberately: its ln(p) rounding was
-# coarsened 9→6 decimals after the r4 driver hash mismatch (VERDICT r4
-# item 1) and the fix needs a fresh driver row.
+# ROTATION (r6): the window rotates round-over-round so every proven query
+# eventually earns a driver row.  No CORRECTNESS_r05 artifact landed, so
+# this window keeps every entry still awaiting its first driver row (the
+# r4 breadth pack and both re-checks) and adds the r5+r6 additions (the
+# r5 incremental/profile/serving pack and the r6 layout pack) — 29 pending
+# entries + 20 family anchors + er_fuzzy.  Seventeen long-green entries
+# rotate out; each names its covering twin in the overflow comments below.
 _PRIORITY = [
     # complaints reference-parity core
     "complaints_clean",
     "complaints_flagship",
     "complaints_binary_metrics",
-    # sources / sinks / skew
     "complaints_json_clean",
-    "sink_roundtrip_orders",
-    "salted_lineitem_agg",
-    "skewjoin_events_enrich",
-    # TPC-H shapes
+    # TPC-H / relational anchors
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_top_unshipped_orders",
     "q17_small_quantity_revenue",
-    "q18_large_volume_customers",     # re-check: broadcast now runtime-gated (r5)
+    "q18_large_volume_customers",     # re-check: broadcast runtime-gated r5
     "lineitem_unpivot",
     "orders_scd2",
-    # relational / behavioral-analytics extensions
-    "events_sessionize",
+    # round-6 layout pack (first driver rows)
+    "orders_mv_merge",                # r6 window debut
+    "lineitem_zorder_layout",         # r6 window debut
+    "lineitem_skipping_stats",        # r6 window debut
+    # behavioral analytics
     "events_funnel",
-    "events_cohort_retention",
     "events_value_outliers_mad",      # r5 window debut (r4 breadth pack)
+    "events_value_outliers_mad_approx",# r6 window debut (rows-only: sketch twin)
     "events_active_users_approx",     # r5 window debut (rows-only: HLL sketch)
     # text analysis + training-data pipeline
-    "docs_tfidf_keywords",
     "docs_filter_chain",
-    "docs_decontaminate",
-    "docs_chunk",
-    "docs_token_budget_sample",
-    "docs_weighted_sample",
-    "docs_unigram_logprob",           # re-check after 9→6 decimal fix (r5)
+    "docs_unigram_logprob",           # re-check after 9>6 decimal fix (r5)
     "docs_temperature_mix",           # r5 window debut
     "docs_quality_deciles",           # r5 window debut
     "docs_quality_deciles_approx",    # r5 window debut (rows-only: sketch twin)
     "docs_pack_manifest",             # r5 window debut
     "docs_bm25_rank",                 # r5 window debut
     "docs_hybrid_rrf",                # r5 window debut
+    "docs_bigram_pmi",                # r6 window debut
+    "docs_quality_zscore",            # r6 window debut
+    "docs_corpus_datasheet",          # r6 window debut
+    # profiling / sources
+    "orders_profile",                 # r6 window debut
+    "orders_profile_approx",          # r6 window debut (rows-only: HLL twin)
+    "csv_roundtrip_customer",         # r6 window debut
     # dedup family
     "dedup_minhash_lsh",
-    "dedup_incremental",
+    "dedup_incremental_bloom",        # r6 window debut (shares dedup_incremental oracle)
+    "dedup_incremental_minhash",      # r6 window debut
+    "dedup_incremental_minhash_prebuilt",# r6 window debut (same oracle, prebuilt index)
     # similarity / ANN / entity resolution
-    "ann_cosine_topk",
+    "ann_range_search",
     "ann_ivf_prebuilt_topk",          # r5 window debut (rows-only: MLlib vectors)
     "ann_semantic_canonical",         # r5 window debut (rows-only: IVF cells)
-    "ann_range_search",
+    "ann_semantic_dedup_incremental", # r6 window debut (rows-only: incremental ingest)
+    "ann_recall_eval",                # r6 window debut (oracled recall@5)
+    "ann_int8_rerank_topk",           # r6 window debut (rows-only: quantized rerank)
     "er_fuzzy_part_match",
     # multimodal
     "media_meta_stats",
     # streaming
     "stream_windowed_counts",
     "stream_session_stats",
-    "stream_dedup_events",
-    "stream_running_user_stats",
-    "stream_click_purchase_join",
     "stream_static_enrich",           # r5 window debut
-    # ML pipelines (slowest — end of the window)
+    "stream_semantic_dedup",          # r6 window debut (rows-only: foreachBatch loop)
+    # ML pipelines (slowest - end of the window)
     "ml_timely_lr",
     "ml_response_dt",
-    "ml_timely_lr_tuned",
-    "ml_lda_topics_em",
-    # ---- window boundary (~50) ----  overflow: operator covered by twin
+    # ---- window boundary (50) ----  overflow: operator covered by twin
+    "sink_roundtrip_orders",          # rotated out r6 (green r4); sink family: csv_roundtrip_customer in-window
+    "salted_lineitem_agg",            # rotated out r6 (green r4); salt-split agg pytest skew-spread bounds
+    "skewjoin_events_enrich",         # rotated out r6 (green r4); gated-broadcast family: q18 gate in-window
+    "events_sessionize",              # rotated out r6 (green r4); session windows: stream_session_stats in-window
+    "events_cohort_retention",        # rotated out r6 (green r4); sequence windows: events_funnel in-window
+    "docs_tfidf_keywords",            # rotated out r6 (green r4); explode+agg+broadcast: docs_bm25_rank in-window
+    "docs_decontaminate",             # rotated out r6 (green r4); gram-membership: dedup_incremental_bloom in-window
+    "docs_chunk",                     # rotated out r6 (green r4); in-row arrays: docs_pack_manifest in-window
+    "docs_token_budget_sample",       # rotated out r6 (green r4); prefix-sum pack: docs_pack_manifest in-window
+    "docs_weighted_sample",           # rotated out r6 (green r4); hash-Bernoulli: docs_temperature_mix in-window
+    "dedup_incremental",              # rotated out r6 (green r4); dedup_incremental_bloom shares its oracle verbatim
+    "ann_cosine_topk",                # rotated out r6 (green r4); exact cosine: ann_recall_eval exact CTE in-window
+    "stream_dedup_events",            # rotated out r6 (green r4); stateful dedup: stream_semantic_dedup in-window
+    "stream_running_user_stats",      # rotated out r6 (rows r4); state family: stream_semantic_dedup in-window
+    "stream_click_purchase_join",     # rotated out r6 (green r4); stream joins: stream_static_enrich in-window
+    "ml_timely_lr_tuned",             # rotated out r6 (rows r4); tuner twin of in-window ml_timely_lr
+    "ml_lda_topics_em",               # rotated out r6 (rows r4); NLP fit family: golden LDA pin in pytest
     "complaints_monthly_trend",      # rotated out r5 (driver-green r4); F1 date parts: complaints reference core + events windows
     "orders_status_pivot",           # rotated out r5 (green r4); reshape family: lineitem_unpivot in-window
     "orders_rfm_segments",           # rotated out r5 (green r4); NTILE family: docs_quality_deciles in-window
@@ -196,20 +212,6 @@ _PRIORITY = [
     "docs_fingerprints",             # text family: docs_token_stats etc.
     "dedup_simhash",                 # dedup family: minhash/jaccard twins
     "ann_semantic_dedup",            # SemDeDup pair scoring: in-window ann_semantic_canonical composes it
-    # r5 additions (strict-local oracle green or pytest-pinned; window
-    # candidates for the r6 rotation)
-    "events_value_outliers_mad_approx",  # sketch twin of in-window events_value_outliers_mad (pytest Jaccard pin)
-    "ann_semantic_dedup_incremental",    # incremental-ingest twin of ann_semantic_canonical (pytest recall pin)
-    "ann_recall_eval",               # oracled recall@5 of LSH vs exact baseline (both CTEs already oracled)
-    "ann_int8_rerank_topk",          # quantized shortlist + exact re-rank (pytest equality pin vs ann_cosine_topk)
-    "dedup_incremental_bloom",       # Bloom-prefiltered twin sharing dedup_incremental's oracle verbatim
-    "stream_semantic_dedup",         # foreachBatch SemDeDup ingest loop (pytest sequential-equivalence pin)
-    "dedup_incremental_minhash",     # near-dup incremental triage, full band/verify/component SQL oracle
-    "orders_profile",                # one-pass per-column data-quality profile (oracled)
-    "csv_roundtrip_customer",        # CSV source/sink interchange round-trip (oracled off the source table)
-    "docs_corpus_datasheet",         # one-pass per-source dataset datasheet (oracled)
-    "orders_profile_approx",         # HLL twin of orders_profile (pytest agreement bound)
-    "dedup_incremental_minhash_prebuilt",  # serving twin from the persisted corpus band index (same oracle)
 ]
 
 
