@@ -646,7 +646,10 @@ def incremental_dedup_minhash(
     c_bands = (
         corpus_bands if corpus_bands is not None else minhash_band_keys(c_hashes)
     )
-    b_bands = minhash_band_keys(b_hashes)
+    # band keys are consumed twice (corpus-candidate probe + in-batch
+    # novel-pair generation); the frame is batch-sized and the signature
+    # computation behind it is the expensive part — persist, don't replay
+    b_bands = minhash_band_keys(b_hashes).persist(StorageLevel.MEMORY_AND_DISK)
 
     cand_corpus = (
         c_bands.withColumnRenamed("doc_id", "doc_b")
@@ -668,7 +671,15 @@ def incremental_dedup_minhash(
     verified = jaccard_on_pairs_lr(
         cand_corpus, b_hashes, c_cand_hashes
     ).filter(F.col("jaccard") >= threshold)
-    corpus_dups = verified.select(F.col("doc_a").alias("doc_id")).distinct()
+    # the dup-id list feeds BOTH the novel-bands anti-join (whose lineage
+    # connected_components then materializes) and the final status join;
+    # unpersisted, the whole candidate+verify chain replays per consumer.
+    # The frame is at most batch-sized — persist it once.
+    corpus_dups = (
+        verified.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     novel_bands = b_bands.join(corpus_dups, "doc_id", "left_anti")
     batch_pairs = jaccard_on_pairs(
