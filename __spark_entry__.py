@@ -212,6 +212,9 @@ _PRIORITY = [
     "docs_fingerprints",             # text family: docs_token_stats etc.
     "dedup_simhash",                 # dedup family: minhash/jaccard twins
     "ann_semantic_dedup",            # SemDeDup pair scoring: in-window ann_semantic_canonical composes it
+    # r6 additions (strict-local oracle green; window candidates for r7)
+    "docs_vocab_coverage",           # top-V type coverage curve (oracled; bounded-dim window)
+    "dedup_canonical_best",          # quality-aware canonical dedup (oracled; xtail near-dup fixture)
 ]
 
 

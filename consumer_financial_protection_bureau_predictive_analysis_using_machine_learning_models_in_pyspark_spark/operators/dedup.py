@@ -709,3 +709,37 @@ def incremental_dedup_minhash(
         )
     )
     return out
+
+
+def canonical_docs_best(
+    docs: DataFrame,
+    components: DataFrame,
+    quality: DataFrame,
+    quality_col: str = "qv",
+) -> DataFrame:
+    """Quality-aware canonical selection: each duplicate cluster keeps its
+    HIGHEST-quality member (tie → min doc_id) instead of ``canonical_docs``'
+    min-id convention — what a curation pipeline actually wants when the
+    duplicates differ in extraction quality (truncated vs. full crawl of
+    the same page).
+
+    The ranking window partitions by component — cluster-sized frames,
+    never a global sort — over the components frame joined to the
+    (doc_id, quality) projection, so the corpus text rides only the final
+    anti-join (same never-shuffle-the-corpus posture as
+    ``canonical_docs``).  Quality must be an exact-comparable value
+    (e.g. the 6-decimal quality score) so the argmax is engine- and
+    partitioning-independent.
+    """
+    from pyspark.sql import Window
+
+    ranked = components.join(quality, "doc_id").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.desc(quality_col), F.col("doc_id")
+            )
+        ),
+    )
+    losers = ranked.filter(F.col("_rn") > 1).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")

@@ -531,3 +531,58 @@ def quality_zscore_by_source(df: DataFrame, text_col: str = "text") -> DataFrame
         F.round("_sd", 6).alias("sd_q"),
         "n_outliers",
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    sizes: tuple[int, ...] = (5, 10, 20),
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: for each candidate vocab size
+    V, the fraction of all corpus tokens covered by the V most frequent
+    types (ties broken by token text) — the number that decides a
+    vocabulary cut before training a tokenizer.
+
+    Shape: one explode → type counts (map-side combine), ONE ordered
+    window over the TYPE table for ranks, then a single conditional agg
+    emits every V's (covered, n_types) pair side by side; `stack`
+    unpivots the 1-row result.  The global sort is over the type
+    dictionary — vocabulary-bounded (millions of rows at web scale, not
+    corpus-bounded) — the same bounded-dim window rationale as the
+    catalog's NTILE queries.  Returns (vocab_size, n_types,
+    covered_tokens, total_tokens, coverage)."""
+    from pyspark.sql import Window
+
+    cnt = (
+        df.select(F.explode(TF.tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rn = F.row_number().over(Window.orderBy(F.desc("c"), "t"))
+    ranked = cnt.withColumn("rn", rn)
+    aggs = [F.sum("c").cast("bigint").alias("_tot")]
+    for v in sizes:
+        aggs += [
+            F.sum(F.when(F.col("rn") <= v, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"_cov_{v}"),
+            F.sum(F.when(F.col("rn") <= v, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_nt_{v}"),
+        ]
+    wide = ranked.agg(*aggs)
+    stack = ", ".join(f"{v}, _nt_{v}, _cov_{v}, _tot" for v in sizes)
+    return wide.selectExpr(
+        f"stack({len(sizes)}, {stack}) AS "
+        "(vocab_size, n_types, covered_tokens, total_tokens)"
+    ).select(
+        "vocab_size",
+        "n_types",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

@@ -308,3 +308,110 @@ def docs_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus never shuffles."""
     docs = _t(spark, sf_dir, "documents")
     return TX.quality_zscore_by_source(docs).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZES = (5, 10, 20)
+
+
+@register(
+    "docs_vocab_coverage",
+    f"""
+WITH tok AS (SELECT unnest({_D_TOKS}) AS t FROM documents),
+cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+rk AS (SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn FROM cnt),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt)
+SELECT v.vocab_size,
+       CAST(SUM(CASE WHEN rk.rn <= v.vocab_size THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN rk.rn <= v.vocab_size THEN rk.c ELSE 0 END) AS BIGINT) AS covered_tokens,
+       MIN(tot.total) AS total_tokens,
+       ROUND(CAST(SUM(CASE WHEN rk.rn <= v.vocab_size THEN rk.c ELSE 0 END) AS DOUBLE)
+             / CAST(MIN(tot.total) AS DOUBLE), 6) AS coverage
+FROM rk CROSS JOIN tot
+CROSS JOIN (VALUES (5), (10), (20)) AS v(vocab_size)
+GROUP BY v.vocab_size
+ORDER BY v.vocab_size
+""",
+    "text", "vocabulary", "coverage", "tokenizer",
+)
+def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve (operators.text
+    .vocab_coverage): token coverage of the top-V most frequent types for
+    V in (5, 10, 20) — the report behind a vocabulary-size cut.  One
+    explode feeds the type counts, one vocabulary-bounded ordered window
+    assigns ranks, and a single conditional agg emits every V at once;
+    `stack` unpivots the 1-row result."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.vocab_coverage(docs, sizes=_VOCAB_SIZES).orderBy("vocab_size")
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical dedup
+# ---------------------------------------------------------------------------
+
+from .text_queries import _AUG_CTE, _COMPONENT_CTES  # noqa: E402
+
+_AUG_XTAIL_CTE = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text || ' xtail' AS text
+FROM documents WHERE doc_id % 10 = 0
+""".strip()
+
+# the full minhash pipeline + recursive component closure, re-derived over
+# the near-dup (' xtail') corpus instead of the exact-copy one: only the
+# aug CTE differs, so the substitution keeps every shared constant aligned
+_COMPONENT_XTAIL_CTES = _COMPONENT_CTES.replace(_AUG_CTE, _AUG_XTAIL_CTE)
+
+
+@register(
+    "dedup_canonical_best",
+    f"""
+{_COMPONENT_XTAIL_CTES},
+qual AS (
+  SELECT doc_id, CAST({_Q_SQL} AS DECIMAL(12,6)) AS quality
+  FROM (SELECT doc_id, text, {_D_TOKS} AS toks FROM aug)
+),
+ranked AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM comp c JOIN qual q ON q.doc_id = c.doc_id
+)
+SELECT g.doc_id, q.quality
+FROM aug g JOIN qual q ON q.doc_id = g.doc_id
+WHERE g.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+ORDER BY g.doc_id
+""",
+    "dedup", "components", "canonical", "quality",
+)
+def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical corpus (operators.dedup
+    .canonical_docs_best): near-dup clusters (minhash pairs over a
+    ' xtail'-perturbed corpus, so duplicates genuinely differ in quality)
+    keep their HIGHEST-quality member, tie → min id — versus
+    ``dedup_canonical_docs``' min-id convention.  The ranking window is
+    per-component (cluster-sized); the corpus rides only the final
+    anti-join."""
+    from ..operators import dedup as DD
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.union(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" xtail")).alias("text"),
+        )
+    )
+    pairs = DD.minhash_dedup_pairs(spark, aug, threshold=0.5)
+    comps = DD.connected_components(pairs)
+    qual = TX.quality_score(aug).select(
+        "doc_id", F.col("quality").cast("decimal(12,6)").alias("quality")
+    )
+    return (
+        DD.canonical_docs_best(qual, comps, qual, quality_col="quality")
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )

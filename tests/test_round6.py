@@ -188,3 +188,77 @@ def test_quality_zscore_bounds(spark):
     for r in rep:
         assert r.sd_q >= 0.0
         assert 0 <= r.n_outliers <= r.n_docs / 4.0 + 1
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """Corpus 'a a a b b c': top-1 covers 3/6, top-2 covers 5/6, top-3
+    covers 6/6; n_types saturates at the true type count."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id: long, text: string"
+    )
+    rows = {
+        r.vocab_size: r
+        for r in TX.vocab_coverage(docs, sizes=(1, 2, 99)).collect()
+    }
+    assert rows[1].covered_tokens == 3 and rows[1].coverage == 0.5
+    assert rows[2].covered_tokens == 5
+    assert rows[99].n_types == 3 and rows[99].coverage == 1.0
+
+
+def test_vocab_coverage_monotone(spark):
+    rows = sorted(
+        catalog.CATALOG["docs_vocab_coverage"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    cov = [r.coverage for r in rows]
+    assert cov == sorted(cov)
+    assert all(0.0 <= c <= 1.0 for c in cov)
+    assert all(r.n_types <= r.vocab_size for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical dedup
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_best_picks_quality_not_min_id(spark):
+    """On the ' xtail' fixture the highest-quality member is NOT always
+    the min id: the quality-aware canonical set must differ from the
+    min-id convention for at least one cluster, and must keep exactly
+    one member per duplicate cluster."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    aug = d.union(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" xtail")).alias("text"),
+        )
+    )
+    pairs = DD.minhash_dedup_pairs(spark, aug, threshold=0.5)
+    comps = DD.connected_components(pairs).persist()
+    kept = {
+        r.doc_id
+        for r in catalog.CATALOG["dedup_canonical_best"].fn(spark, SF_SMOKE).collect()
+    }
+    clusters: dict = {}
+    for r in comps.collect():
+        clusters.setdefault(r.component, []).append(r.doc_id)
+    assert clusters, "fixture should produce near-dup clusters"
+    non_min_winners = 0
+    for comp_id, members in clusters.items():
+        in_kept = [m for m in members if m in kept]
+        assert len(in_kept) == 1, (comp_id, members, in_kept)
+        if in_kept[0] != min(members):
+            non_min_winners += 1
+    assert non_min_winners > 0, "quality selection degenerated to min-id"
+    comps.unpersist()
