@@ -215,6 +215,7 @@ _PRIORITY = [
     # r6 additions (strict-local oracle green; window candidates for r7)
     "docs_vocab_coverage",           # top-V type coverage curve (oracled; bounded-dim window)
     "dedup_canonical_best",          # quality-aware canonical dedup (oracled; xtail near-dup fixture)
+    "stream_mv_maintenance",         # compact-state streaming MV merge (rows-only; batch-equality pinned)
 ]
 
 

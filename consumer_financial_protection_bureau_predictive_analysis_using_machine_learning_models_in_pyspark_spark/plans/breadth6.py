@@ -415,3 +415,82 @@ def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming compact-state MV maintenance
+# ---------------------------------------------------------------------------
+
+_MV_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_mv_maintenance", None,
+    "streaming", "materialized-view", "incremental", "foreachBatch",
+)
+def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming compact-state MV maintenance end-to-end (streaming.jobs
+    .run_streaming_mv_merge → read_mv_state): the events table arrives as
+    THREE micro-batches (user_id mod-3 slices, mtime-ordered), and each
+    batch's per-user partials are merged into the previous MV version —
+    read-modify-write over key-sized state, versioned for idempotent
+    replay.  Returns the final MV ordered by user.  Rows-only: equality
+    with the from-scratch batch aggregate and the ≥2-version merge path
+    are pinned in tests/test_round6.py; the driver row proves the write
+    path runs under a vanilla session.
+
+    The work dir is memoized per sf_dir and cleaned at exit (repeated
+    calls resume the checkpoint: a drained source adds no batches and the
+    state re-reads the same latest version)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs as SJ
+
+    work = _MV_STREAM_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_mv_")
+        if not _MV_STREAM_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _MV_STREAM_DIRS.values()
+                ]
+            )
+        _MV_STREAM_DIRS[sf_dir] = work
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", "ts", "value"
+        )
+        in_dir = f"{work}/in"
+        for i in range(3):
+            ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.parquet(f"{in_dir}/b{i}")
+        flat = f"{work}/batches"
+        os.makedirs(flat)
+        for i in range(3):
+            for f in os.listdir(f"{in_dir}/b{i}"):
+                if f.endswith(".parquet"):
+                    dst = f"{flat}/batch_{i}.parquet"
+                    shutil.copyfile(f"{in_dir}/b{i}/{f}", dst)
+                    os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    flat = f"{work}/batches"
+
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    SJ.run_streaming_mv_merge(
+        stream, f"{work}/state", f"{work}/ckpt", key="user_id"
+    )
+    mv = SJ.read_mv_state(spark, f"{work}/state")
+    return mv.select(
+        "user_id",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        F.col("max_ts").cast("string").alias("max_ts"),
+    ).orderBy("user_id")

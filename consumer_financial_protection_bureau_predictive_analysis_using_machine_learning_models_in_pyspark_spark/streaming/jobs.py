@@ -548,3 +548,85 @@ def run_streaming_semantic_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_mv_merge(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    key: str = "user_id",
+) -> None:
+    """Compact-state MV maintenance — the read-modify-write sibling of
+    ``run_streaming_rollup``'s append-partials loop (and the streaming
+    form of ``operators.layout.mv_merge``): each micro-batch folds to
+    per-key partials (n_events, exact decimal sum, max ts) and is merged
+    into the CURRENT MV state, written as a new immutable version
+    ``v{batch_id}``.
+
+    Idempotency without a transactional format: version ``v{b}`` is
+    derived only from versions `` < b`` plus batch ``b``, so a replayed
+    batch (crash between write and offset commit) rewrites ``v{b}``
+    byte-identically instead of double-counting; readers take the highest
+    complete version (``read_mv_state``).  State is KEY-sized, never
+    fact-sized — the trade vs. the rollup loop is a key-sized rewrite per
+    batch for an O(keys) read path with no merge-on-read, right when the
+    MV is read-heavy.  (On a lake format the same hook becomes MERGE
+    INTO; version listing here is a local-FS stand-in for its log.)
+    availableNow; blocks until drained."""
+    import os
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(state_dir):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy(key).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+            F.max("ts").alias("max_ts"),
+        )
+        prev = [v for v in _versions() if v < batch_id]
+        if prev:
+            state = spark.read.parquet(f"{state_dir}/v{prev[-1]}")
+            merged = (
+                state.unionByName(partial)
+                .groupBy(key)
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("sum_dec").cast("decimal(20,6)").alias("sum_dec"),
+                    F.max("max_ts").alias("max_ts"),
+                )
+            )
+        else:
+            merged = partial.select(
+                key,
+                "n_events",
+                F.col("sum_dec").cast("decimal(20,6)").alias("sum_dec"),
+                "max_ts",
+            )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_mv_state(spark, state_dir: str) -> DataFrame:
+    """The current MV view: the highest version ``run_streaming_mv_merge``
+    wrote — a single key-sized read, no merge-on-read."""
+    import os
+
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    return spark.read.parquet(f"{state_dir}/v{versions[-1]}")
