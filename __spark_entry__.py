@@ -216,6 +216,7 @@ _PRIORITY = [
     "docs_vocab_coverage",           # top-V type coverage curve (oracled; bounded-dim window)
     "dedup_canonical_best",          # quality-aware canonical dedup (oracled; xtail near-dup fixture)
     "stream_mv_maintenance",         # compact-state streaming MV merge (rows-only; batch-equality pinned)
+    "lineitem_zorder_export",        # real z-clustered write + per-file manifest (rows-only; locality pinned)
 ]
 
 

@@ -114,6 +114,16 @@ BENCH_QUERIES = [
     "media_meta_stats",
     "media_decode_features",
     "stream_windowed_counts",
+    # layout / maintenance (r6)
+    "orders_mv_merge",
+    "lineitem_zorder_layout",
+    "lineitem_skipping_stats",
+    "stream_mv_maintenance",
+    # text/curation (r6)
+    "docs_bigram_pmi",
+    "docs_quality_zscore",
+    "docs_vocab_coverage",
+    "dedup_canonical_best",
     # ML (train + score, the reference's core workload)
     "ml_timely_lr",
     "ml_response_dt",

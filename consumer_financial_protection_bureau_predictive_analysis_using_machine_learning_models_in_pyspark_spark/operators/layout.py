@@ -205,3 +205,52 @@ def mv_merge(base: DataFrame, delta: DataFrame) -> DataFrame:
             F.max("max_date").alias("max_date"),
         )
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    out_dir: str,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """The actual clustered WRITE: annotate with ``zval``, range-partition
+    into ``n_files`` z-ranges, sort within each file, and write parquet —
+    what a lake format's OPTIMIZE ZORDER materializes.  Each output file
+    then covers a compact square-ish region of (x, y) space, so file-level
+    min-max stats prune range predicates on EITHER column.
+
+    ``repartitionByRange`` samples the z distribution for balanced
+    boundaries (skew-proof, unlike fixed aligned buckets); the sort
+    within partitions is a local sort, no extra shuffle.  The bin
+    columns ride along so ``file_extent_report`` can audit the layout
+    without recomputing the scaling."""
+    z = zorder_values(df, col_x, col_y, bits=bits)
+    (
+        z.repartitionByRange(n_files, F.col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def file_extent_report(spark, path: str, cols: tuple[str, ...]) -> DataFrame:
+    """Per-FILE min-max manifest of a written table: group the rows of
+    each physical parquet file (``input_file_name``) and fold min/max of
+    the given columns + a row count — the stats a lake format stores per
+    file at commit time, recovered here by scan (the bootstrap path for
+    tables written without a format, or an audit of one).
+
+    Files are identified by their z-order rank (dense rank of file name)
+    so the report is stable across temp directories.  One scan + one
+    keyed agg whose key count is the file count."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    per_file = df.groupBy("_f").agg(*aggs)
+    rank = F.dense_rank().over(Window.orderBy("_f"))
+    return per_file.withColumn("file_rank", rank).drop("_f")

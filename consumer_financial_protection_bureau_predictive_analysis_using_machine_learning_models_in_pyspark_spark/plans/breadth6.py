@@ -494,3 +494,60 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_dec").cast("double").alias("sum_value"),
         F.col("max_ts").cast("string").alias("max_ts"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Z-order write path: real clustered files + file-level manifest
+# ---------------------------------------------------------------------------
+
+_ZORDER_DIRS: dict[str, str] = {}
+
+
+@register(
+    "lineitem_zorder_export", None,
+    "layout", "zorder", "write", "manifest",
+)
+def lineitem_zorder_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order WRITE path made real (operators.layout.zorder_write →
+    file_extent_report): lineitem's (l_partkey, l_suppkey) projection is
+    range-partitioned on the Morton code into 16 sorted parquet files,
+    then the per-FILE min-max manifest is recovered by scan — the
+    file-level stats a lake format would commit, proving each written
+    file covers a compact square of BOTH key ranges.  Rows-only: range
+    boundaries come from ``repartitionByRange``'s distribution sampling
+    (balanced, not bit-aligned), so exact per-file counts are not
+    SQL-replayable; z-range disjointness across files and the
+    secondary-dimension locality dividend vs. a 1-D sorted write are
+    pinned in tests/test_round6.py.
+
+    The work dir is memoized per sf_dir and cleaned at exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work = _ZORDER_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="zorder_export_")
+        if not _ZORDER_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _ZORDER_DIRS.values()
+                ]
+            )
+        _ZORDER_DIRS[sf_dir] = work
+        li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+        LY.zorder_write(li, "l_partkey", "l_suppkey", f"{work}/table", n_files=16)
+    rep = LY.file_extent_report(
+        spark, f"{work}/table", ("zval", "_bx", "_by")
+    )
+    return rep.select(
+        "file_rank",
+        "n_rows",
+        "min_zval",
+        "max_zval",
+        F.col("min__bx").alias("min_x_bin"),
+        F.col("max__bx").alias("max_x_bin"),
+        F.col("min__by").alias("min_y_bin"),
+        F.col("max__by").alias("max_y_bin"),
+    ).orderBy("file_rank")

@@ -315,3 +315,49 @@ def test_stream_mv_equals_batch_aggregate(spark):
         for r in catalog.CATALOG["stream_mv_maintenance"].fn(spark, SF_SMOKE).collect()
     }
     assert again == {u: r.n_events for u, r in got.items()}
+
+
+# ---------------------------------------------------------------------------
+# Z-order write path
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_export_files_disjoint_and_local(spark, tmp_path):
+    """Written files must cover disjoint z-ranges (range partition +
+    in-file sort), and their per-file bounding boxes must be compact in
+    BOTH dimensions — measured against a 1-D partkey-sorted write, whose
+    files stripe the full secondary-key range."""
+    rep = sorted(
+        catalog.CATALOG["lineitem_zorder_export"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.file_rank,
+    )
+    assert len(rep) > 4
+    for a, b in zip(rep, rep[1:]):
+        assert a.max_zval < b.min_zval  # disjoint, ordered z-ranges
+
+    def mean_extent(rows, lo, hi):
+        return sum(getattr(r, hi) - getattr(r, lo) for r in rows) / len(rows)
+
+    zx = mean_extent(rep, "min_x_bin", "max_x_bin")
+    zy = mean_extent(rep, "min_y_bin", "max_y_bin")
+
+    # 1-D baseline: sort by partkey only — same file count
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    base_dir = str(tmp_path / "sorted1d")
+    z = LY.zorder_values(li, "l_partkey", "l_suppkey")
+    (
+        z.repartitionByRange(16, F.col("_bx"))
+        .sortWithinPartitions("_bx")
+        .write.mode("overwrite")
+        .parquet(base_dir)
+    )
+    base = LY.file_extent_report(spark, base_dir, ("_bx", "_by")).collect()
+    by = mean_extent(base, "min__by", "max__by")
+
+    # z-order keeps BOTH extents compact; the 1-D sort stripes the
+    # secondary key across (nearly) its whole range in every file
+    assert zy < 0.6 * by, (zy, by)
+    assert zx < 140 and zy < 140, (zx, zy)
+    assert by > 200, by
