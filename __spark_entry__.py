@@ -217,6 +217,12 @@ _PRIORITY = [
     "dedup_canonical_best",          # quality-aware canonical dedup (oracled; xtail near-dup fixture)
     "stream_mv_maintenance",         # compact-state streaming MV merge (rows-only; batch-equality pinned)
     "lineitem_zorder_export",        # real z-clustered write + per-file manifest (rows-only; locality pinned)
+    "supplier_copurchase_pagerank",  # iterative PageRank, unrolled-SQL oracle (graph family debut)
+    "part_copurchase_triangles",     # triangles + clustering coeffs (oracled; PROMO-segment governor)
+    "orc_roundtrip_part",            # ORC interchange + Hive partition pruning (oracled)
+    "events_purchase_attribution",   # first/last-touch conversion attribution (oracled)
+    "star_constraint_audit",         # Deequ-style constraint gate, 11 checks (oracled)
+    "orders_snapshot_diff",          # CDC feed from two snapshots (oracled)
 ]
 
 

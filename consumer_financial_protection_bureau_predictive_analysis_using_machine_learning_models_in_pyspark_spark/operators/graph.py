@@ -1,0 +1,268 @@
+"""Graph analytics over co-occurrence graphs: weighted PageRank and
+triangle counting / clustering coefficients.
+
+The reference's pipelines stop at flat-table ML (SURVEY §2.9); these
+operators extend the engine to the graph-shaped curation signals a
+training-data pipeline needs — entity importance ranking (PageRank over a
+co-occurrence graph) and community density (triangles / clustering
+coefficient), both expressed as pure DataFrame plans so Catalyst plans the
+joins and AQE handles skew.
+
+Scale posture (100 TB):
+- Edge construction from an (entity, container) incidence list is a
+  self-join co-located on the container key; per-container fan-out is
+  bounded by container size (TPC-H orders: ≤7 lineitems), so the join
+  output is O(rows x container_width), never all-pairs.
+- PageRank iterations touch only node-sized frames after the one-time
+  edge-share build: each step is one (rank ⋈ share) shuffle on src plus a
+  node-keyed aggregate — the textbook power-iteration data layout.  Rank
+  frames are persisted per iteration (and the predecessor unpersisted) so
+  the lineage never re-runs earlier iterations; for deep iteration counts
+  the caller can pass a checkpoint dir.
+- Dangling mass (nodes with no out-edges) is folded with an exact decimal
+  sum and redistributed uniformly — the standard correction, without which
+  total rank leaks each step.
+
+Numeric parity discipline (the unigram_logprob lesson — see
+operators/text.py): every cross-engine float is either an IEEE-exact
+int/int division, a decimal fold, or a double expression with identical
+literals and association order rounded before comparison.  Edge shares are
+ROUND(w/W, 6) decimals; per-iteration ranks are ROUND(..., 8) decimals so
+the decimal→double casts stay under DuckDB's 2^53 exact-conversion bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def co_occurrence_edges(
+    incidence: DataFrame, entity_col: str, container_col: str
+) -> DataFrame:
+    """Weighted co-occurrence edge list from an (entity, container)
+    incidence frame: edge (src, dst, w) where w = number of containers in
+    which both entities appear.  Symmetric (both directions emitted).
+
+    The self-join is equi-keyed on the container, so Spark co-partitions
+    both sides on one shuffle key; output size is Σ c_i·(c_i−1) over
+    container sizes c_i — bounded fan-out, never an all-pairs product.
+    """
+    pairs = incidence.select(
+        F.col(container_col).alias("_cont"), F.col(entity_col).alias("_ent")
+    ).distinct()
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._cont") == F.col("b._cont"))
+            & (F.col("a._ent") != F.col("b._ent")),
+        )
+        .groupBy(
+            F.col("a._ent").alias("src"),
+            F.col("b._ent").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    damping: float = 0.85,
+    n_iter: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Weighted PageRank by power iteration with uniform dangling-mass
+    redistribution.  Returns (node_col, pagerank DOUBLE rounded to 6).
+
+    r_{k+1}(v) = (1−d)/N + d·( Σ_{u→v} r_k(u)·w(u,v)/W(u) + D_k/N )
+
+    where W(u) is u's total out-weight and D_k = Σ r_k(u) over dangling
+    nodes (no out-edges).  `nodes` fixes the vertex set, so isolated
+    vertices participate (as dangling) rather than silently vanishing.
+
+    Cross-engine determinism: shares w/W are exact IEEE int/int division
+    rounded to 6 decimals and folded as DECIMAL(8,6); rank·share products
+    are exact decimal multiplies summed exactly; the per-iteration rank is
+    a double expression with fixed association order, rounded to 8
+    decimals and stored as DECIMAL(12,8) — so an unrolled SQL oracle
+    reproduces the value bit-for-bit (no libm calls anywhere).
+
+    With `materialize` (default) each iteration's node-sized rank frame is
+    persisted and counted, and its predecessor unpersisted — lineage depth
+    stays O(1) per step instead of O(n_iter) and nothing is recomputed.
+    The final frame is left persisted for the caller's action and
+    unpersists itself with the session.
+    """
+    n_frame = nodes.select(F.col(node_col).alias("_node")).distinct()
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight_col).cast("bigint").alias("_w"),
+    )
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_wtot"))
+    share = (
+        e.join(outw, "_src")
+        .select(
+            "_src",
+            "_dst",
+            F.round(
+                F.col("_w").cast("double") / F.col("_wtot").cast("double"), 6
+            )
+            .cast("decimal(8,6)")
+            .alias("_sh"),
+        )
+    )
+    # Scalar N as a 1-row broadcast frame (free at any scale).
+    nn = n_frame.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    ranks = n_frame.crossJoin(F.broadcast(nn)).select(
+        "_node",
+        F.round(F.lit(1.0) / F.col("_n"), 8).cast("decimal(12,8)").alias("_r"),
+    )
+    if materialize:
+        share = share.persist(StorageLevel.MEMORY_AND_DISK)
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        ranks.count()
+
+    dangling = n_frame.join(
+        outw.select(F.col("_src").alias("_node")), "_node", "left_anti"
+    )
+    d = float(damping)
+    for _ in range(n_iter):
+        # D_k: exact decimal fold of dangling nodes' ranks (1-row scalar).
+        dm = (
+            ranks.join(dangling, "_node")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("_r")), F.lit(0).cast("decimal(12,8)")
+                )
+                .cast("decimal(14,8)")
+                .alias("_dm")
+            )
+        )
+        # Σ r_k(u)·share(u,v): (10,8)x(8,6) decimal products summed
+        # exactly, then narrowed to (14,12) so the double cast is exact in
+        # both engines (unscaled ≤ 10^12 < 2^53).
+        contrib = (
+            ranks.join(share, ranks["_node"] == share["_src"])
+            .groupBy(F.col("_dst").alias("_node"))
+            .agg(
+                F.sum(F.col("_r").cast("decimal(10,8)") * F.col("_sh"))
+                .cast("decimal(14,12)")
+                .alias("_c")
+            )
+        )
+        nxt = (
+            n_frame.join(contrib, "_node", "left")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "_node",
+                F.round(
+                    F.lit(1.0 - d) / F.col("_n")
+                    + F.lit(d)
+                    * (
+                        F.coalesce(
+                            F.col("_c"), F.lit(0).cast("decimal(14,12)")
+                        ).cast("double")
+                        + F.col("_dm").cast("double") / F.col("_n")
+                    ),
+                    8,
+                )
+                .cast("decimal(12,8)")
+                .alias("_r"),
+            )
+        )
+        if materialize:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()
+            ranks.unpersist(blocking=False)
+        ranks = nxt
+
+    out = ranks.select(
+        F.col("_node").alias(node_col),
+        F.round(F.col("_r").cast("double"), 6).alias("pagerank"),
+    )
+    if materialize:
+        share.unpersist(blocking=False)
+    return out
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient from a
+    symmetric edge list.  Returns (node, degree, n_triangles, clustering).
+
+    Canonicalizes to undirected (u < v) edges, enumerates each triangle
+    once via the two-hop equi-join e(a,b) ⋈ e(b,c) ⋈ e(a,c) with
+    a < b < c, then credits all three corners.  Both joins are equi-keyed
+    (no theta-join blowup); candidate volume is Σ deg(u)·deg(v) over
+    edges — the standard bound, kept tight at scale by the a<b<c ordering
+    (each wedge is generated once, from its middle-ranked vertex).
+
+    clustering(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — an exact int/int IEEE
+    division rounded to 6, so the oracle matches bit-for-bit.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint")).alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(
+                        F.col("n_triangles"), F.lit(0).cast("bigint")
+                    ).cast("double")
+                    / (
+                        F.col("degree").cast("double")
+                        * (F.col("degree").cast("double") - F.lit(1.0))
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

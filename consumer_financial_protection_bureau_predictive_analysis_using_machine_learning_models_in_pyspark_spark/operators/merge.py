@@ -110,3 +110,58 @@ def compact_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Derive a CDC feed from two table snapshots — the inverse of
+    ``merge_upsert``: full-outer join on the key, classify each key as
+    'inserted' | 'deleted' | 'changed' | 'unchanged'.
+
+    Output: key columns + ``change`` + the new-side compare columns
+    (null for deletes).  Change detection compares each column with
+    null-safe equality (``<=>``), so a value→null transition counts as a
+    change instead of vanishing.
+
+    One co-partitioned shuffle on the key for both sides; comparison is
+    per-row column expressions (codegen'd — no hashing UDF).  At 100 TB
+    this is how you reconcile a re-crawl against the previous corpus
+    snapshot without replaying any log.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("inserted"))
+        .when(F.col("_in_new").isNull(), F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        change.alias("change"),
+        *[F.col(f"_n_{c}").alias(c) for c in compare_cols],
+    )

@@ -424,3 +424,65 @@ def docs_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "events_purchase_attribution",
+    """
+WITH seq AS (
+  SELECT user_id, event_type, value,
+         first_value(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS lt
+  FROM events
+)
+SELECT COALESCE(ft, '(direct)') AS first_touch,
+       COALESCE(lt, '(direct)') AS last_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM seq
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    "path-analysis", "attribution", "window", "agg",
+)
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution: for every purchase event,
+    credit the user's FIRST touch (earliest event strictly before the
+    purchase) and LAST touch (the immediately preceding event), then fold
+    purchases and revenue by (first_touch, last_touch) channel pair.
+    Purchases with no prior event credit '(direct)'.
+
+    One user-partitioned window computes both touches in a single pass
+    (same shuffle as events_user_paths — at scale these path queries
+    share the user_id partitioning); the filter then keeps only purchase
+    rows, so the aggregate input is conversion-sized, not event-sized.
+    (ts, event_id) ordering makes both window functions deterministic
+    under same-timestamp events; revenue folds as exact DECIMAL.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.first("event_type")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("ft"),
+        F.lag("event_type").over(w).alias("lt"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("ft"), F.lit("(direct)")).alias("first_touch"),
+            F.coalesce(F.col("lt"), F.lit("(direct)")).alias("last_touch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )

@@ -187,3 +187,49 @@ def csv_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "orc_roundtrip_part",
+    """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_retail,
+       CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size,
+       MIN(p_name) AS first_name
+FROM part
+WHERE p_type = 'PROMO'
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    "source", "sink", "orc", "partitioned",
+)
+def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S3 ORC interchange round-trip: write part as zstd ORC
+    partitioned by p_type (sinks.write_orc), read it back
+    (readers.read_orc — schema from the footer, no inference), then
+    filter one partition and aggregate.  The p_type filter resolves at
+    the DIRECTORY level on the read-back side (Hive-style partition
+    pruning: only PROMO stripes are opened), so the query also proves the
+    partitioned-layout path, not just value fidelity.  The oracle
+    aggregates the source parquet directly — any corruption across the
+    format hop (or a partition column dropped/retyped by the round-trip)
+    breaks the hash."""
+    p = _t(spark, sf_dir, "part")
+    out = _scratch(sf_dir, "part_orc")
+    sinks.write_orc(p, out, partition_by=("p_type",))
+    back = readers.read_orc(spark, out)
+    return (
+        back.filter(F.col("p_type") == "PROMO")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_retail"),
+            F.sum(F.col("p_size").cast("bigint")).cast("bigint").alias("total_size"),
+            F.min("p_name").alias("first_name"),
+        )
+        .orderBy("p_brand")
+    )

@@ -88,6 +88,14 @@ def read_complaints_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_orc(spark: SparkSession, path: str):
+    """ORC scan.  Schema rides in the file footer (no inference pass);
+    predicate pushdown and column pruning reach the stripe level exactly
+    as with Parquet, so plans over ORC inputs keep the same PushedFilters
+    / ReadSchema shape (proven by the orc_roundtrip_part oracle)."""
+    return spark.read.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

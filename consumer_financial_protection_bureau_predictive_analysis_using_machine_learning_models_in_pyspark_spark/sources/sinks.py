@@ -81,3 +81,20 @@ def write_csv(
     interchange format here, not a canonical store — at 100 TB the
     canonical store is partitioned Parquet."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """ORC sink for interchange with Hive/Trino-side consumers.  ORC is
+    columnar with per-stripe min-max statistics, so the engine's skipping
+    posture survives the format hop (unlike CSV); values are binary, so
+    numerics round-trip exactly by construction.  Zstd-compressed —
+    Spark 4's default ORC codec tier for warm data."""
+    w = df.write.mode(mode).option("compression", "zstd")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

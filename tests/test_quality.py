@@ -1,0 +1,109 @@
+"""operators/quality.py + merge.snapshot_diff: the audit must CATCH
+violations (the catalog oracle only proves clean-data counts) and the
+diff must classify every change class correctly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+    merge as MG,
+    quality as Q,
+)
+
+
+def test_column_audit_catches_violations_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, None, -5.0), (3, "Z", 0.0), (4, "B", 2.5)],
+        "id bigint, status string, price double",
+    )
+    out = {
+        r["check_name"]: r
+        for r in Q.column_audit(
+            df,
+            {
+                "status_not_null": F.col("status").isNull(),
+                "status_domain": ~F.col("status").isin("A", "B"),
+                "price_positive": ~(F.col("price") > 0),
+            },
+        ).collect()
+    }
+    assert all(r["n_checked"] == 4 for r in out.values())
+    assert out["status_not_null"]["n_violations"] == 1
+    # NULL and 'Z' both fall outside the domain (NOT IN is null-hostile:
+    # the ~isin predicate is null -> violation counts only literal misses)
+    assert out["status_domain"]["n_violations"] == 1
+    assert out["price_positive"]["n_violations"] == 2  # -5.0 and 0.0
+
+
+def test_unique_audit_counts_extra_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 1), (3, 1)], "k bigint, v bigint"
+    )
+    row = Q.unique_audit(df, ["k"], "k_unique").collect()[0]
+    assert row["n_checked"] == 5
+    assert row["n_violations"] == 2  # two extra rows under k=1
+
+
+def test_referential_audit_counts_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (2,), (9,)], "fk bigint")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    row = Q.referential_audit(child, parent, "fk", "pk", "fk_ok").collect()[0]
+    assert row["n_checked"] == 4
+    assert row["n_violations"] == 1  # the single 9
+
+
+def test_audit_table_verdicts(spark):
+    child = spark.createDataFrame([(1,)], "fk bigint")
+    parent = spark.createDataFrame([(1,)], "pk bigint")
+    rows = Q.audit_table(
+        [
+            Q.referential_audit(child, parent, "fk", "pk", "b_fk"),
+            Q.unique_audit(child, ["fk"], "a_unique"),
+        ]
+    ).collect()
+    assert [r["check_name"] for r in rows] == ["a_unique", "b_fk"]
+    assert all(r["passed"] for r in rows)
+
+
+def test_snapshot_diff_classifies_all_classes(spark):
+    old = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0), (4, None, 4.0)],
+        "k bigint, s string, p double",
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 9.0), (4, "w", 4.0), (5, "n", 5.0)],
+        "k bigint, s string, p double",
+    )
+    rows = {
+        r["k"]: r
+        for r in MG.snapshot_diff(old, new, ["k"], ["s", "p"]).collect()
+    }
+    assert rows[1]["change"] == "unchanged"
+    assert rows[2]["change"] == "changed" and rows[2]["p"] == 9.0
+    assert rows[3]["change"] == "deleted" and rows[3]["s"] is None
+    # null -> value transition must count as changed (eqNullSafe)
+    assert rows[4]["change"] == "changed"
+    assert rows[5]["change"] == "inserted"
+    assert len(rows) == 5
+
+
+def test_snapshot_diff_composes_with_merge_upsert(spark):
+    # Applying the derived feed to `old` must reproduce `new` exactly.
+    old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k bigint, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, "Y"), (5, "n")], "k bigint, s string"
+    )
+    diff = MG.snapshot_diff(old, new, ["k"], ["s"])
+    upserts = diff.filter(
+        F.col("change").isin("inserted", "changed")
+    ).select("k", "s")
+    deletes = diff.filter(F.col("change") == "deleted").select("k")
+    applied = MG.merge_upsert(old, upserts, ["k"]).join(
+        deletes, "k", "left_anti"
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
