@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "orders_snapshot_diff",
     "orc_roundtrip_part",
     "events_purchase_attribution",
+    "docs_bpe_merges",
     # ML (train + score, the reference's core workload)
     "ml_timely_lr",
     "ml_response_dt",

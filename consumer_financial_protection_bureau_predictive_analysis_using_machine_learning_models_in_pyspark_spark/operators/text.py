@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import textfns as TF
 
@@ -586,3 +587,102 @@ def vocab_coverage(
             6,
         ).alias("coverage"),
     )
+
+
+def bpe_merge_steps(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 500,
+    n_merges: int = 5,
+) -> DataFrame:
+    """BPE tokenizer training, the discovery loop: iteratively find the
+    most frequent adjacent symbol pair in the corpus vocabulary and merge
+    it — the algorithm behind GPT/Llama tokenizers (Sennrich et al. 2016).
+    Returns the ordered merge table (step, pair, merged, freq).
+
+    Scale shape: the ONLY corpus-sized pass is the word-frequency
+    aggregate; BPE then iterates on the top-`vocab_size` word/frequency
+    DICT (the classic formulation), so merge steps cost O(vocab) each —
+    independent of corpus size, exactly how you'd train on 100 TB.  The
+    dict frame is persisted once; each step is a vocabulary-sized
+    explode→agg plus a 1-row broadcast of the winning rule (no driver
+    collect anywhere — the rule joins back as data).
+
+    Symbol sequences are strings of brace-wrapped symbols ("{l}{o}{w}");
+    since the vocabulary is filtered to ^[a-z]+$ words, braces cannot
+    occur inside symbols, so a literal replace of "{a}{b}"→"{ab}" is
+    boundary-safe and left-to-right-deterministic on both engines (the
+    same representation the oracle SQL unrolls).  Ties break on pair
+    text, so the merge table is fully deterministic.
+    """
+    toks = df.select(F.explode(TF.tokens(text_col)).alias("word"))
+    vocab = (
+        toks.filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .orderBy(F.desc("w"), "word")
+        .limit(vocab_size)
+    )
+    v = vocab.select(
+        "word",
+        "w",
+        F.regexp_replace("word", "(.)", "{$1}").alias("seq"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    v.count()  # one corpus scan total; iterations run off this dict
+
+    first = v
+    rules = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(
+            F.replace(F.col("seq"), F.lit("}{"), F.lit("} {")), " "
+        )
+        pair_list = F.when(
+            F.size(arr) >= 2,
+            F.expr(
+                "transform(sequence(1, size(_a) - 1),"
+                " i -> concat(element_at(_a, i), element_at(_a, i + 1)))"
+            ),
+        ).otherwise(F.expr("array()"))
+        pairs = (
+            v.withColumn("_a", arr)
+            .select("w", F.explode(pair_list).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("w").cast("bigint").alias("freq"))
+        )
+        rule = (
+            pairs.orderBy(F.desc("freq"), "pair")
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit("}{"), F.lit("")).alias(
+                    "merged"
+                ),
+                "freq",
+            )
+        )
+        # Each rule frame is consumed twice (merge table + the next dict
+        # update): persist + materialize the 1-row frame, or the lazy
+        # chain branches 2x per step and the final action replays
+        # 2^n_merges vocab-sized jobs (measured: 12 s -> ~3 s at sf0.1).
+        rule = rule.persist(StorageLevel.MEMORY_AND_DISK)
+        rule.count()
+        rules.append(rule)
+        v = v.crossJoin(
+            F.broadcast(rule.select("pair", "merged"))
+        ).select(
+            "word",
+            "w",
+            F.replace(F.col("seq"), F.col("pair"), F.col("merged")).alias(
+                "seq"
+            ),
+        )
+
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    # NOTE: `first` (the persisted dict) must outlive the returned lazy
+    # frame; it self-unpersists with the session.  Callers doing repeated
+    # training in one session can unpersist via .persist bookkeeping.
+    _ = first
+    return out.orderBy("step")

@@ -1160,3 +1160,68 @@ def minhash_index_release(sf_dir: str | None = None) -> int:
                 pass
         evicted += 1
     return evicted
+
+
+# ---------------------------------------------------------------------------
+# BPE merge discovery: iterative tokenizer training, value-oracled
+# ---------------------------------------------------------------------------
+
+_BPE_ITER_SQL = """
+p{k} AS (
+  SELECT t.a[u.i] || t.a[u.i + 1] AS pair, CAST(SUM(v.w) AS BIGINT) AS freq
+  FROM v{p} v,
+       LATERAL (SELECT string_split(replace(v.seq, '}}{{', '}} {{'), ' ') AS a) t,
+       LATERAL UNNEST(range(1, len(t.a))) AS u(i)
+  GROUP BY 1
+),
+r{k} AS (
+  SELECT {k} AS step, pair, replace(pair, '}}{{', '') AS merged, freq
+  FROM p{k} ORDER BY freq DESC, pair LIMIT 1
+),
+v{k} AS (
+  SELECT v.word, v.w, replace(v.seq, r.pair, r.merged) AS seq
+  FROM v{p} v, r{k} r
+)"""
+
+_BPE_ORACLE = (
+    """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+vocab0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS w
+  FROM toks WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word ORDER BY w DESC, word LIMIT 500
+),
+v0 AS (
+  SELECT word, w, regexp_replace(word, '(.)', '{\\1}', 'g') AS seq FROM vocab0
+),"""
+    + ",".join(_BPE_ITER_SQL.format(k=k, p=k - 1) for k in (1, 2, 3, 4, 5))
+    + """
+SELECT CAST(step AS INT) AS step, pair, merged, freq
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5)
+ORDER BY step
+"""
+)
+
+
+@register(
+    "docs_bpe_merges",
+    _BPE_ORACLE,
+    "text", "tokenizer", "bpe", "iterative",
+)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 5 BPE merge rules learned from the documents corpus
+    (operators/text.bpe_merge_steps): ONE corpus-sized word-frequency
+    pass, then the merge loop iterates on the top-500 word dict —
+    per-step cost independent of corpus size (the classic
+    dictionary-based BPE formulation; how tokenizer training actually
+    scales to 100 TB).  Like supplier_copurchase_pagerank, the oracle
+    UNROLLS the loop in SQL, so the iteration's VALUES are hash-checked,
+    not just row counts; all outputs are strings and exact integer
+    counts, so parity needs no float discipline at all."""
+    return TX.bpe_merge_steps(
+        _t(spark, sf_dir, "documents"), vocab_size=500, n_merges=5
+    )
