@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "orc_roundtrip_part",
     "events_purchase_attribution",
     "docs_bpe_merges",
+    "part_association_rules",
+    "lineitem_numeric_corr",
     # ML (train + score, the reference's core workload)
     "ml_timely_lr",
     "ml_response_dt",

@@ -276,3 +276,87 @@ def triangle_stats(
             .alias("clustering"),
         )
     )
+
+
+def association_rules(
+    incidence: DataFrame,
+    entity_col: str,
+    container_col: str,
+    min_count: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Market-basket association rules from an (entity, container)
+    incidence list: for each co-contained entity pair, emit both directed
+    rules with support, confidence, and lift — the classic A-priori
+    output for the 2-itemset case, computed without any candidate
+    generation (the pair join IS the frequent-pair scan).
+
+    support(a→b)    = n_ab / N        (N = distinct containers)
+    confidence(a→b) = n_ab / n_a
+    lift(a→b)       = (n_ab · N) / (n_a · n_b)
+
+    Same bounded-fanout self-join as co_occurrence_edges; `min_count`
+    prunes the singleton-pair tail BEFORE the per-entity joins, so the
+    rule frame (not the pair scan) is what survives.  All ratios are
+    IEEE-exact int/int double expressions rounded to 6 — bit-identical
+    cross-engine.  Output: top_k rules by (lift DESC, antecedent,
+    consequent) — deterministic under ties.
+    """
+    pairs_inc = incidence.select(
+        F.col(container_col).alias("_cont"), F.col(entity_col).alias("_ent")
+    ).distinct()
+    n_tot = pairs_inc.select("_cont").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    per_ent = pairs_inc.groupBy("_ent").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+    a = pairs_inc.alias("a")
+    b = pairs_inc.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a._cont") == F.col("b._cont"))
+            & (F.col("a._ent") < F.col("b._ent")),
+        )
+        .groupBy(
+            F.col("a._ent").alias("_u"), F.col("b._ent").alias("_v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nab"))
+        .filter(F.col("_nab") >= min_count)
+    )
+    directed = und.select(
+        F.col("_u").alias("antecedent"),
+        F.col("_v").alias("consequent"),
+        "_nab",
+    ).unionAll(
+        und.select(
+            F.col("_v").alias("antecedent"),
+            F.col("_u").alias("consequent"),
+            "_nab",
+        )
+    )
+    na = per_ent.select(
+        F.col("_ent").alias("antecedent"), F.col("_cnt").alias("_na")
+    )
+    nb = per_ent.select(
+        F.col("_ent").alias("consequent"), F.col("_cnt").alias("_nb")
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        directed.join(na, "antecedent")
+        .join(nb, "consequent")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("_nab").alias("n_both"),
+            F.round(dbl("_nab") / dbl("_n"), 6).alias("support"),
+            F.round(dbl("_nab") / dbl("_na"), 6).alias("confidence"),
+            F.round(
+                dbl("_nab") * dbl("_n") / (dbl("_na") * dbl("_nb")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(top_k)
+    )

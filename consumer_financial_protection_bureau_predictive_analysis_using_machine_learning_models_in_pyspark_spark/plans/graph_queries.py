@@ -200,3 +200,52 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "part_association_rules",
+    """
+WITH op AS (SELECT DISTINCT l_orderkey AS cont, l_partkey AS ent FROM lineitem),
+nt AS (SELECT CAST(COUNT(DISTINCT cont) AS BIGINT) AS n FROM op),
+pe AS (SELECT ent, CAST(COUNT(*) AS BIGINT) AS cnt FROM op GROUP BY ent),
+und AS (
+  SELECT a.ent AS u, b.ent AS v, CAST(COUNT(*) AS BIGINT) AS nab
+  FROM op a JOIN op b ON a.cont = b.cont AND a.ent < b.ent
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+dir AS (
+  SELECT u AS antecedent, v AS consequent, nab FROM und
+  UNION ALL
+  SELECT v AS antecedent, u AS consequent, nab FROM und
+)
+SELECT d.antecedent, d.consequent, d.nab AS n_both,
+       ROUND(CAST(d.nab AS DOUBLE) / CAST(nt.n AS DOUBLE), 6) AS support,
+       ROUND(CAST(d.nab AS DOUBLE) / CAST(na.cnt AS DOUBLE), 6) AS confidence,
+       ROUND(CAST(d.nab AS DOUBLE) * CAST(nt.n AS DOUBLE)
+             / (CAST(na.cnt AS DOUBLE) * CAST(nb.cnt AS DOUBLE)), 6) AS lift
+FROM dir d
+JOIN pe na ON d.antecedent = na.ent
+JOIN pe nb ON d.consequent = nb.ent, nt
+ORDER BY lift DESC, antecedent, consequent
+LIMIT 50
+""",
+    "graph", "basket", "association-rules", "self-join", "agg", "topk",
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 part-to-part association rules by lift
+    (operators/graph.association_rules): the 2-itemset A-priori output —
+    support / confidence / lift per directed rule, min pair count 2.
+
+    The frequent-pair scan is the same bounded-fanout order-keyed
+    self-join as the co-occurrence builder; the min_count filter prunes
+    the singleton tail BEFORE the per-entity count joins, so only
+    rule-worthy pairs reach them.  Ratios are exact int/int IEEE
+    divisions rounded at 6; the global top-50 is orderBy+limit
+    (TakeOrderedAndProject — per-partition local top-k, no single-task
+    rank window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        G.association_rules(
+            li, "l_partkey", "l_orderkey", min_count=2, top_k=50
+        )
+    )

@@ -206,3 +206,104 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
         .orderBy("change")
     )
+
+
+_CORR_PAIR_SQL = """
+  SELECT '{x}' AS var_x, '{y}' AS var_y, n,
+         ROUND(CAST(CAST(CAST(CAST(n AS DECIMAL(10,0)) * s{x}{y} - s{x} * s{y}
+                         AS DECIMAL(34,8)) AS VARCHAR) AS DOUBLE)
+               / (sqrt(CAST(CAST(CAST(CAST(n AS DECIMAL(10,0)) * s{x}{x} - s{x} * s{x}
+                                 AS DECIMAL(34,8)) AS VARCHAR) AS DOUBLE))
+                  * sqrt(CAST(CAST(CAST(CAST(n AS DECIMAL(10,0)) * s{y}{y} - s{y} * s{y}
+                                   AS DECIMAL(34,8)) AS VARCHAR) AS DOUBLE))), 6)
+           AS corr
+  FROM s"""
+
+_CORR_ORACLE = (
+    """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS DECIMAL(14,2)) AS sq,
+    CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(14,4)) AS sd,
+    CAST(SUM(CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(14,4)) AS st,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_quantity AS DECIMAL(6,2)))
+         AS DECIMAL(20,4)) AS sqq,
+    CAST(SUM(CAST(l_discount AS DECIMAL(6,4)) * CAST(l_discount AS DECIMAL(6,4)))
+         AS DECIMAL(20,8)) AS sdd,
+    CAST(SUM(CAST(l_tax AS DECIMAL(6,4)) * CAST(l_tax AS DECIMAL(6,4)))
+         AS DECIMAL(20,8)) AS stt,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_discount AS DECIMAL(6,4)))
+         AS DECIMAL(20,6)) AS sqd,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_tax AS DECIMAL(6,4)))
+         AS DECIMAL(20,6)) AS sqt,
+    CAST(SUM(CAST(l_discount AS DECIMAL(6,4)) * CAST(l_tax AS DECIMAL(6,4)))
+         AS DECIMAL(20,8)) AS sdt
+  FROM lineitem
+)
+"""
+    + "\nUNION ALL".join(
+        _CORR_PAIR_SQL.format(x=x, y=y)
+        for x, y in (("q", "d"), ("q", "t"), ("d", "t"))
+    )
+    + "\nORDER BY var_x, var_y\n"
+)
+
+
+@register(
+    "lineitem_numeric_corr",
+    _CORR_ORACLE,
+    "quality", "profiling", "correlation", "agg",
+)
+def lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of lineitem's (quantity, discount,
+    tax) from EXACT decimal moment sums in ONE aggregate pass — the
+    numeric-profile companion to star_constraint_audit (a correlation
+    that jumps between snapshots is a drift alarm).
+
+    Cross-engine parity: every moment folds as an exact decimal (inputs
+    are exact at 2/4 decimals); the corr terms n·Sxy − Sx·Sy stay exact
+    decimals (≤ precision 38), and the decimal→double hop goes THROUGH A
+    STRING (CAST(dec AS STRING) AS DOUBLE): both engines' string→double
+    is correctly rounded, sidestepping DuckDB's inexact wide-decimal→
+    double cast (the q1 sum_charge gotcha, where unscaled > 2^53).  sqrt
+    is IEEE-correctly-rounded, so the final doubles are bit-identical.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(6,2)")
+    dd = F.col("l_discount").cast("decimal(6,4)")
+    td = F.col("l_tax").cast("decimal(6,4)")
+    s = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(qd).cast("decimal(14,2)").alias("sq"),
+        F.sum(dd).cast("decimal(14,4)").alias("sd"),
+        F.sum(td).cast("decimal(14,4)").alias("st"),
+        F.sum(qd * qd).cast("decimal(20,4)").alias("sqq"),
+        F.sum(dd * dd).cast("decimal(20,8)").alias("sdd"),
+        F.sum(td * td).cast("decimal(20,8)").alias("stt"),
+        F.sum(qd * dd).cast("decimal(20,6)").alias("sqd"),
+        F.sum(qd * td).cast("decimal(20,6)").alias("sqt"),
+        F.sum(dd * td).cast("decimal(20,8)").alias("sdt"),
+    )
+
+    def _dbl(expr):
+        # decimal -> string -> double: correctly rounded on both engines
+        return expr.cast("decimal(34,8)").cast("string").cast("double")
+
+    def _corr(x: str, y: str):
+        n10 = F.col("n").cast("decimal(10,0)")
+        num = _dbl(n10 * F.col(f"s{x}{y}") - F.col(f"s{x}") * F.col(f"s{y}"))
+        dx = _dbl(n10 * F.col(f"s{x}{x}") - F.col(f"s{x}") * F.col(f"s{x}"))
+        dy = _dbl(n10 * F.col(f"s{y}{y}") - F.col(f"s{y}") * F.col(f"s{y}"))
+        return F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
+
+    pairs = [("q", "d"), ("q", "t"), ("d", "t")]
+    out = None
+    for x, y in pairs:
+        row = s.select(
+            F.lit(x).alias("var_x"),
+            F.lit(y).alias("var_y"),
+            "n",
+            _corr(x, y).alias("corr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("var_x", "var_y")

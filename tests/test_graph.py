@@ -122,3 +122,37 @@ def test_triangle_stats_counts_each_triangle_once(spark):
     rows = G.triangle_stats(_edges(spark, k4)).collect()
     assert all(r["n_triangles"] == 3 for r in rows)
     assert all(r["clustering"] == pytest.approx(1.0) for r in rows)
+
+
+def test_association_rules_hand_computed(spark):
+    # Baskets: {A:1,2} {B:1,2} {C:1,3} {D:2} -> N=4, n1=3, n2=3, n3=1
+    # pair (1,2): nab=2 -> support 0.5; conf(1->2)=2/3; lift=2*4/(3*3)
+    inc = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 1), ("B", 2), ("C", 1), ("C", 3), ("D", 2)],
+        "cont string, ent bigint",
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        graph as G,
+    )
+
+    rows = {
+        (r["antecedent"], r["consequent"]): r
+        for r in G.association_rules(inc, "ent", "cont", min_count=2).collect()
+    }
+    assert set(rows) == {(1, 2), (2, 1)}  # (1,3) has nab=1, pruned
+    r12 = rows[(1, 2)]
+    assert r12["n_both"] == 2
+    assert r12["support"] == pytest.approx(0.5)
+    assert r12["confidence"] == pytest.approx(round(2 / 3, 6))
+    assert r12["lift"] == pytest.approx(round(8 / 9, 6))
+    # confidence is direction-sensitive when the sides differ
+    inc2 = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 1), ("B", 2), ("C", 1), ("E", 1)],
+        "cont string, ent bigint",
+    )
+    rows2 = {
+        (r["antecedent"], r["consequent"]): r
+        for r in G.association_rules(inc2, "ent", "cont", min_count=2).collect()
+    }
+    assert rows2[(1, 2)]["confidence"] == pytest.approx(0.5)  # 2/4
+    assert rows2[(2, 1)]["confidence"] == pytest.approx(1.0)  # 2/2

@@ -107,3 +107,31 @@ def test_snapshot_diff_composes_with_merge_upsert(spark):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_lineitem_numeric_corr_matches_numpy(spark):
+    """The exact-decimal-moment corr must agree with numpy's corrcoef
+    (float64 two-pass) to ~1e-6 at fixture scale."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog,
+    )
+    from .conftest import SF_ORACLE
+
+    rows = {
+        (r["var_x"], r["var_y"]): r["corr"]
+        for r in catalog.CATALOG["lineitem_numeric_corr"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    }
+    pdf = pd.read_parquet(
+        f"{SF_ORACLE}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_tax"],
+    )
+    c = np.corrcoef(pdf.values.T)
+    assert rows[("q", "d")] == _pt.approx(c[0, 1], abs=2e-6)
+    assert rows[("q", "t")] == _pt.approx(c[0, 2], abs=2e-6)
+    assert rows[("d", "t")] == _pt.approx(c[1, 2], abs=2e-6)
