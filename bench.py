@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "docs_bpe_merges",
     "part_association_rules",
     "lineitem_numeric_corr",
+    "orders_price_psi",
+    "orders_status_priority_chi2",
     # ML (train + score, the reference's core workload)
     "ml_timely_lr",
     "ml_response_dt",

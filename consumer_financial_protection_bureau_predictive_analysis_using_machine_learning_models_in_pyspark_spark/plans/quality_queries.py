@@ -307,3 +307,194 @@ def lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("var_x", "var_y")
+
+
+_PSI_SPLIT = "1998-01-01 00:00:00"
+
+
+@register(
+    "orders_price_psi",
+    f"""
+WITH binned AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 100000) AS INT), 4) AS bin,
+         CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+  FROM orders
+),
+counts AS (
+  SELECT bin,
+         CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc
+  FROM counts
+),
+terms AS (
+  SELECT c.bin, c.n_ref, c.n_cur,
+         GREATEST(CAST(c.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE), 0.000001) AS p,
+         GREATEST(CAST(c.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE), 0.000001) AS q
+  FROM counts c, tot t
+),
+scored AS (
+  SELECT bin, n_ref, n_cur,
+         ROUND(p, 6) AS p_ref, ROUND(q, 6) AS p_cur,
+         CAST(ROUND((p - q) * ROUND(ln(p / q), 6), 8) AS DECIMAL(12,8)) AS term
+  FROM terms
+),
+total AS (
+  SELECT ROUND(CAST(CAST(SUM(term) AS DECIMAL(14,8)) AS DOUBLE), 6) AS psi_total
+  FROM scored
+)
+SELECT s.bin, s.n_ref, s.n_cur, s.p_ref, s.p_cur,
+       CAST(s.term AS DOUBLE) AS psi_term, t.psi_total
+FROM scored s, total t
+ORDER BY s.bin
+""",
+    "quality", "drift", "psi", "agg",
+)
+def orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre- and post-1998 order
+    price distributions over fixed 100k-wide bins — the standard
+    production drift gate for a scoring pipeline (PSI > 0.2 = retrain).
+
+    ONE conditional aggregate builds both periods' histograms (no second
+    scan); the PSI fold is bin-count-sized.  Fixed bins (not quantile
+    boundaries) keep the gate deterministic AND cross-engine exact: bin
+    shares are IEEE int/int divisions, the single ln rounds at 6 before
+    the term product (the unigram lesson), each term rounds at 8 into an
+    exact decimal fold.  1e-6 clamping guards empty bins with identical
+    literals on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 100000).cast("int"), F.lit(4)
+        ).alias("bin"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    p = F.greatest(
+        F.col("n_ref").cast("double") / F.col("tr").cast("double"),
+        F.lit(0.000001),
+    )
+    q = F.greatest(
+        F.col("n_cur").cast("double") / F.col("tc").cast("double"),
+        F.lit(0.000001),
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((p - q) * F.round(F.log(p / q), 6), 8)
+        .cast("decimal(12,8)")
+        .alias("term"),
+    )
+    total = scored.agg(
+        F.round(
+            F.sum("term").cast("decimal(14,8)").cast("double"), 6
+        ).alias("psi_total")
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            "p_ref",
+            "p_cur",
+            F.col("term").cast("double").alias("psi_term"),
+            "psi_total",
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "orders_status_priority_chi2",
+    """
+WITH obs AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT s, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY s),
+ct AS (SELECT p, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY p),
+nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+              CAST(COUNT(DISTINCT s) AS BIGINT) AS ns,
+              CAST(COUNT(DISTINCT p) AS BIGINT) AS np
+       FROM obs),
+terms AS (
+  SELECT CAST(ROUND(
+           (CAST(o.o AS DOUBLE)
+            - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+           * (CAST(o.o AS DOUBLE)
+              - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+           / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(nn.n AS DOUBLE)),
+           8) AS DECIMAL(16,8)) AS term
+  FROM obs o JOIN rt ON o.s = rt.s JOIN ct ON o.p = ct.p, nn
+)
+SELECT ROUND(CAST(CAST(SUM(term) AS DECIMAL(18,8)) AS DOUBLE), 6) AS chi2,
+       (SELECT (ns - 1) * (np - 1) FROM nn) AS dof,
+       (SELECT n FROM nn) AS n
+FROM terms
+""",
+    "quality", "statistics", "chi-square", "agg",
+)
+def orders_status_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between order status and
+    priority — the categorical companion to lineitem_numeric_corr (a
+    dependence that appears between snapshots is drift; on this synthetic
+    data the two columns are independent, so chi2 ~ dof).
+
+    One contingency aggregate (|s|x|p| cells), marginals re-folded from
+    the cell frame (no table rescan), expected counts as IEEE-exact
+    double expressions with identical association order; per-cell terms
+    round at 8 into an exact decimal fold, chi2 rounds at 6."""
+    orders = _t(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    rt = obs.groupBy("s").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = obs.groupBy("p").agg(F.sum("o").cast("bigint").alias("c"))
+    nn = obs.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count_distinct("s").cast("bigint").alias("ns"),
+        F.count_distinct("p").cast("bigint").alias("np"),
+    )
+    exp = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = F.round(
+        (F.col("o").cast("double") - exp)
+        * (F.col("o").cast("double") - exp)
+        / exp,
+        8,
+    ).cast("decimal(16,8)")
+    terms = (
+        obs.join(rt, "s")
+        .join(ct, "p")
+        .crossJoin(F.broadcast(nn))
+        .select(term.alias("term"), "ns", "np", "n")
+    )
+    return terms.agg(
+        F.round(
+            F.sum("term").cast("decimal(18,8)").cast("double"), 6
+        ).alias("chi2"),
+        ((F.first("ns") - 1) * (F.first("np") - 1)).alias("dof"),
+        F.first("n").alias("n"),
+    )

@@ -135,3 +135,48 @@ def test_lineitem_numeric_corr_matches_numpy(spark):
     assert rows[("q", "d")] == _pt.approx(c[0, 1], abs=2e-6)
     assert rows[("q", "t")] == _pt.approx(c[0, 2], abs=2e-6)
     assert rows[("d", "t")] == _pt.approx(c[1, 2], abs=2e-6)
+
+
+def test_orders_price_psi_properties(spark):
+    """PSI terms are individually non-negative ((p-q)ln(p/q) >= 0) and the
+    total is their sum; identical-period fixture gives ~0."""
+    import pytest as _pt
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog,
+    )
+    from .conftest import SF_ORACLE
+
+    rows = catalog.CATALOG["orders_price_psi"].fn(spark, SF_ORACLE).collect()
+    assert all(r["psi_term"] >= -1e-8 for r in rows)
+    total = rows[0]["psi_total"]
+    assert all(r["psi_total"] == total for r in rows)
+    assert total == _pt.approx(sum(r["psi_term"] for r in rows), abs=1e-6)
+    assert 0.0 <= total < 1.0  # same generator both periods: mild drift only
+
+
+def test_orders_chi2_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog,
+    )
+    from .conftest import SF_ORACLE
+
+    row = (
+        catalog.CATALOG["orders_status_priority_chi2"]
+        .fn(spark, SF_ORACLE)
+        .collect()[0]
+    )
+    pdf = pd.read_parquet(
+        f"{SF_ORACLE}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+    tab = pd.crosstab(pdf["o_orderstatus"], pdf["o_orderpriority"]).values
+    exp = np.outer(tab.sum(1), tab.sum(0)) / tab.sum()
+    chi2 = ((tab - exp) ** 2 / exp).sum()
+    assert row["chi2"] == _pt.approx(chi2, abs=1e-4)
+    assert row["dof"] == (tab.shape[0] - 1) * (tab.shape[1] - 1)
+    assert row["n"] == tab.sum()
