@@ -497,3 +497,114 @@ def test_bloom_incremental_corpus_never_shuffle_joins(spark):
     # factor on the small side, never the corpus)
     assert 1 <= plan.count("ArrowEvalPython") <= 4
     assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+# ---------------------------------------------------------------------------
+# r6: the fact-hint sweep, catalog-wide.  Same rule as the TPC-H sweep,
+# with one more recognized bounded shape: a hint child that chains through
+# unary ops to a GlobalLimit is bounded by the literal k (top-k frames,
+# e.g. a 1-row argmax rule), regardless of what it scans.  Side-effecting
+# families (sinks, streaming drains, ML fits, media decode) are excluded
+# by tag — building their frame RUNS the side effect; their hint
+# discipline is covered by their own plan/property tests.
+# ---------------------------------------------------------------------------
+
+_SWEEP_EXCLUDE_TAGS = {"sink", "streaming", "ml", "media", "source"}
+_FACT_LEAF_COLS |= {"event_id", "doc_id", "vec_id"}
+
+
+def _is_bounded_limit(node) -> bool:
+    n = node
+    while n.children().size() == 1 and n.nodeName() not in (
+        "GlobalLimit",
+        "Aggregate",
+    ):
+        n = n.children().apply(0)
+    return n.nodeName() == "GlobalLimit"
+
+
+_BOUNDED_HINT_JUSTIFICATIONS = {
+    # Every entry asserts WHY a forced broadcast on a frame the leaf
+    # heuristic calls "fact-derived" is actually bounded.  The sweep
+    # fails on any unjustified hint AND on any stale justification, so
+    # this dict cannot rot: adding a hint forces writing its bound here.
+    #
+    # (a) probe sets bounded by a LITERAL filter (vec_id < k): the probe
+    #     matrix is the documented driver-side constant of the ANN family
+    "ann_cosine_topk": "probe set literal-bounded (vec_id < n_probes)",
+    "ann_int8_rerank_topk": "probe set literal-bounded + int8 probe quant",
+    "ann_ivf_prebuilt_topk": "probe set literal-bounded, cells from index",
+    "ann_ivf_topk": "probe set literal-bounded, cells from quantizer",
+    "ann_lsh_topk": "probe set literal-bounded + 8-plane bucket expr",
+    "ann_range_search": "probe set literal-bounded",
+    "ann_recall_eval": "probe set literal-bounded (both arms share it)",
+    "docs_hybrid_rrf": "probe set literal-bounded + vocab-bounded df",
+    # (b) vocabulary- or domain-bounded aggregates: keyed by a natural
+    #     dim (term vocab, source domain, company) whose cardinality is
+    #     sublinear in corpus size -- the freq-dim pattern from SURVEY §2
+    "complaints_flagship": "company freq table: company-dim-bounded",
+    "complaints_frequency_encode": "company/issue freq tables: dim-bounded",
+    "docs_bigram_pmi": "unigram count frames: vocab-bounded",
+    "docs_bm25_rank": "per-term df: bounded by |query_terms| after isin",
+    "docs_quality_zscore": "per-source moments: source-domain-bounded",
+    "docs_tfidf_keywords": "document-frequency table: vocab-bounded",
+    "docs_unigram_logprob": "log-prob table: vocab-bounded",
+    "events_heavy_hitters_cms": "CMS counters: d x w sketch-bounded",
+    # (c) batch side of incremental/merge ops: the DELTA is the small
+    #     side by contract; the corpus side is never hinted
+    "ann_semantic_canonical": "SemDeDup loser id list: pair-graph-bounded",
+    "ann_semantic_dedup_incremental": "batch probe ids: delta-bounded",
+    "dedup_canonical_docs": "loser id list: duplicate-pairs-bounded",
+    "dedup_incremental_bloom": "batch fingerprints: delta-bounded",
+    "dedup_incremental_minhash": "batch band keys: delta-bounded",
+    "dedup_incremental_minhash_prebuilt": "batch band keys: delta-bounded",
+    "docs_decontaminate": "benchmark gram set: benchmark-corpus-bounded",
+    "docs_temperature_mix": "per-domain keep-ratio table: domain-bounded",
+    "docs_token_budget_sample": "per-bucket offset table: 256 buckets",
+    "orders_merge_upsert": "upsert key list: update-batch-bounded",
+}
+
+
+def test_no_forced_hint_on_fact_frames_catalog_wide(spark):
+    spark.catalog.clearCache()
+    names = sorted(
+        n
+        for n, spec in CATALOG.items()
+        if not (_SWEEP_EXCLUDE_TAGS & set(spec.tags))
+    )
+    assert len(names) >= 100, len(names)
+    flagged = set()
+    offenders = {}
+    for name in names:
+        if name in _HINT_ALLOWLIST:
+            continue
+        plan = CATALOG[name].fn(spark, SF)._jdf.queryExecution().analyzed()
+        bad = []
+        for n in _jwalk(plan):
+            if n.nodeName() != "ResolvedHint":
+                continue
+            child = n.children().apply(0)
+            if (
+                _subtree_has_fact_leaf(child)
+                and not _is_bounded_scalar(child)
+                and not _is_bounded_limit(child)
+            ):
+                bad.append(child.toString().splitlines()[0][:120])
+        if bad:
+            flagged.add(name)
+            if name not in _BOUNDED_HINT_JUSTIFICATIONS:
+                offenders[name] = bad
+    assert not offenders, (
+        "forced broadcast hint on a fact-derived frame with NO written "
+        f"bound justification -- add one or drop the hint: {offenders}"
+    )
+    stale = set(_BOUNDED_HINT_JUSTIFICATIONS) - flagged
+    assert not stale, f"stale hint justifications (hint gone): {stale}"
+
+
+def test_association_rules_topk_is_distributed(spark):
+    """part_association_rules' global top-50 must plan as
+    TakeOrderedAndProject (per-partition local top-k + merge), never a
+    single-partition rank window."""
+    plan = _physical(spark, "part_association_rules")
+    assert "TakeOrderedAndProject" in plan, plan
