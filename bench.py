@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "lineitem_numeric_corr",
     "orders_price_psi",
     "orders_status_priority_chi2",
+    "stream_quality_gate",
     # ML (train + score, the reference's core workload)
     "ml_timely_lr",
     "ml_response_dt",

@@ -366,3 +366,86 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "status", F.col("_batch_id").cast("int").alias("batch"))
         .orderBy("batch", "doc_id")
     )
+
+
+_GATE_DIRS: dict[str, str] = {}
+
+# The event-stream gate's checks — shared verbatim with the pytest
+# corrupt-batch fixture so the two can't drift.
+EVENT_GATE_CHECKS = {
+    "events.type_domain": lambda: ~F.col("event_type").isin(
+        "click", "purchase", "error", "signup", "view"
+    ),
+    "events.user_not_null": lambda: F.col("user_id").isNull(),
+    "events.value_not_null": lambda: F.col("value").isNull(),
+}
+
+
+@register(
+    "stream_quality_gate",
+    """
+WITH checks AS (
+  SELECT 'events.type_domain' AS check_name,
+         CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN event_type IN ('click','purchase','error','signup','view')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+  FROM events
+  UNION ALL
+  SELECT 'events.user_not_null', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events.value_not_null', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+)
+SELECT check_name, n_checked, n_violations, CAST(1 AS BIGINT) AS n_batches
+FROM checks ORDER BY check_name
+""",
+    "streaming", "quality", "foreachBatch", "gate",
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-batch quality gate (streaming.jobs.
+    run_streaming_quality_gate): each events micro-batch splits into
+    accepted / quarantined(+reasons) parquet plus a per-batch audit
+    table, all idempotent under _batch_id partitions.  Returned frame =
+    the audit read back and folded across batches; since the gate's
+    audit rows ARE operators.quality.column_audit's output, the batch
+    SQL audit is an exact oracle (the fixture drains as one batch —
+    n_batches proves the partition plumbing).  Corrupt-batch quarantine
+    behavior and replay idempotence are pinned in pytest with an
+    injected second batch."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    work = _GATE_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_gate_")
+        if not _GATE_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _GATE_DIRS.values()
+                ]
+            )
+        _GATE_DIRS[sf_dir] = work
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    stream = SJ.read_events_stream(spark, sf_dir)
+    SJ.run_streaming_quality_gate(
+        stream,
+        {name: mk() for name, mk in EVENT_GATE_CHECKS.items()},
+        out,
+        ckpt,
+    )
+    audit = spark.read.parquet(f"{out}/audit")
+    return (
+        audit.groupBy("check_name")
+        .agg(
+            F.sum("n_checked").cast("bigint").alias("n_checked"),
+            F.sum("n_violations").cast("bigint").alias("n_violations"),
+            F.count_distinct("_batch_id").cast("bigint").alias("n_batches"),
+        )
+        .orderBy("check_name")
+    )

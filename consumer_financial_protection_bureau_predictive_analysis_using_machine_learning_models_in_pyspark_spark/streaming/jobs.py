@@ -630,3 +630,66 @@ def read_mv_state(spark, state_dir: str) -> DataFrame:
         if d.startswith("v") and d[1:].isdigit()
     )
     return spark.read.parquet(f"{state_dir}/v{versions[-1]}")
+
+
+def run_streaming_quality_gate(
+    stream: DataFrame,
+    checks: dict,
+    out_dir: str,
+    checkpoint: str,
+) -> None:
+    """Per-micro-batch data-quality gate (the streaming twin of
+    plans.quality_queries.star_constraint_audit's column checks): every
+    batch is split into ACCEPTED rows and QUARANTINED rows (any failing
+    check, with the failing check names attached), and a constraint-sized
+    AUDIT table is appended per batch — all three written under
+    ``_batch_id=N`` partitions with dynamic overwrite, so a replayed
+    batch overwrites itself (idempotent, effectively exactly-once).
+
+    `checks` maps check name → violation predicate (Column<bool>), same
+    contract as operators.quality.column_audit — the audit rows ARE that
+    operator's output plus the batch id, so streaming and batch gates
+    can never disagree on semantics.  At 100 TB/day this is the pattern
+    that keeps corrupt crawl batches out of training data while
+    preserving them (with reasons) for triage instead of dropping them.
+    """
+    from ..operators import quality as Q
+
+    names = list(checks)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        reasons = F.array_compact(
+            F.array(
+                *[
+                    F.when(F.coalesce(pred, F.lit(False)), F.lit(name))
+                    for name, pred in checks.items()
+                ]
+            )
+        )
+        classified = batch_df.withColumn("_reasons", reasons)
+        accepted = classified.filter(F.size("_reasons") == 0).drop("_reasons")
+        quarantined = classified.filter(F.size("_reasons") > 0).withColumn(
+            "_reasons", F.concat_ws(",", "_reasons")
+        )
+        audit = Q.column_audit(batch_df, checks)
+        for frame, sub in (
+            (accepted, "accepted"),
+            (quarantined, "quarantine"),
+            (audit, "audit"),
+        ):
+            (
+                frame.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(f"{out_dir}/{sub}")
+            )
+
+    _ = names
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -182,3 +182,88 @@ def test_running_user_stats_state(spark, events_stream, events_batch):
     )
     assert diff.count() == 0
     assert final.count() == batch.count()
+
+
+def test_streaming_quality_gate_quarantines_corrupt_batch(spark, tmp_path):
+    """Two micro-batches — one clean, one with nulls and a bad type —
+    must split into accepted/quarantined with reasons, keep
+    accepted+quarantined == input per batch, and replay idempotently."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.streaming_queries import (  # noqa: E501
+        EVENT_GATE_CHECKS,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.streaming import (  # noqa: E501
+        jobs as SJ,
+    )
+
+    schema = "event_id bigint, user_id bigint, event_type string, value double"
+    clean = [(1, 10, "click", 1.0), (2, 11, "view", 2.0)]
+    dirty = [
+        (3, None, "click", 3.0),          # null user
+        (4, 12, "teleport", 4.0),         # bad type
+        (5, None, "teleport", None),      # all three violated
+        (6, 13, "purchase", 6.0),         # clean row in a dirty batch
+    ]
+    src = tmp_path / "in"
+    spark.createDataFrame(clean, schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    spark.createDataFrame(dirty, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    # flatten into one dir; mtime order pins batch order
+    import os
+    import shutil
+    import time
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, sub in enumerate(["b0", "b1"]):
+        for f in (src / sub).glob("*.parquet"):
+            dst = flat / f"{sub}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (time.time() - 100 + i, time.time() - 100 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    checks = {n: mk() for n, mk in EVENT_GATE_CHECKS.items()}
+    SJ.run_streaming_quality_gate(stream, checks, out, ckpt)
+
+    acc = spark.read.parquet(f"{out}/accepted")
+    quar = spark.read.parquet(f"{out}/quarantine")
+    audit = spark.read.parquet(f"{out}/audit")
+
+    assert sorted(r.event_id for r in acc.collect()) == [1, 2, 6]
+    qrows = {r.event_id: r for r in quar.collect()}
+    assert sorted(qrows) == [3, 4, 5]
+    assert qrows[3]["_reasons"] == "events.user_not_null"
+    assert qrows[4]["_reasons"] == "events.type_domain"
+    assert set(qrows[5]["_reasons"].split(",")) == set(EVENT_GATE_CHECKS)
+    # conservation per batch: accepted + quarantined == input
+    assert acc.count() + quar.count() == 6
+    # audit: one row per check per batch, counts match the split
+    a = {
+        (r.check_name, r._batch_id): r.n_violations for r in audit.collect()
+    }
+    assert a[("events.user_not_null", 0)] == 0
+    assert a[("events.user_not_null", 1)] == 2
+    assert a[("events.type_domain", 1)] == 2
+    assert a[("events.value_not_null", 1)] == 1
+
+    # replay idempotence: drained source -> rerun adds nothing, rows stable
+    SJ.run_streaming_quality_gate(
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+        ),
+        checks,
+        out,
+        ckpt,
+    )
+    assert spark.read.parquet(f"{out}/accepted").count() == 3
+    assert spark.read.parquet(f"{out}/quarantine").count() == 3
+    assert spark.read.parquet(f"{out}/audit").count() == 6  # 3 checks x 2
