@@ -486,3 +486,90 @@ def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_touch", "last_touch")
     )
+
+
+@register(
+    "events_top_session_paths",
+    """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+    "path-analysis", "session", "window", "agg", "topk",
+)
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journeys: sessionize (10-minute gap, same rule as
+    events_sessionize), render each session as an ordered '>'-joined
+    event-type path, count identical paths.
+
+    The ordered-path aggregation is the trap this entry exists to pin:
+    collect_list has NO intra-group order guarantee after a shuffle, so
+    the path is built by sorting an array of (ts, event_id, type)
+    structs IN-ROW (array_sort on the collected structs, then a
+    transform down to the type) — deterministic regardless of
+    shuffle-fetch order, equivalent to DuckDB's
+    string_agg(... ORDER BY).  Two keyed shuffles total (user window,
+    path count); the top-20 is TakeOrderedAndProject.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff: exact calendar arithmetic, NTZ-safe (see
+    # streaming/windows.sessionize — an epoch cast is neither)
+    brk = F.when(
+        F.col("_prev").isNull()
+        | (
+            F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+            > 600 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sess = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .withColumn("brk", brk)
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("_evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("_evs"), lambda x: x["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

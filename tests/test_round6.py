@@ -361,3 +361,51 @@ def test_zorder_export_files_disjoint_and_local(spark, tmp_path):
     assert zy < 0.6 * by, (zy, by)
     assert zx < 140 and zy < 140, (zx, zy)
     assert by > 200, by
+
+
+def test_top_session_paths_order_deterministic(spark):
+    """Path strings must respect (ts, event_id) order even when same-ts
+    events land in different partitions — the array_sort-on-structs
+    guard against collect_list's nondeterministic fetch order."""
+    import datetime as dt
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "click"),
+        (2, t0, 7, "view"),      # same user+ts: event_id must break the tie
+        (3, t0 + dt.timedelta(seconds=30), 7, "purchase"),
+        (4, t0 + dt.timedelta(hours=2), 7, "signup"),  # new session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).repartition(8)
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="paths_fixture_")
+    # the reader sniffs events.parquet as a single FILE and expects
+    # timestamp[us] (Spark's default INT96 confuses the nanos sniff):
+    # write with one partition + micros, promote the part file
+    stage = os.path.join(d, "_stage")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    part = next(
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(stage, part), os.path.join(d, "events.parquet")
+    )
+    out = sorted(
+        (r["path"], r["n_sessions"])
+        for r in catalog.CATALOG["events_top_session_paths"]
+        .fn(spark, d)
+        .collect()
+    )
+    assert out == [("click>view>purchase", 1), ("signup", 1)]
