@@ -296,17 +296,27 @@ def lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         dy = _dbl(n10 * F.col(f"s{y}{y}") - F.col(f"s{y}") * F.col(f"s{y}"))
         return F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
 
+    # One row per pair via explode-of-structs, NOT a union of selects: a
+    # union duplicates the aggregate subtree per branch and Spark scans
+    # lineitem three times (caught by
+    # tests/test_plans.py::test_corr_scan_prunes_to_three_columns).
     pairs = [("q", "d"), ("q", "t"), ("d", "t")]
-    out = None
-    for x, y in pairs:
-        row = s.select(
-            F.lit(x).alias("var_x"),
-            F.lit(y).alias("var_y"),
-            "n",
-            _corr(x, y).alias("corr"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("var_x", "var_y")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("var_x"),
+                F.lit(y).alias("var_y"),
+                F.col("n").alias("n"),
+                _corr(x, y).alias("corr"),
+            )
+            for x, y in pairs
+        ]
+    )
+    return (
+        s.select(F.explode(rows).alias("_r"))
+        .select("_r.*")
+        .orderBy("var_x", "var_y")
+    )
 
 
 _PSI_SPLIT = "1998-01-01 00:00:00"

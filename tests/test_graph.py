@@ -156,3 +156,33 @@ def test_association_rules_hand_computed(spark):
     }
     assert rows2[(1, 2)]["confidence"] == pytest.approx(0.5)  # 2/4
     assert rows2[(2, 1)]["confidence"] == pytest.approx(1.0)  # 2/2
+
+
+def test_pagerank_iterations_converge(spark):
+    """Power iteration must contract: L1 distance between consecutive
+    iterations shrinks (damping 0.85 gives a geometric bound)."""
+    nodes = _nodes(spark, range(1, 9))
+    edges = _edges(
+        spark,
+        [(1, 2, 1), (2, 3, 2), (3, 1, 1), (3, 4, 3), (4, 5, 1),
+         (5, 1, 2), (6, 1, 1), (7, 6, 1)],
+    )
+    ranks = {
+        k: {
+            r["node"]: r["pagerank"]
+            for r in G.pagerank(nodes, edges, n_iter=k).collect()
+        }
+        for k in (1, 2, 3, 4, 5, 6)
+    }
+
+    def l1(a, b):
+        return sum(abs(a[n] - b[n]) for n in a)
+
+    # consecutive single-step distances contract (damping 0.85 bound)
+    d12 = l1(ranks[1], ranks[2])
+    d34 = l1(ranks[3], ranks[4])
+    d56 = l1(ranks[5], ranks[6])
+    assert d34 < d12 and d56 < d34
+    # geometric contraction: 4 extra steps at damping 0.85 bound the
+    # step-distance by ~0.85^4 ≈ 0.52 of the first step's
+    assert d56 < 0.55 * d12

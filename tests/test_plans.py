@@ -608,3 +608,22 @@ def test_association_rules_topk_is_distributed(spark):
     single-partition rank window."""
     plan = _physical(spark, "part_association_rules")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_orc_roundtrip_reads_only_promo_partition(spark):
+    """The ORC read-back side must resolve p_type='PROMO' at the
+    DIRECTORY level (Hive-style partition pruning), not as a data
+    filter over all stripes."""
+    plan = _physical(spark, "orc_roundtrip_part")
+    assert "PartitionFilters" in plan and "PROMO" in plan, plan
+
+
+def test_corr_scan_prunes_to_three_columns(spark):
+    """lineitem_numeric_corr must read only quantity/discount/tax — an
+    11-column scan for a 3-column moment fold is wrong."""
+    plan = _physical(spark, "lineitem_numeric_corr")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    schema = read[0]
+    assert "l_quantity" in schema and "l_discount" in schema and "l_tax" in schema
+    assert "l_extendedprice" not in schema and "l_orderkey" not in schema, schema
