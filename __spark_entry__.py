@@ -49,11 +49,11 @@ _PRIORITY = [
     # complaints reference-parity core
     "complaints_clean",
     "complaints_flagship",
-    "complaints_binary_metrics",
+    "star_constraint_audit",          # r6 window debut (quality-gate family)
     "complaints_json_clean",
     # TPC-H / relational anchors
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
+    "supplier_copurchase_pagerank",   # r6 window debut (graph family, unrolled-SQL oracle)
     "q3_top_unshipped_orders",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",     # re-check: broadcast runtime-gated r5
@@ -96,7 +96,7 @@ _PRIORITY = [
     "ann_semantic_dedup_incremental", # r6 window debut (rows-only: incremental ingest)
     "ann_recall_eval",                # r6 window debut (oracled recall@5)
     "ann_int8_rerank_topk",           # r6 window debut (rows-only: quantized rerank)
-    "er_fuzzy_part_match",
+    "docs_bpe_merges",                # r6 window debut (tokenizer family, unrolled-SQL oracle)
     # multimodal
     "media_meta_stats",
     # streaming
@@ -108,6 +108,9 @@ _PRIORITY = [
     "ml_timely_lr",
     "ml_response_dt",
     # ---- window boundary (50) ----  overflow: operator covered by twin
+    "complaints_binary_metrics",      # rotated out r6b (green r1-r4); metrics family: complaints_flagship in-window
+    "q2_min_cost_supplier",          # rotated out r6b (green r4); join ladder: q3/q17/q18 in-window
+    "er_fuzzy_part_match",           # rotated out r6b (driver-green r4); blocked-join verify: dedup_minhash_lsh in-window
     "sink_roundtrip_orders",          # rotated out r6 (green r4); sink family: csv_roundtrip_customer in-window
     "salted_lineitem_agg",            # rotated out r6 (green r4); salt-split agg pytest skew-spread bounds
     "skewjoin_events_enrich",         # rotated out r6 (green r4); gated-broadcast family: q18 gate in-window
@@ -217,11 +220,9 @@ _PRIORITY = [
     "dedup_canonical_best",          # quality-aware canonical dedup (oracled; xtail near-dup fixture)
     "stream_mv_maintenance",         # compact-state streaming MV merge (rows-only; batch-equality pinned)
     "lineitem_zorder_export",        # real z-clustered write + per-file manifest (rows-only; locality pinned)
-    "supplier_copurchase_pagerank",  # iterative PageRank, unrolled-SQL oracle (graph family debut)
     "part_copurchase_triangles",     # triangles + clustering coeffs (oracled; PROMO-segment governor)
     "orc_roundtrip_part",            # ORC interchange + Hive partition pruning (oracled)
     "events_purchase_attribution",   # first/last-touch conversion attribution (oracled)
-    "star_constraint_audit",         # Deequ-style constraint gate, 11 checks (oracled)
     "orders_snapshot_diff",          # CDC feed from two snapshots (oracled)
 ]
 
