@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "orders_status_priority_chi2",
     "stream_quality_gate",
     "events_top_session_paths",
+    "supplier_strong_components",
     # ML (train + score, the reference's core workload)
     "ml_timely_lr",
     "ml_response_dt",

@@ -249,3 +249,62 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             li, "l_partkey", "l_orderkey", min_count=2, top_k=50
         )
     )
+
+
+@register(
+    "supplier_strong_components",
+    """
+WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2
+),
+st AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(COUNT(*) AS BIGINT) AS ne FROM e),
+strong AS (
+  SELECT src, dst FROM e, st WHERE 10 * e.w * st.ne >= 11 * st.tw
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM strong
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN strong s ON r.dst = s.src
+),
+comp AS (
+  SELECT src AS node, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT node AS s_suppkey, component FROM comp ORDER BY s_suppkey
+""",
+    "graph", "components", "community", "iterative",
+)
+def supplier_strong_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade communities: connected components over the STRONG co-purchase
+    graph — edges whose weight sits at least 10% above the mean edge
+    weight.  The strength cut is pure integer arithmetic
+    (10·w·ne >= 11·tw — no division, so the threshold is exact on both
+    engines and scale-free), and the component labels come from the same
+    operators.dedup.connected_components min-label fixpoint the dedup
+    family uses — one operator, two domains, one recursive-CTE oracle
+    pattern.  Only suppliers with at least one strong edge participate
+    (community of the strong graph, not the full vertex set)."""
+    from ..operators import dedup as DD
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = G.co_occurrence_edges(li, "l_suppkey", "l_orderkey")
+    st = e.agg(
+        F.sum("w").cast("bigint").alias("tw"),
+        F.count(F.lit(1)).cast("bigint").alias("ne"),
+    )
+    strong = (
+        e.crossJoin(F.broadcast(st))
+        .filter(10 * F.col("w") * F.col("ne") >= 11 * F.col("tw"))
+        .filter(F.col("src") < F.col("dst"))  # one direction for components
+        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    )
+    return (
+        DD.connected_components(strong)
+        .select(F.col("doc_id").alias("s_suppkey"), "component")
+        .orderBy("s_suppkey")
+    )
