@@ -17,8 +17,8 @@ Scale posture (100 TB):
   edge-share build: each step is one (rank ⋈ share) shuffle on src plus a
   node-keyed aggregate — the textbook power-iteration data layout.  Rank
   frames are persisted per iteration (and the predecessor unpersisted) so
-  the lineage never re-runs earlier iterations; for deep iteration counts
-  the caller can pass a checkpoint dir.
+  the lineage never re-runs earlier iterations — depth stays O(1) at any
+  iteration count, so no checkpointing is needed.
 - Dangling mass (nodes with no out-edges) is folded with an exact decimal
   sum and redistributed uniformly — the standard correction, without which
   total rank leaks each step.

@@ -22,8 +22,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_AUDIT_SCHEMA = ("check_name", "n_checked", "n_violations")
-
 
 def column_audit(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """Run every column-level check in ONE aggregate pass over `df`.

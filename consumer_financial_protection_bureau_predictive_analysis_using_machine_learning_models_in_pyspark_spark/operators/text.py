@@ -630,7 +630,6 @@ def bpe_merge_steps(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     v.count()  # one corpus scan total; iterations run off this dict
 
-    first = v
     rules = []
     for step in range(1, n_merges + 1):
         arr = F.split(
@@ -681,8 +680,6 @@ def bpe_merge_steps(
     out = rules[0]
     for r in rules[1:]:
         out = out.unionByName(r)
-    # NOTE: `first` (the persisted dict) must outlive the returned lazy
-    # frame; it self-unpersists with the session.  Callers doing repeated
-    # training in one session can unpersist via .persist bookkeeping.
-    _ = first
+    # the persisted dict (and per-step rule frames) must outlive the
+    # returned lazy frame; they self-unpersist with the session
     return out.orderBy("step")

@@ -655,8 +655,6 @@ def run_streaming_quality_gate(
     """
     from ..operators import quality as Q
 
-    names = list(checks)
-
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         reasons = F.array_compact(
             F.array(
@@ -685,7 +683,6 @@ def run_streaming_quality_gate(
                 .parquet(f"{out_dir}/{sub}")
             )
 
-    _ = names
     q = (
         stream.writeStream.foreachBatch(gate)
         .option("checkpointLocation", checkpoint)
