@@ -132,7 +132,10 @@ def pagerank(
     # every iteration pays the upstream self-join again (measured: 17 s
     # -> ~4 s at sf0.1 for 3 iterations).
     if materialize:
-        share = share.persist(StorageLevel.MEMORY_AND_DISK)
+        # persist pre-partitioned on the per-iteration join key: the
+        # cached frame keeps its outputPartitioning, so each iteration
+        # shuffles only the node-sized rank frame, never the edges
+        share = share.repartition("_src").persist(StorageLevel.MEMORY_AND_DISK)
         share.count()
     dangling = n_frame.join(
         share.select(F.col("_src").alias("_node")).distinct(),
