@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "stream_quality_gate",
     "events_top_session_paths",
     "supplier_strong_components",
+    "part_similar_items",
     # ML (train + score, the reference's core workload)
     "ml_timely_lr",
     "ml_response_dt",

@@ -363,3 +363,78 @@ def association_rules(
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(top_k)
     )
+
+
+def jaccard_similar_items(
+    incidence: DataFrame,
+    entity_col: str,
+    container_col: str,
+    top_k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Item-item similarity (the classic collaborative-filtering
+    primitive): for each entity, the top_k most similar entities by
+    container-set Jaccard — sim(a,b) = n_ab / (n_a + n_b − n_ab).
+
+    Same bounded-fanout co-occurrence scan as association_rules; the
+    per-item ranking is a window PARTITIONED by the item (per-group
+    top-k, no global sort — each item ranks only its own candidate
+    list, bounded by its co-occurrence degree).  Jaccard is an exact
+    int/int IEEE division rounded at 6; ties break on the neighbor id.
+    """
+    pairs_inc = incidence.select(
+        F.col(container_col).alias("_cont"), F.col(entity_col).alias("_ent")
+    ).distinct()
+    per_ent = pairs_inc.groupBy("_ent").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+    a = pairs_inc.alias("a")
+    b = pairs_inc.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a._cont") == F.col("b._cont"))
+            & (F.col("a._ent") < F.col("b._ent")),
+        )
+        .groupBy(F.col("a._ent").alias("_u"), F.col("b._ent").alias("_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nab"))
+        .filter(F.col("_nab") >= min_count)
+    )
+    directed = und.select(
+        F.col("_u").alias("item"), F.col("_v").alias("neighbor"), "_nab"
+    ).unionAll(
+        und.select(
+            F.col("_v").alias("item"), F.col("_u").alias("neighbor"), "_nab"
+        )
+    )
+    na = per_ent.select(F.col("_ent").alias("item"), F.col("_cnt").alias("_na"))
+    nb = per_ent.select(
+        F.col("_ent").alias("neighbor"), F.col("_cnt").alias("_nb")
+    )
+    from pyspark.sql import Window
+
+    sim = F.round(
+        F.col("_nab").cast("double")
+        / (
+            F.col("_na").cast("double")
+            + F.col("_nb").cast("double")
+            - F.col("_nab").cast("double")
+        ),
+        6,
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("jaccard"), F.col("neighbor")
+    )
+    return (
+        directed.join(na, "item")
+        .join(nb, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            F.col("_nab").alias("n_both"),
+            sim.alias("jaccard"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("item", "neighbor", "n_both", "jaccard", F.col("rank").cast("int").alias("rank"))
+    )

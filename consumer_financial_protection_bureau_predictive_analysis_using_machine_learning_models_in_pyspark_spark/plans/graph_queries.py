@@ -308,3 +308,65 @@ def supplier_strong_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("s_suppkey"), "component")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "part_similar_items",
+    """
+WITH op AS (SELECT DISTINCT l_orderkey AS cont, l_partkey AS ent FROM lineitem),
+pe AS (SELECT ent, CAST(COUNT(*) AS BIGINT) AS cnt FROM op GROUP BY ent),
+und AS (
+  SELECT a.ent AS u, b.ent AS v, CAST(COUNT(*) AS BIGINT) AS nab
+  FROM op a JOIN op b ON a.cont = b.cont AND a.ent < b.ent
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+dir AS (
+  SELECT u AS item, v AS neighbor, nab FROM und
+  UNION ALL
+  SELECT v AS item, u AS neighbor, nab FROM und
+),
+scored AS (
+  SELECT d.item, d.neighbor, d.nab AS n_both,
+         ROUND(CAST(d.nab AS DOUBLE)
+               / (CAST(na.cnt AS DOUBLE) + CAST(nb.cnt AS DOUBLE)
+                  - CAST(d.nab AS DOUBLE)), 6) AS jaccard
+  FROM dir d
+  JOIN pe na ON d.item = na.ent
+  JOIN pe nb ON d.neighbor = nb.ent
+),
+ranked AS (
+  SELECT item, neighbor, n_both, jaccard,
+         CAST(row_number() OVER (PARTITION BY item
+                                 ORDER BY jaccard DESC, neighbor) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT item, neighbor, n_both, jaccard, rank
+FROM ranked WHERE rank <= 5
+ORDER BY item, rank
+""",
+    "graph", "similarity", "recommender", "window", "topk-per-group",
+)
+def part_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item recommender table: for every part, its 5 most similar
+    parts by order-set Jaccard (operators/graph.jaccard_similar_items) —
+    the 'customers who bought X also bought Y' primitive.
+
+    Per-group top-k via a window partitioned by the item (each item
+    ranks only its own bounded candidate list — no global sort anywhere);
+    min-count pruning keeps the singleton-pair tail out of the per-item
+    joins, same discipline as part_association_rules."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        G.jaccard_similar_items(
+            li, "l_partkey", "l_orderkey", top_k=5, min_count=2
+        )
+        .select(
+            F.col("item"),
+            F.col("neighbor"),
+            "n_both",
+            "jaccard",
+            "rank",
+        )
+        .orderBy("item", "rank")
+    )

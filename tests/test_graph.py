@@ -186,3 +186,28 @@ def test_pagerank_iterations_converge(spark):
     # geometric contraction: 4 extra steps at damping 0.85 bound the
     # step-distance by ~0.85^4 ≈ 0.52 of the first step's
     assert d56 < 0.55 * d12
+
+
+def test_jaccard_similar_items_hand_computed(spark):
+    # Baskets: {A:1,2} {B:1,2} {C:1,2} {D:1,3} {E:1,3} {F:3,4} {G:3,4}
+    # n1=5, n2=3, n3=4, n4=2; n12=3, n13=2, n34=2 (n14=0, n23=0, n24=0)
+    # J(1,2)=3/(5+3-3)=0.6  J(1,3)=2/(5+4-2)=2/7  J(3,4)=2/(4+2-2)=0.5
+    inc = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 1), ("B", 2), ("C", 1), ("C", 2),
+         ("D", 1), ("D", 3), ("E", 1), ("E", 3), ("F", 3), ("F", 4),
+         ("G", 3), ("G", 4)],
+        "cont string, ent bigint",
+    )
+    rows = {
+        (r["item"], r["rank"]): r
+        for r in G.jaccard_similar_items(
+            inc, "ent", "cont", top_k=2, min_count=2
+        ).collect()
+    }
+    assert rows[(1, 1)]["neighbor"] == 2
+    assert rows[(1, 1)]["jaccard"] == pytest.approx(0.6)
+    assert rows[(1, 2)]["neighbor"] == 3
+    assert rows[(1, 2)]["jaccard"] == pytest.approx(round(2 / 7, 6))
+    assert rows[(3, 1)]["neighbor"] == 4  # 0.5 beats J(3,1)=2/7
+    assert rows[(4, 1)]["neighbor"] == 3
+    assert (2, 2) not in rows  # item 2 has only one qualifying neighbor
