@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "part_similar_items",
     # ML (train + score, the reference's core workload)
     "ml_timely_lr",
+    "ml_timely_lr_lift",
     "ml_response_dt",
 ]
 

@@ -194,3 +194,68 @@ def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=10, terms_per_topic=8,
     )
     return topics.select("topic", "term", F.round("weight", 6).alias("weight"))
+
+
+@register("ml_timely_lr_lift", None, "ml", "binary", "lr", "lift", "gains")
+def ml_timely_lr_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table for the LR timely model — the standard
+    model-evaluation artifact the reference's scripts stop short of
+    (they print one AUC): score the held-out set, NTILE the positive-
+    class probability into 10 deciles, report per-decile response rate,
+    lift vs the base rate, and cumulative gains.
+
+    Rows-only (model probabilities aren't SQL-expressible); the
+    invariants that make it trustworthy are pinned in tests/test_ml.py:
+    exactly 10 rows, decile 1 lift > decile 10 lift for a
+    better-than-random model, cumulative gain reaching 1.0, and
+    cum_gain monotone nondecreasing.
+
+    Scale shape: scoring is embarrassingly parallel; the NTILE is a
+    single global-ordered window over the SCORED frame — fine for a
+    test-split frame; the documented knob for full-corpus scoring at
+    100 TB is percentile_approx decile boundaries + map-side bucketing
+    (the docs_quality_deciles_approx pattern, same module)."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import Window
+
+    data = _timely_training_frame(spark, sf_dir).cache()
+    train, test = sampling.train_test_split(data, seed=42)
+    fitted = ML.timely_pipeline("lr").fit(train)
+    preds = fitted.transform(test).select(
+        vector_to_array("probability")[1].alias("p1"),
+        F.col("label").cast("double").alias("y"),
+    )
+    w = Window.orderBy(F.desc("p1"), F.col("y"))
+    scored = preds.withColumn("decile", F.ntile(10).over(w))
+    per = (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("double").alias("_tn"),
+        F.sum("n_pos").cast("double").alias("_tp"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("_cum_pos", F.sum("n_pos").over(wc))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("response_rate"),
+            F.round(
+                (F.col("n_pos") / F.col("n")) / (F.col("_tp") / F.col("_tn")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("_cum_pos") / F.col("_tp"), 6).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )
+    data.unpersist()
+    return out

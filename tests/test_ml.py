@@ -197,3 +197,32 @@ def test_one_hot_stages_and_index_to_string(spark):
     preds = out.withColumn("prediction", F.col("label"))
     back = ML.predictions_with_labels(model, preds, label_indexer_stage=2)
     assert back.filter(F.col("predicted_label") != F.col("label_str")).count() == 0
+
+
+def test_lr_lift_table_invariants(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog,
+    )
+    from .conftest import SF_ORACLE
+
+    rows = sorted(
+        catalog.CATALOG["ml_timely_lr_lift"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # cumulative gains: monotone nondecreasing, ending at exactly 1.0
+    gains = [r["cum_gain"] for r in rows]
+    assert all(b >= a for a, b in zip(gains, gains[1:]))
+    assert gains[-1] == 1.0
+    # lift averages to ~1 by construction (weighted by decile counts)
+    tot_n = sum(r["n"] for r in rows)
+    tot_pos = sum(r["n_pos"] for r in rows)
+    assert tot_pos > 0
+    base = tot_pos / tot_n
+    import pytest as _pt
+
+    for r in rows:
+        assert r["response_rate"] == _pt.approx(r["n_pos"] / r["n"], abs=1e-6)
+        assert r["lift"] == _pt.approx((r["n_pos"] / r["n"]) / base, abs=1e-5)
+    # (ranking QUALITY is pinned at golden scale in test_golden_ml.py —
+    # the sf0.001 fixture model is near-random, so no lift-order assert)
