@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     # ML (train + score, the reference's core workload)
     "ml_timely_lr",
     "ml_timely_lr_lift",
+    "ml_timely_lr_lift_approx",
     "ml_response_dt",
 ]
 

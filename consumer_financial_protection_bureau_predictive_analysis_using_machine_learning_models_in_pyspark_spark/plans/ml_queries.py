@@ -196,6 +196,72 @@ def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topics.select("topic", "term", F.round("weight", 6).alias("weight"))
 
 
+# Scored-frame cache for the lift twins: the LR fit is the offline
+# artifact (same lifecycle argument as text_queries._IVF_CACHE); both the
+# exact and approx lift entries serve from one persisted (p1, y) frame.
+# Session-validated on every hit; evictable for long-lived sessions.
+_LR_SCORED_CACHE: dict[str, DataFrame] = {}
+
+
+def _lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+
+    cached = _LR_SCORED_CACHE.get(sf_dir)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
+    _LR_SCORED_CACHE.pop(sf_dir, None)
+    data = _timely_training_frame(spark, sf_dir).cache()
+    train, test = sampling.train_test_split(data, seed=42)
+    fitted = ML.timely_pipeline("lr").fit(train)
+    scored = (
+        fitted.transform(test)
+        .select(
+            vector_to_array("probability")[1].alias("p1"),
+            F.col("label").cast("double").alias("y"),
+        )
+        .cache()
+    )
+    scored.count()
+    data.unpersist()
+    _LR_SCORED_CACHE[sf_dir] = scored
+    return scored
+
+
+def _lift_from_deciles(scored_with_decile: DataFrame) -> DataFrame:
+    """Fold (decile, y) into the lift/gains table: per-decile response
+    rate, lift vs base rate, cumulative gains.  The window runs over the
+    10-row aggregate, never the scored frame."""
+    from pyspark.sql import Window
+
+    per = scored_with_decile.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("double").alias("_tn"),
+        F.sum("n_pos").cast("double").alias("_tp"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("_cum_pos", F.sum("n_pos").over(wc))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("response_rate"),
+            F.round(
+                (F.col("n_pos") / F.col("n")) / (F.col("_tp") / F.col("_tn")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("_cum_pos") / F.col("_tp"), 6).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )
+
+
 @register("ml_timely_lr_lift", None, "ml", "binary", "lr", "lift", "gains")
 def ml_timely_lr_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift/gains table for the LR timely model — the standard
@@ -215,47 +281,36 @@ def ml_timely_lr_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     test-split frame; the documented knob for full-corpus scoring at
     100 TB is percentile_approx decile boundaries + map-side bucketing
     (the docs_quality_deciles_approx pattern, same module)."""
-    from pyspark.ml.functions import vector_to_array
     from pyspark.sql import Window
 
-    data = _timely_training_frame(spark, sf_dir).cache()
-    train, test = sampling.train_test_split(data, seed=42)
-    fitted = ML.timely_pipeline("lr").fit(train)
-    preds = fitted.transform(test).select(
-        vector_to_array("probability")[1].alias("p1"),
-        F.col("label").cast("double").alias("y"),
-    )
+    scored = _lr_scored(spark, sf_dir)
     w = Window.orderBy(F.desc("p1"), F.col("y"))
-    scored = preds.withColumn("decile", F.ntile(10).over(w))
-    per = (
-        scored.groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("y").cast("bigint").alias("n_pos"),
-        )
+    return _lift_from_deciles(scored.withColumn("decile", F.ntile(10).over(w)))
+
+
+@register(
+    "ml_timely_lr_lift_approx", None,
+    "ml", "binary", "lr", "lift", "sketch-twin",
+)
+def ml_timely_lr_lift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of ml_timely_lr_lift — the 100 TB scoring path AS
+    CODE (the exact/approx twin discipline: quantiles, deciles,
+    active-users, MAD, now lift): decile boundaries from
+    percentile_approx over the scores, then a map-side bucket assignment
+    — NO global-ordered NTILE window anywhere, so full-corpus scoring
+    never funnels through one task.  Same lift fold as the exact entry;
+    agreement at fixture scale is pinned in tests/test_ml.py."""
+    scored = _lr_scored(spark, sf_dir)
+    cuts = scored.agg(
+        F.percentile_approx(
+            "p1", [i / 10.0 for i in range(1, 10)], 10_000
+        ).alias("_cuts")
     )
-    tot = per.agg(
-        F.sum("n").cast("double").alias("_tn"),
-        F.sum("n_pos").cast("double").alias("_tp"),
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        "y",
+        (
+            F.lit(10)
+            - F.size(F.filter("_cuts", lambda c: F.col("p1") > c))
+        ).alias("decile"),
     )
-    wc = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    out = (
-        per.crossJoin(F.broadcast(tot))
-        .withColumn("_cum_pos", F.sum("n_pos").over(wc))
-        .select(
-            "decile",
-            "n",
-            "n_pos",
-            F.round(F.col("n_pos") / F.col("n"), 6).alias("response_rate"),
-            F.round(
-                (F.col("n_pos") / F.col("n")) / (F.col("_tp") / F.col("_tn")),
-                6,
-            ).alias("lift"),
-            F.round(F.col("_cum_pos") / F.col("_tp"), 6).alias("cum_gain"),
-        )
-        .orderBy("decile")
-    )
-    data.unpersist()
-    return out
+    return _lift_from_deciles(bucketed)

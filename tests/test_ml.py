@@ -226,3 +226,37 @@ def test_lr_lift_table_invariants(spark):
         assert r["lift"] == _pt.approx((r["n_pos"] / r["n"]) / base, abs=1e-5)
     # (ranking QUALITY is pinned at golden scale in test_golden_ml.py —
     # the sf0.001 fixture model is near-random, so no lift-order assert)
+
+
+def test_lr_lift_approx_tracks_exact(spark):
+    """The sketch twin's decile populations and gains must track the
+    exact NTILE table at fixture scale (approx boundaries on ties can
+    shift rows between adjacent deciles, so bounds are loose but real)."""
+    import pytest as _pt
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog,
+    )
+    from .conftest import SF_ORACLE
+
+    exact = {
+        r["decile"]: r
+        for r in catalog.CATALOG["ml_timely_lr_lift"].fn(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r["decile"]: r
+        for r in catalog.CATALOG["ml_timely_lr_lift_approx"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    }
+    tot_exact = sum(r["n"] for r in exact.values())
+    tot_approx = sum(r["n"] for r in approx.values())
+    assert tot_exact == tot_approx  # conservation: every row lands somewhere
+    gains = [approx[d]["cum_gain"] for d in sorted(approx)]
+    assert all(b >= a for a, b in zip(gains, gains[1:]))
+    assert gains[-1] == 1.0
+    # population agreement: each approx decile within 35% of the exact
+    # tenth (probability ties at fixture scale make buckets lumpy)
+    tenth = tot_exact / 10.0
+    for d, r in approx.items():
+        assert r["n"] == _pt.approx(tenth, rel=0.35), (d, r["n"], tenth)
