@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "part_association_rules",
     "lineitem_numeric_corr",
     "orders_price_psi",
+    "orders_price_ks",
     "orders_status_priority_chi2",
     "stream_quality_gate",
     "events_top_session_paths",

@@ -508,3 +508,94 @@ def orders_status_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.first("ns") - 1) * (F.first("np") - 1)).alias("dof"),
         F.first("n").alias("n"),
     )
+
+
+@register(
+    "orders_price_ks",
+    f"""
+WITH binned AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 5000) AS INT), 99) AS bin,
+         CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+  FROM orders
+),
+counts AS (
+  SELECT bin,
+         CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc
+  FROM counts
+),
+cum AS (
+  SELECT bin,
+         CAST(SUM(n_ref) OVER (ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cr,
+         CAST(SUM(n_cur) OVER (ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+  FROM counts
+)
+SELECT ROUND(MAX(ABS(CAST(cum.cr AS DOUBLE) / CAST(tot.tr AS DOUBLE)
+                     - CAST(cum.cc AS DOUBLE) / CAST(tot.tc AS DOUBLE))), 6)
+         AS ks_stat,
+       (SELECT tr FROM tot) AS n_ref,
+       (SELECT tc FROM tot) AS n_cur
+FROM cum, tot
+""",
+    "quality", "drift", "ks-test", "window", "agg",
+)
+def orders_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov statistic between the pre-
+    and post-1998 price distributions — the distribution-SHAPE drift
+    companion to orders_price_psi (PSI weighs density ratios; KS catches
+    location/shape shifts PSI's coarse bins can smear).
+
+    The exact KS statistic needs a global sort of all scores — the
+    single-partition anti-pattern at 100 TB — so the production form IS
+    the binned one: a 100-bin conditional-aggregate histogram (one scan,
+    map-side fold), cumulative shares via a window over the BIN frame
+    (≤100 rows, cost-free), max-abs-difference fold.  Bin shares are
+    IEEE-exact int/int divisions; the max of identically-rounded doubles
+    is engine-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    binned = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 5000).cast("int"), F.lit(99)
+        ).alias("bin"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "bin",
+        F.sum("n_ref").over(wc).cast("bigint").alias("cr"),
+        F.sum("n_cur").over(wc).cast("bigint").alias("cc"),
+    )
+    diff = F.abs(
+        F.col("cr").cast("double") / F.col("tr").cast("double")
+        - F.col("cc").cast("double") / F.col("tc").cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.max(diff), 6).alias("ks_stat"),
+            F.first("tr").alias("n_ref"),
+            F.first("tc").alias("n_cur"),
+        )
+    )
