@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "events_rolling_mean_dev",
     "events_value_histogram",
     "docs_weighted_sample",
+    "docs_weighted_topk_sample",
     "customer_halves_full_outer",
     "events_active_users",
     "complaints_monthly_trend",

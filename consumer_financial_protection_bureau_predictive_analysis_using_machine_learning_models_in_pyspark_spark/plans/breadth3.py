@@ -698,3 +698,55 @@ def complaints_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("mom_change"),
     ).orderBy("month")
+
+
+@register(
+    "docs_weighted_topk_sample",
+    """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+          + 1) / POWER(16, 13) AS unif
+  FROM documents
+),
+k AS (
+  SELECT doc_id, n_chars,
+         ROUND(ln(unif), 6) / CAST(n_chars AS DOUBLE) AS key
+  FROM u
+)
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank
+FROM k ORDER BY key DESC, doc_id LIMIT 100
+""",
+    "sampling", "weighted", "without-replacement", "topk", "deterministic",
+)
+def docs_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each doc draws key = ln(u)/w from a
+    deterministic md5-uniform u and weight w = n_chars; the top-k keys
+    are a weighted-without-replacement sample — the one sampler shape
+    the family still lacked (Bernoulli gives a random-size sample,
+    quota/temperature are per-group).
+
+    Distributed shape: key is a pure map-side expression; the top-k is
+    orderBy+limit (TakeOrderedAndProject — per-partition local top-k,
+    never a global sort of all keys).  Parity: u is a 52-bit-exact
+    uniform; ln rounds at 6 before the division (the unigram lesson), so
+    both engines rank identical doubles; doc_id breaks any residual tie.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)) / F.lit(float(16**13))
+    key = F.round(F.log(u), 6) / F.col("n_chars").cast("double")
+    w = Window.orderBy(F.desc("_key"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("_key"))
+        .orderBy(F.desc("_key"), "doc_id")
+        .limit(100)  # TakeOrderedAndProject; the window ranks only these
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "n_chars", "rank")
+    )

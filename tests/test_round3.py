@@ -420,3 +420,26 @@ def test_active_users_approx_error_bound(spark):
     assert set(est) == set(exact)
     for key, n in exact.items():
         assert abs(est[key] - n) <= max(2.0, 0.06 * n), (key, n, est[key])
+
+
+def test_weighted_topk_sample_aes_properties(spark):
+    """A-ES sampler: exactly k rows, deterministic across invocations,
+    and weight-biased (mean weight of the sample exceeds the corpus
+    mean — heavy docs are proportionally more likely)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog,
+    )
+    from .conftest import SF_ORACLE
+
+    fn = catalog.CATALOG["docs_weighted_topk_sample"].fn
+    a = fn(spark, SF_ORACLE).collect()
+    b = fn(spark, SF_ORACLE).collect()
+    assert len(a) == 100
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]  # deterministic
+    assert [r["rank"] for r in sorted(a, key=lambda r: r["rank"])] == list(
+        range(1, 101)
+    )
+    sel_mean = sum(r["n_chars"] for r in a) / len(a)
+    corpus = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    corpus_mean = corpus.agg({"n_chars": "avg"}).collect()[0][0]
+    assert sel_mean > corpus_mean
