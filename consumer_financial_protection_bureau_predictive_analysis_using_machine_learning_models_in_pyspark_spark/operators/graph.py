@@ -147,6 +147,12 @@ def pagerank(
         ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         ranks.count()
     d = float(damping)
+    # teleport mass: 1.0 - 0.85 is 0.15000000000000002 in binary floating
+    # point while the unrolled SQL oracle writes the literal 0.15 — round
+    # the complement at 12 decimals so both engines start from the SAME
+    # double (ADVICE r5: a 1-ulp numerator divergence could in principle
+    # flip an 8-decimal rounding boundary).
+    teleport = round(1.0 - d, 12)
     for _ in range(n_iter):
         # D_k: exact decimal fold of dangling nodes' ranks (1-row scalar).
         dm = (
@@ -178,7 +184,7 @@ def pagerank(
             .select(
                 "_node",
                 F.round(
-                    F.lit(1.0 - d) / F.col("_n")
+                    F.lit(teleport) / F.col("_n")
                     + F.lit(d)
                     * (
                         F.coalesce(

@@ -142,15 +142,21 @@ def snapshot_diff(
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
         F.lit(True).alias("_in_new"),
     )
+    if not key_cols:
+        raise ValueError("snapshot_diff requires at least one key column")
     cond = None
     for k in key_cols:
-        c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        # null-safe key equality: a NULL-keyed row must reconcile against
+        # its NULL-keyed counterpart, not split into a spurious
+        # deleted+inserted pair (ADVICE r5)
+        c = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
         cond = c if cond is None else (cond & c)
     joined = o.join(n, cond, "full_outer")
-    same = None
+    # empty compare_cols is a legal key-presence diff: every matched key
+    # is 'unchanged' (ADVICE r5 — previously F.when(None, ...) raised)
+    same = F.lit(True)
     for c in compare_cols:
-        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
     change = (
         F.when(F.col("_in_old").isNull(), F.lit("inserted"))
         .when(F.col("_in_new").isNull(), F.lit("deleted"))

@@ -528,7 +528,9 @@ def incremental_dedup_bloom(
     )
     dense = np.zeros(n_bits >> 6, dtype=np.uint64)
     for r in words:
-        dense[r.word] = np.uint64(r.bits)
+        # bit_or yields a signed bigint; mask to the 64-bit pattern before
+        # the uint64 cast (NumPy >=2.1 hard-fails on negative-int casts)
+        dense[r.word] = np.uint64(r.bits & 0xFFFFFFFFFFFFFFFF)
     bc = corpus.sparkSession.sparkContext.broadcast(dense)
 
     @F.pandas_udf("boolean")

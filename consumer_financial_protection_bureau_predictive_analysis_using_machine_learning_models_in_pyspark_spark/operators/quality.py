@@ -30,20 +30,41 @@ def column_audit(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     returns (check_name, n_checked, n_violations).  The whole dict
     compiles to a single conditional-sum aggregate, so the table is
     scanned once no matter how many constraints are registered.
+
+    NULL semantics (ADVICE r5): a predicate like ``~col.isin(...)`` or
+    ``~(col > 0)`` evaluates to NULL on NULL input; three-valued logic
+    would silently count that as a NON-violation — a quality-gate blind
+    spot (a NULL totalprice would pass ``totalprice_positive``).  A NULL
+    in a checked domain/range column IS a data defect, so NULL folds to
+    violation here — the same semantics as the SQL audit idiom
+    ``CASE WHEN ok THEN 0 ELSE 1 END`` (NULL cond falls to ELSE), which
+    every oracle for this operator uses.
     """
+    if not checks:
+        raise ValueError("column_audit requires at least one check")
     aggs: list[Column] = []
     for i, violated in enumerate(checks.values()):
         aggs.append(F.count(F.lit(1)).cast("bigint").alias(f"_c_{i}"))
         aggs.append(
-            F.sum(F.when(violated, 1).otherwise(0)).cast("bigint").alias(f"_v_{i}")
+            F.sum(F.when(F.coalesce(violated, F.lit(True)), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_v_{i}")
         )
     row = df.agg(*aggs)
-    stacked = ", ".join(
-        f"'{name}', _c_{i}, _v_{i}" for i, name in enumerate(checks)
+    # typed struct literals, not a string-built stack(): a check name
+    # containing a quote can't break the plan (ADVICE r5)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col(f"_c_{i}").alias("n_checked"),
+                F.col(f"_v_{i}").alias("n_violations"),
+            )
+            for i, name in enumerate(checks)
+        ]
     )
-    n = len(checks)
-    return row.selectExpr(
-        f"stack({n}, {stacked}) AS (check_name, n_checked, n_violations)"
+    return row.select(F.explode(rows).alias("_r")).select(
+        "_r.check_name", "_r.n_checked", "_r.n_violations"
     )
 
 

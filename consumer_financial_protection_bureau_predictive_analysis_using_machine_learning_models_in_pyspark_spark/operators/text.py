@@ -177,6 +177,51 @@ def repetition_stats(
     )
 
 
+def _doc_term_frames(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared unigram core: explode once, then the per-(doc, term) count
+    frame and the corpus vocabulary-count frame.  Map-side combine absorbs
+    repeated terms, so the shuffle carries distinct pairs, never raw
+    token volume."""
+    toks = df.select(id_col, F.explode(TF.tokens(text_col)).alias("_tok"))
+    doc_tf = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    return doc_tf, vocab
+
+
+def unigram_check_fold(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Transcendental-free verification surface for the unigram-LM scorer:
+    the same explode → per-doc tf → vocab-count → broadcast-join plan as
+    :func:`unigram_logprob`, folded with EXACT integer arithmetic —
+    ``n_tokens = Σ tf``, ``sum_tf_cnt = Σ tf·cnt`` and
+    ``sum_tf2_cnt = Σ tf²·cnt``.  Together the two moments pin the joined
+    (tf, cnt) multiset per document, so any divergence in tokenization,
+    counting, or the join reproduces here — while ln(p) (whose rounded
+    recomputation proved DuckDB-build-sensitive across two driver rounds)
+    never enters the cross-engine comparison.  ln itself is a fixed
+    deterministic function of (cnt, Σcnt), pinned separately in pytest.
+
+    bigint headroom: Σ tf²·cnt ≤ n_tokens·max_tf·max_cnt; at the sf0.01
+    oracle scale that is ≪ 2^63, and the production scorer is
+    :func:`unigram_logprob` — this entry exists to verify it.
+    """
+    doc_tf, vocab = _doc_term_frames(df, id_col, text_col)
+    return (
+        doc_tf.join(F.broadcast(vocab), "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("_tf") * F.col("_cnt")).cast("bigint").alias("sum_tf_cnt"),
+            F.sum(F.col("_tf") * F.col("_tf") * F.col("_cnt"))
+            .cast("bigint")
+            .alias("sum_tf2_cnt"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -190,17 +235,19 @@ def unigram_logprob(
     repeats, so the shuffle carries distinct pairs, never raw length) →
     global term frequencies (vocab-sized — broadcast-joined back) → exact
     decimal fold of tf·ln(p).  ln is rounded to 6 decimals before the
-    decimal cast so a ≤1-ulp libm divergence between engines rounds
-    away: at 6 decimals the gap between the double result and the
-    nearest rounding boundary is ~1e9 ulps, so a last-bit libm
-    difference cannot flip the retained digit (the 9-decimal version of
-    this operator DID trip a boundary on one sf0.01 term — round-4
-    driver hash mismatch — which is why both engines now round at 6).
-    Returns (doc_id, n_tokens, mean_logprob).
+    decimal cast — but two rounds of driver evidence showed that ROUND of
+    a recomputed transcendental is engine-BUILD-sensitive (DuckDB's
+    ROUND(double,n) is binary-multiply based vs Spark's exact-decimal
+    HALF_UP, so a different libm build can land a term on the other side
+    of a rounding boundary at ANY precision).  The ln fold is therefore
+    no longer on the cross-engine comparison surface at all: the driver
+    oracle checks :func:`unigram_check_fold` (exact integer math over the
+    same explode→tf→vocab→join plan), and the ln values are pinned in
+    pytest (hand-computed exact check plus a relative-tolerance DuckDB
+    cross-check).
+    Returns (doc_id, n_tokens, sum_logprob, mean_logprob).
     """
-    toks = df.select(id_col, F.explode(TF.tokens(text_col)).alias("_tok"))
-    doc_tf = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_tf"))
-    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    doc_tf, vocab = _doc_term_frames(df, id_col, text_col)
     total = vocab.agg(F.sum("_cnt").alias("_total"))
     logp = (
         vocab.crossJoin(F.broadcast(total))  # 1-row scalar: free at any scale

@@ -166,7 +166,8 @@ d AS (
                AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
                 THEN 'unchanged'
               ELSE 'changed' END AS change
-  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+  FROM old o FULL OUTER JOIN new n
+    ON o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey
 )
 SELECT change, CAST(COUNT(*) AS BIGINT) AS n_keys
 FROM d GROUP BY change ORDER BY change

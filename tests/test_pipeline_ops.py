@@ -511,18 +511,25 @@ def test_ivf_cache_release_and_session_affinity(spark):
     TQ.ivf_index_release()
     assert not TQ._IVF_CACHE
 
-    def n_persisted() -> int:
+    def persisted_ids() -> set:
+        # set-diff on RDD ids, NOT a global count: the shared session's
+        # ContextCleaner unpersists other tests' dereferenced frames
+        # asynchronously, so the global count is not stable ground
+        # (full-suite flake adjudicated in VERDICT r5 What's-wrong #2);
+        # the cleaner only ever REMOVES ids, so "new ids since the
+        # snapshot" is exactly this test's footprint.
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        return jmap.size()
+        return {int(k) for k in jmap.keySet().toArray()}
 
-    base = n_persisted()
+    base = persisted_ids()
     for _ in range(3):
         TQ.ivf_index_for(spark, SF_SMOKE)
-    assert n_persisted() == base + 1, "repeat invocations accumulated blocks"
+    added = persisted_ids() - base
+    assert len(added) == 1, f"repeat invocations accumulated blocks: {added}"
 
     # release evicts and unpersists
     assert TQ.ivf_index_release(SF_SMOKE) == 1
-    assert n_persisted() == base
+    assert not (persisted_ids() & added), "released index still persisted"
     assert not TQ._IVF_CACHE
 
     # a cache entry bound to another session object is dropped and rebuilt

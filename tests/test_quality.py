@@ -30,10 +30,60 @@ def test_column_audit_catches_violations_single_pass(spark):
     }
     assert all(r["n_checked"] == 4 for r in out.values())
     assert out["status_not_null"]["n_violations"] == 1
-    # NULL and 'Z' both fall outside the domain (NOT IN is null-hostile:
-    # the ~isin predicate is null -> violation counts only literal misses)
-    assert out["status_domain"]["n_violations"] == 1
+    # NULL and 'Z' both violate the domain: the ~isin predicate is NULL on
+    # NULL input, and column_audit folds NULL -> violation (ADVICE r5 —
+    # three-valued logic would silently wave the NULL through the gate),
+    # matching the audit-SQL idiom CASE WHEN ok THEN 0 ELSE 1
+    assert out["status_domain"]["n_violations"] == 2
     assert out["price_positive"]["n_violations"] == 2  # -5.0 and 0.0
+
+
+def test_column_audit_null_counts_as_violation_and_quotes_safe(spark):
+    """ADVICE r5 pair: (a) a NULL price must FAIL price_positive — the
+    gate's whole point; (b) a quote in a check name must not break the
+    plan (names are typed literals now, not interpolated SQL)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0)], "id bigint, price double"
+    )
+    out = {
+        r["check_name"]: r["n_violations"]
+        for r in Q.column_audit(
+            df,
+            {
+                "price_positive": ~(F.col("price") > 0),
+                "it's quoted": F.col("price").isNull(),
+            },
+        ).collect()
+    }
+    assert out["price_positive"] == 1  # the NULL row
+    assert out["it's quoted"] == 1
+
+
+def test_snapshot_diff_empty_compare_and_null_keys(spark):
+    """ADVICE r5 pair: empty compare_cols = key-presence diff (every
+    matched key 'unchanged'); NULL keys reconcile null-safely instead of
+    splitting into a spurious deleted+inserted pair."""
+    old = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "k bigint, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a2"), (None, "b2"), (4, "d")], "k bigint, v string"
+    )
+    presence = {
+        (r["k"], r["change"])
+        for r in MG.snapshot_diff(old, new, ["k"], []).collect()
+    }
+    assert presence == {
+        (1, "unchanged"),
+        (None, "unchanged"),
+        (3, "deleted"),
+        (4, "inserted"),
+    }
+    full = {
+        r["k"]: r["change"]
+        for r in MG.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert full == {1: "changed", None: "changed", 3: "deleted", 4: "inserted"}
 
 
 def test_unique_audit_counts_extra_rows(spark):
