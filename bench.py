@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     # multimodal + streaming
     "media_meta_stats",
     "media_decode_features",
+    "media_resize_images",
+    "docs_shard_export",
     "stream_windowed_counts",
     # layout / maintenance (r6)
     "orders_mv_merge",
@@ -270,11 +272,40 @@ def _regressions_vs_previous_round(
     payload and flag queries slower by > ``factor``× (ignoring
     sub-``floor_sec`` timings, which are dominated by fixed overhead and
     machine noise; 0.25 s — the r4 floor of 0.5 s exempted a 3.9× mover
-    from its own retry).  BENCH_LOCAL_r*.json (complete, repo-written) is
+    from its own retry).  REPEAT movers get a tighter bar (VERDICT r5
+    item 7): a query that already drifted ≥1.5× between the two prior
+    rounds is flagged at 1.5× instead of 2×, so slow two-round creep
+    (complaints_flagship 1.38→2.20 s in r4→r5) cannot hide under the 2×
+    bar indefinitely.  BENCH_LOCAL_r*.json (complete, repo-written) is
     preferred over the driver's BENCH_r*.json (2000-char tail, possibly
     front-truncated with ``parsed: null``).  Purely informational — the
     single-line JSON contract is preserved, regressions ride along as an
     extra key."""
+    prev_payloads = _prior_round_queries(limit=2)
+    if not prev_payloads:
+        return {}
+    prev = prev_payloads[0]
+    prevprev = prev_payloads[1] if len(prev_payloads) > 1 else {}
+    repeat_movers = {
+        name
+        for name, t in prev.items()
+        if name in prevprev
+        and prevprev[name] >= floor_sec
+        and t > 1.5 * prevprev[name]
+    }
+    out = {}
+    for name, cur in timings.items():
+        if name not in prev or prev[name] < floor_sec:
+            continue
+        bar = 1.5 if name in repeat_movers else factor
+        if cur > bar * prev[name]:
+            out[name] = (prev[name], cur)
+    return out
+
+
+def _prior_round_queries(limit: int = 2) -> list[dict[str, float]]:
+    """Per-query timing dicts of the newest prior rounds (newest first),
+    at most one per round number."""
     import glob
     import re
 
@@ -294,22 +325,23 @@ def _regressions_vs_previous_round(
         # newest round wins; within a round the LOCAL (complete) file wins
         key=lambda p: (_num(p), "LOCAL" in os.path.basename(p)),
     )
+    out: list[dict[str, float]] = []
+    seen_rounds: set[int] = set()
     for path in reversed(candidates):
+        if _num(path) in seen_rounds:
+            continue
         try:
             with open(path) as f:
                 doc = json.load(f)
-            prev = (doc.get("parsed") or doc).get("queries", {})
+            q = (doc.get("parsed") or doc).get("queries", {})
         except (OSError, ValueError, AttributeError):
             continue
-        if prev:
-            return {
-                name: (prev[name], cur)
-                for name, cur in timings.items()
-                if name in prev
-                and prev[name] >= floor_sec
-                and cur > factor * prev[name]
-            }
-    return {}
+        if q:
+            out.append(q)
+            seen_rounds.add(_num(path))
+            if len(out) >= limit:
+                break
+    return out
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ from ..operators import sampling
 from ..operators import text as TX
 from ..operators import similarity as SIM
 from .catalog import _t, register
-from .text_queries import _D_TOKS, _STOP_SQL
+from .text_queries import _D_TOKS, _DIM, _STOP_SQL, _hyperplane_sql
 
 # ---------------------------------------------------------------------------
 # Temperature-scaled domain mixture
@@ -393,19 +393,67 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_semantic_canonical", None, "similarity", "dedup", "semdedup",
-    "canonical",
+    "ann_semantic_canonical",
+    f"""
+WITH RECURSIVE bucketed AS (
+  SELECT vec_id, embedding,
+         {_hyperplane_sql(_DIM, 8, 'embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT l.vec_id AS id1, r.vec_id AS id2,
+         SUM(CAST(CAST(l.embedding[i.i] AS DOUBLE) * CAST(r.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(20,15))) AS dot_dec
+  FROM bucketed l
+  JOIN bucketed r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+  GROUP BY l.vec_id, r.vec_id
+),
+und AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs WHERE dot_dec >= 0.35
+  UNION ALL
+  SELECT id2, id1 FROM pairs WHERE dot_dec >= 0.35
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+),
+kept AS (
+  SELECT d.doc_id, d.source FROM documents d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component
+  )
+)
+SELECT t.source, t.n_total, k.n_kept FROM
+  (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+   FROM documents GROUP BY source) t
+JOIN
+  (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+   FROM kept GROUP BY source) k
+ON t.source = k.source
+ORDER BY t.source
+""",
+    "similarity", "dedup", "semdedup", "canonical",
 )
 def ann_semantic_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup end-to-end: embeddings → per-cell near-dup pairs →
+    """SemDeDup end-to-end: embeddings → bucketed near-dup pairs →
     connected components → canonical member per cluster — the full
-    "semantic dedup a corpus" composition (pairs from the BLAS fast
-    path, min-label components, anti-join keep set), reported as
+    "semantic dedup a corpus" composition (LSH-bucketed pair
+    generation, min-label components, anti-join keep set), reported as
     per-source kept/total counts.  Every stage is an already-tested
-    operator; this entry proves they compose.  Rows-only (KMeans
-    quantizer upstream); the keep-set invariants (one survivor per
-    cluster, survivor is the min id, non-cluster docs untouched) are
-    pinned in pytest.
+    operator; this entry proves they compose — and since r6 it is
+    VALUE-ORACLED end-to-end: hyperplane buckets are pure deterministic
+    arithmetic (reproducible in SQL, unlike a KMeans codebook), pairs
+    are the exact decimal dot, and the component closure is the same
+    recursive-CTE pattern as supplier_strong_components.  The IVF-cell
+    variant of the same composition stays in ann_semantic_dedup /
+    ann_semantic_dedup_incremental (rows-only: MLlib quantizer), with
+    its recall vs this exact-threshold path pinned in pytest.
 
     Threshold note: the pair-listing entry uses 0.15 (report weakly
     similar pairs too); DEDUP needs a near-duplicate bar — at 0.15 the
@@ -414,12 +462,11 @@ def ann_semantic_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     tight clusters (the SemDeDup regime: drop ε-balls, not neighbors).
     """
     from ..operators import dedup as DD
-    from .text_queries import ivf_index_for
 
-    idx = ivf_index_for(spark, sf_dir, n_assign=3)
-    pairs = SIM.semantic_dedup_pairs_fast(idx, threshold=0.35).select(
-        F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
-    )
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.cosine_near_dup_pairs(
+        emb, dim=_DIM, threshold=0.35, n_planes=8
+    ).select(F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b"))
     comp = DD.connected_components(pairs)
     docs = _t(spark, sf_dir, "documents")
     kept = DD.canonical_docs(docs, comp)

@@ -864,16 +864,64 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_int8_rerank_topk", None,
+    "ann_int8_rerank_topk",
+    f"""
+WITH sc AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+  FROM embeddings
+),
+qd AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(ROUND(CAST(c.embedding[i.i] AS DOUBLE) / c.s) AS INTEGER)
+                  * CAST(ROUND(CAST(p.embedding[i.i] AS DOUBLE) / p.s) AS INTEGER))
+              AS DOUBLE) * c.s * p.s AS qdot
+  FROM sc p JOIN sc c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+  GROUP BY p.vec_id, c.vec_id, c.s, p.s
+),
+short AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY qdot DESC, neighbor_id) AS sr
+    FROM qd) q
+  WHERE sr <= 20
+),
+ex AS (
+  SELECT sh.probe_id, sh.neighbor_id,
+         SUM(CAST(CAST(p.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(20,15))) AS dot_dec
+  FROM short sh
+  JOIN embeddings p ON p.vec_id = sh.probe_id
+  JOIN embeddings c ON c.vec_id = sh.neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+  GROUP BY sh.probe_id, sh.neighbor_id
+)
+SELECT probe_id, neighbor_id,
+       ROUND(CAST(dot_dec AS DOUBLE), 6) AS cosine,
+       CAST(rk AS INT) AS rank
+FROM (SELECT probe_id, neighbor_id, dot_dec,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY dot_dec DESC, neighbor_id) AS rk
+      FROM ex) r
+WHERE rk <= 5
+ORDER BY probe_id, rank
+""",
     "similarity", "ann", "quantized", "rerank",
 )
 def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage serving: int8-quantized shortlist (4× smaller scan) +
     exact decimal re-rank of the shortlist only
-    (operators.similarity.cosine_topk_int8_rerank).  Rows-only: the
-    tinyint rounding boundary is engine-specific; top-5 equality with
-    the oracle-checked exact baseline is pinned in tests/test_round5.py
-    (recall 1.0 on the fixture at shortlist=20)."""
+    (operators.similarity.cosine_topk_int8_rerank).  VALUE-ORACLED since
+    r6 (VERDICT r5 item 5): the quantization is pure deterministic
+    arithmetic — scale = max|x|/127 (IEEE double division), q_i =
+    round(x/scale) where both engines round exact .5 away from zero, the
+    shortlist score is an exact integer dot with one double rescale in
+    the same association order on both sides, and the re-rank is the
+    already-oracled exact decimal fold.  Top-5 equality with the exact
+    baseline additionally pinned in tests/test_round5.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return (
         SIM.cosine_topk_int8_rerank(
