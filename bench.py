@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "lineitem_zorder_layout",
     "lineitem_skipping_stats",
     "stream_mv_maintenance",
+    "stream_join_mv",
     # text/curation (r6)
     "docs_bigram_pmi",
     "docs_quality_zscore",

@@ -496,6 +496,103 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+_JOIN_MV_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_join_mv", None,
+    "streaming", "materialized-view", "join", "dimension-change",
+    "foreachBatch",
+)
+def stream_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JOIN-MV maintenance with a dimension change mid-stream
+    (streaming.jobs.run_streaming_join_mv): events arrive as two
+    micro-batches; between them the user→segment dimension is REWRITTEN
+    (every user moves one segment over), and the second batch joins the
+    NEW dimension — attribution-at-ingest semantics.  Returns the final
+    per-segment MV.  Rows-only (stateful streaming loop); equality with
+    the per-phase batch recomputation (half0 ⋈ dim_v1 ∪ half1 ⋈ dim_v2)
+    and idempotent replay are pinned in tests/test_round6.py.
+
+    This is the MERGE-on-read composition the catalog previously lacked:
+    the maintained state is an ENRICHED aggregate, so correctness
+    depends on WHICH dim version each batch saw — exactly what the
+    versioned read-modify-write makes auditable.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs as SJ
+
+    work = _JOIN_MV_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_joinmv_")
+        if not _JOIN_MV_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _JOIN_MV_DIRS.values()
+                ]
+            )
+        _JOIN_MV_DIRS[sf_dir] = work
+        ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+        users = ev.select("user_id").distinct()
+        halves = f"{work}/halves"
+        for i in range(2):
+            ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == i).coalesce(
+                1
+            ).write.parquet(f"{halves}/h{i}")
+        in_dir = f"{work}/in"
+        os.makedirs(in_dir)
+
+        def _promote(i: int) -> None:
+            src = f"{halves}/h{i}"
+            part = next(
+                f for f in os.listdir(src) if f.endswith(".parquet")
+            )
+            dst = f"{in_dir}/batch_{i}.parquet"
+            shutil.copyfile(f"{src}/{part}", dst)
+            os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+        def _write_dim(shift: int) -> None:
+            users.select(
+                "user_id",
+                F.concat(
+                    F.lit("seg_"),
+                    F.pmod(F.col("user_id") + shift, F.lit(3)).cast("string"),
+                ).alias("segment"),
+            ).coalesce(1).write.mode("overwrite").parquet(f"{work}/dim")
+
+        schema = spark.read.parquet(f"{halves}/h0").schema
+
+        def _drain() -> None:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            SJ.run_streaming_join_mv(
+                stream, f"{work}/dim", f"{work}/state", f"{work}/ckpt"
+            )
+
+        _promote(0)
+        _write_dim(0)
+        _drain()              # batch 0 joins dim v1
+        _write_dim(1)         # every user moves one segment over
+        _promote(1)
+        _drain()              # batch 1 joins dim v2, merged onto v0 state
+
+    mv = SJ.read_mv_state(spark, f"{work}/state")
+    return mv.select(
+        "segment",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        F.col("max_ts").cast("string").alias("max_ts"),
+    ).orderBy("segment")
+
+
 # ---------------------------------------------------------------------------
 # Z-order write path: real clustered files + file-level manifest
 # ---------------------------------------------------------------------------

@@ -690,3 +690,88 @@ def run_streaming_quality_gate(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_join_mv(
+    stream: DataFrame,
+    dim_path: str,
+    state_dir: str,
+    checkpoint: str,
+    join_key: str = "user_id",
+    attr: str = "segment",
+) -> None:
+    """JOIN-MV maintenance — the second streaming MV shape (VERDICT r5
+    stretch): the maintained state is the stream ENRICHED by a dimension
+    (stream-static join), aggregated per dimension attribute, with the
+    dimension re-read from ``dim_path`` at EVERY micro-batch so a
+    dimension change mid-stream is picked up by the next batch.
+
+    Semantics are attribution-at-ingest: each event is attributed to the
+    dimension row current WHEN THE BATCH WAS PROCESSED (the standard
+    enrich-then-aggregate MV — replaying history against today's dim is
+    a different, backfill-shaped job).  That makes the MV equal, by
+    construction, to the union of per-batch (batch ⋈ dim_at_batch)
+    aggregates — the batch-equality pin in tests/test_round6.py runs two
+    phases with a dimension rewrite in between and checks exactly that.
+
+    Mechanics shared with ``run_streaming_mv_merge``: per-batch partials
+    fold map-side to attribute-sized frames; version ``v{b}`` is derived
+    only from versions `` < b`` plus batch ``b``, so a crash-replayed
+    batch rewrites its version byte-identically (idempotent); readers
+    take the highest version (``read_mv_state``).  The dim re-read per
+    batch is why the join lives in foreachBatch rather than the
+    streaming plan: an unmanaged static DataFrame in the plan may cache
+    its scan, silently freezing the dimension.  At 100 TB the dim side
+    is broadcast-sized by contract (it is a dimension); state is
+    attribute-sized — never fact-sized.  availableNow; blocks until
+    drained."""
+    import os
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(state_dir):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path).select(join_key, attr)
+        partial = (
+            batch_df.join(F.broadcast(dim), join_key)
+            .groupBy(attr)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+                F.max("ts").alias("max_ts"),
+            )
+        )
+        prev = [v for v in _versions() if v < batch_id]
+        if prev:
+            state = spark.read.parquet(f"{state_dir}/v{prev[-1]}")
+            merged = (
+                state.unionByName(partial)
+                .groupBy(attr)
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("sum_dec").cast("decimal(20,6)").alias("sum_dec"),
+                    F.max("max_ts").alias("max_ts"),
+                )
+            )
+        else:
+            merged = partial.select(
+                attr,
+                "n_events",
+                F.col("sum_dec").cast("decimal(20,6)").alias("sum_dec"),
+                "max_ts",
+            )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

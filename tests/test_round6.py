@@ -483,3 +483,46 @@ def test_unigram_check_fold_consistent_with_logprob(spark):
         r.doc_id: r.n_tokens for r in TX.unigram_logprob(docs).collect()
     }
     assert {k: v[0] for k, v in fold.items()} == lp
+
+
+# ---------------------------------------------------------------------------
+# stream_join_mv: JOIN-MV maintenance with a mid-stream dimension change
+# ---------------------------------------------------------------------------
+
+
+def test_stream_join_mv_batch_equality_and_replay(spark):
+    """The final join-MV must equal the per-phase batch recomputation —
+    half0 ⋈ dim_v1 ∪ half1 ⋈ dim_v2 aggregated per segment (attribution-
+    at-ingest: each batch joins the dimension version current when it was
+    processed) — and a re-drain of the exhausted source must not change
+    the state (idempotent replay)."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+
+    def seg(shift):
+        return F.concat(
+            F.lit("seg_"),
+            F.pmod(F.col("user_id") + shift, F.lit(3)).cast("string"),
+        ).alias("segment")
+
+    h0 = ev.filter(F.pmod("user_id", F.lit(2)) == 0).select(seg(0), "ts", "value")
+    h1 = ev.filter(F.pmod("user_id", F.lit(2)) == 1).select(seg(1), "ts", "value")
+    want = {
+        r.segment: (r.n, round(float(r.s), 6), str(r.m))
+        for r in h0.unionByName(h1)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.max("ts").alias("m"),
+        )
+        .collect()
+    }
+    out1 = catalog.CATALOG["stream_join_mv"].fn(spark, SF_SMOKE)
+    got1 = [tuple(r) for r in out1.collect()]
+    got = {r[0]: (r[1], round(r[2], 6), r[3]) for r in got1}
+    assert got == want
+    # replay: the memoized work dir re-drains a drained checkpoint
+    out2 = catalog.CATALOG["stream_join_mv"].fn(spark, SF_SMOKE)
+    assert [tuple(r) for r in out2.collect()] == got1
