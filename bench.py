@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "ann_semantic_dedup",
     "ann_semantic_canonical",
     "ann_semantic_dedup_incremental",
+    "ann_semantic_dedup_incremental_lsh",
     "docs_quality_deciles_approx",
     "events_value_outliers_mad",
     "events_value_outliers_mad_approx",

@@ -192,9 +192,22 @@ def cosine_near_dup_pairs(
     )
     l = b.select(F.col("id").alias("id1"), F.col("vec").alias("vec1"), "bucket")
     r = b.select(F.col("id").alias("id2"), F.col("vec").alias("vec2"), "bucket")
+    # Two-stage scoring (the semantic_dedup_pairs r4 lesson, applied here
+    # in r6): a codegen'd native-double dot prefilters the bucket pairs
+    # so the interpreted decimal HOF fold runs only on survivors.  On the
+    # fixture's ~70k bucket-pairs this is measured-neutral (~3 s either
+    # way at sf0.1 — fixed costs dominate); the prefilter is insurance
+    # for the dense-bucket regime where the candidate fold explodes (the
+    # 113 s sf0.1 incident was 2.25M candidates).  Lossless: per-element
+    # products are exact (float32 in double), the double sum is within
+    # ~dim ulp (< 1e-13) of the decimal value, so the 1e-9 margin cannot
+    # drop a qualifying pair — the exact decimal filter still makes the
+    # final membership decision (oracle parity unchanged).
     return (
         l.join(r, "bucket")
         .filter(F.col("id1") < F.col("id2"))
+        .withColumn("_dot_dbl", _dot_double_unrolled("vec1", "vec2", dim))
+        .filter(F.col("_dot_dbl") >= F.lit(float(threshold) - 1e-9))
         .withColumn("dot_dec", dot_decimal(F.col("vec1"), F.col("vec2")))
         .filter(F.col("dot_dec") >= threshold)
         .select(
@@ -930,5 +943,95 @@ def cosine_topk_int8_rerank(
             "neighbor_id",
             F.round(F.col("dot_dec").cast("double"), 6).alias("cosine"),
             F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def semantic_dedup_incremental_lsh(
+    corpus_canonical: DataFrame,
+    batch: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup with HYPERPLANE-LSH candidate generation —
+    the deterministic, value-oracle-able twin of
+    :func:`semantic_dedup_incremental` (whose IVF cells come from an
+    MLlib KMeans codebook no SQL oracle can replay).  Same triage
+    contract: each batch doc gets one status —
+
+    - ``dup_of_corpus`` — within ``threshold`` cosine of a canonical
+      corpus vector sharing its hyperplane bucket;
+    - ``dup_in_batch``  — corpus-novel, but a non-representative member
+      of a near-dup component among the novel batch docs;
+    - ``kept``          — novel: append to the canonical set.
+
+    Shape: one deterministic bucket id per vector (sign pattern of
+    ``n_planes`` fixed hyperplanes — pure arithmetic, identical in the
+    SQL oracle), so the corpus side is probed with a bucket equi-join:
+    corpus candidates are the batch buckets' members only, the corpus
+    never reshuffles, and candidate volume is O(Σ |b_cell|·|b_batch|)
+    per bucket instead of |corpus|×|batch|.  In-batch components reuse
+    :func:`cosine_near_dup_pairs` + min-label connected components over
+    the (batch-sized) novel set.  Trade vs the IVF twin: buckets are
+    data-independent (no recall adaptation to the corpus's density), in
+    exchange for bit-exact cross-engine verifiability — production runs
+    the IVF path, this entry PROVES the composition's semantics.
+    """
+    from . import dedup as DD
+
+    cb = corpus_canonical.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    )
+    bb = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("_bvec"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    )
+    hits = (
+        bb.join(cb, "_bucket")
+        # same lossless double-prefilter discipline as cosine_near_dup_pairs
+        .filter(
+            _dot_double_unrolled("_bvec", "_cvec", dim)
+            >= F.lit(float(threshold) - 1e-9)
+        )
+        .filter(
+            dot_decimal(F.col("_bvec"), F.col("_cvec"))
+            >= F.lit(threshold).cast("decimal(30,15)")
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    novel = batch.select(F.col(id_col).alias("doc_id"), vec_col).join(
+        hits, "doc_id", "left_anti"
+    )
+    pairs = cosine_near_dup_pairs(
+        novel.select(F.col("doc_id").alias(id_col), vec_col),
+        dim=dim,
+        threshold=threshold,
+        n_planes=n_planes,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b"))
+    comp = DD.connected_components(pairs)
+    return (
+        hits.select("doc_id", F.lit("dup_of_corpus").alias("status"))
+        .unionByName(
+            novel.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("component").isNotNull()
+                    & (F.col("component") != F.col("doc_id")),
+                    F.lit("dup_in_batch"),
+                )
+                .otherwise(F.lit("kept"))
+                .alias("status"),
+            )
         )
     )

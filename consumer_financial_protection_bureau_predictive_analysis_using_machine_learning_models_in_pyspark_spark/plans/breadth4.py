@@ -663,6 +663,121 @@ def ann_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "ann_semantic_dedup_incremental_lsh",
+    f"""
+WITH RECURSIVE bucketed AS (
+  SELECT vec_id, embedding,
+         {_hyperplane_sql(_DIM, 8, 'embedding')} AS bucket
+  FROM embeddings
+),
+corpus AS (SELECT * FROM bucketed WHERE vec_id % 5 <> 0),
+batch AS (SELECT * FROM bucketed WHERE vec_id % 5 = 0),
+cpairs AS (
+  SELECT l.vec_id AS id1, r.vec_id AS id2,
+         SUM(CAST(CAST(l.embedding[i.i] AS DOUBLE) * CAST(r.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(20,15))) AS dot_dec
+  FROM corpus l JOIN corpus r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+  GROUP BY l.vec_id, r.vec_id
+),
+cund AS (
+  SELECT id1 AS src, id2 AS dst FROM cpairs WHERE dot_dec >= 0.35
+  UNION ALL SELECT id2, id1 FROM cpairs WHERE dot_dec >= 0.35
+),
+creach(src, dst) AS (
+  SELECT src, dst FROM cund
+  UNION
+  SELECT r.src, u.dst FROM creach r JOIN cund u ON r.dst = u.src
+),
+ccomp AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM creach GROUP BY src
+),
+canonical AS (
+  SELECT c.vec_id, c.embedding, c.bucket FROM corpus c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ccomp k WHERE k.id = c.vec_id AND k.id <> k.comp
+  )
+),
+bdots AS (
+  SELECT b.vec_id AS bid, c.vec_id AS cid,
+         SUM(CAST(CAST(b.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(20,15))) AS dot_dec
+  FROM batch b JOIN canonical c ON b.bucket = c.bucket
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+  GROUP BY b.vec_id, c.vec_id
+),
+hits AS (SELECT DISTINCT bid AS vec_id FROM bdots WHERE dot_dec >= 0.35),
+novel AS (
+  SELECT * FROM batch
+  WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+),
+npairs AS (
+  SELECT l.vec_id AS id1, r.vec_id AS id2,
+         SUM(CAST(CAST(l.embedding[i.i] AS DOUBLE) * CAST(r.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(20,15))) AS dot_dec
+  FROM novel l JOIN novel r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+  GROUP BY l.vec_id, r.vec_id
+),
+nund AS (
+  SELECT id1 AS src, id2 AS dst FROM npairs WHERE dot_dec >= 0.35
+  UNION ALL SELECT id2, id1 FROM npairs WHERE dot_dec >= 0.35
+),
+nreach(src, dst) AS (
+  SELECT src, dst FROM nund
+  UNION
+  SELECT r.src, u.dst FROM nreach r JOIN nund u ON r.dst = u.src
+),
+ncomp AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM nreach GROUP BY src
+)
+SELECT doc_id, status FROM (
+  SELECT vec_id AS doc_id, 'dup_of_corpus' AS status FROM hits
+  UNION ALL
+  SELECT n.vec_id,
+         CASE WHEN k.id IS NOT NULL AND k.id <> k.comp
+              THEN 'dup_in_batch' ELSE 'kept' END
+  FROM novel n LEFT JOIN ncomp k ON k.id = n.vec_id
+) s
+ORDER BY doc_id
+""",
+    "similarity", "dedup", "semdedup", "incremental", "lsh",
+)
+def ann_semantic_dedup_incremental_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SemDeDup, VALUE-ORACLED end-to-end (operators
+    .similarity.semantic_dedup_incremental_lsh): the same 80/20
+    corpus/batch split and triage statuses as
+    ``ann_semantic_dedup_incremental``, but candidate generation uses
+    deterministic hyperplane-LSH buckets instead of IVF cells — so the
+    whole flow (corpus canonicalization → batch-vs-canonical probe →
+    in-batch components → per-doc status) replays exactly in SQL,
+    recursive component closures included.  Production serves the IVF
+    path (data-adaptive cells, prebuilt index); this twin pins the
+    composition's SEMANTICS with a hash-checked driver row the IVF
+    entry structurally cannot have."""
+    from ..operators import dedup as DD
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    closers = (
+        DD.connected_components(
+            SIM.cosine_near_dup_pairs(
+                corpus, dim=_DIM, threshold=0.35, n_planes=8
+            ).select(F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b"))
+        )
+        .filter(F.col("doc_id") != F.col("component"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    canonical = corpus.join(closers, "vec_id", "left_anti")
+    return SIM.semantic_dedup_incremental_lsh(
+        canonical, batch, dim=_DIM, threshold=0.35, n_planes=8
+    ).orderBy("doc_id")
+
+
 _PROFILE_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority",
