@@ -373,9 +373,19 @@ def orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan); the PSI fold is bin-count-sized.  Fixed bins (not quantile
     boundaries) keep the gate deterministic AND cross-engine exact: bin
     shares are IEEE int/int divisions, the single ln rounds at 6 before
-    the term product (the unigram lesson), each term rounds at 8 into an
-    exact decimal fold.  1e-6 clamping guards empty bins with identical
-    literals on both engines."""
+    the term product, each term rounds at 8 into an exact decimal fold.
+    1e-6 clamping guards empty bins with identical literals on both
+    engines.
+
+    ln-boundary margin (the unigram lesson, applied as MEASURED margin
+    instead of hope): unlike the unigram fold — thousands of ln terms
+    summed, where one near-boundary term sank the hash twice — this
+    entry evaluates exactly 5 ln values.  Measured at the driver's
+    sf0.01: the closest ln(p/q) sits 0.063 rounding-quanta from its
+    6-decimal boundary (6.3e-8 absolute) and the closest term 0.063
+    quanta from its 8-decimal boundary, vs a worst-case libm divergence
+    ~1e-15 — a ≥10^6 safety factor, so no engine build can flip a
+    retained digit here."""
     orders = _t(spark, sf_dir, "orders")
     binned = orders.select(
         F.least(
