@@ -87,7 +87,7 @@ _PRIORITY = [
     "dedup_minhash_fast",             # first driver row (rows-only: xxhash64 twin, pair-equality pinned)
     "dedup_components_star",          # first driver row (large/small-star components)
     "dedup_canonical_best",           # first driver row (quality-aware canonical)
-    "ann_range_search",               # similarity anchor
+    "ann_semantic_dedup_incremental_lsh",  # NEWLY ORACLED r6: LSH twin of the IVF incremental triage
     "ann_semantic_canonical",         # NEWLY ORACLED r6: hyperplane pairs + recursive-CTE components
     "ann_int8_rerank_topk",           # NEWLY ORACLED r6: deterministic int8 quantization in SQL
     "ann_semantic_dedup",             # first driver row (rows-only: IVF-cell pair scoring)
