@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "orc_roundtrip_part",
     "events_purchase_attribution",
     "docs_bpe_merges",
+    "docs_bpe_encode",
     "part_association_rules",
     "lineitem_numeric_corr",
     "orders_price_psi",

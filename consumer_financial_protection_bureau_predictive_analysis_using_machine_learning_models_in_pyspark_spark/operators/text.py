@@ -730,3 +730,73 @@ def bpe_merge_steps(
     # the persisted dict (and per-step rule frames) must outlive the
     # returned lazy frame; they self-unpersist with the session
     return out.orderBy("step")
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    merges: DataFrame,
+    n_merges: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer INFERENCE — the other half of :func:`bpe_merge_steps`'
+    training loop: apply the learned merge table, in step order, to every
+    document and report per-doc token economics (word count, symbol count
+    before merging, subword count after).  Together the two entries close
+    the tokenizer lifecycle: train on the corpus, encode the corpus.
+
+    Scale shape: merges apply to the DISTINCT word vocabulary, never to
+    running text — the corpus-sized side only explodes to (doc, word)
+    pairs and joins the encoded vocabulary back by word, so the string
+    rewriting cost is O(|vocab| · n_merges) regardless of corpus size
+    (the same dict-formulation argument as training).  Each merge step is
+    a 1-row broadcast of that step's rule; application order is the
+    training order, which BPE inference requires.
+
+    Counting trick: subwords per word = occurrences of '{' in the merged
+    brace-sequence (every symbol carries exactly one opening brace) —
+    pure integer string math, exact on both engines, which is what makes
+    the whole entry value-oracle-able with zero numeric-parity caveats.
+    """
+    words = df.select(
+        id_col, F.explode(TF.tokens(text_col)).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    enc = (
+        words.select("word")
+        .distinct()
+        .withColumn("seq", F.regexp_replace("word", "(.)", "{$1}"))
+    )
+    for step in range(1, n_merges + 1):
+        rule = merges.filter(F.col("step") == step).select("pair", "merged")
+        # LEFT join on TRUE, not crossJoin: a corpus too small to learn
+        # n_merges rules yields an EMPTY rule frame for the missing
+        # steps, and a crossJoin against it would silently wipe the
+        # vocabulary; the left join keeps rows and the when() applies
+        # the identity instead.
+        enc = enc.join(F.broadcast(rule), F.lit(True), "left").select(
+            "word",
+            F.when(
+                F.col("pair").isNotNull(),
+                F.replace(F.col("seq"), F.col("pair"), F.col("merged")),
+            )
+            .otherwise(F.col("seq"))
+            .alias("seq"),
+        )
+    enc = enc.select(
+        "word",
+        (
+            F.length("seq")
+            - F.length(F.replace(F.col("seq"), F.lit("{"), F.lit("")))
+        )
+        .cast("bigint")
+        .alias("_n_sub"),
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_symbols"),
+            F.sum("_n_sub").cast("bigint").alias("n_subwords"),
+        )
+    )

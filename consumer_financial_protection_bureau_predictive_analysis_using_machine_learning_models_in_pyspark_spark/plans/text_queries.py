@@ -1273,3 +1273,73 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_merge_steps(
         _t(spark, sf_dir, "documents"), vocab_size=500, n_merges=5
     )
+
+
+_BPE_ENCODE_ORACLE = (
+    """
+WITH dtoks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+words AS (
+  SELECT doc_id, word FROM dtoks WHERE regexp_matches(word, '^[a-z]+$')
+),
+toks AS (SELECT word FROM words),
+vocab0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS w
+  FROM toks WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word ORDER BY w DESC, word LIMIT 500
+),
+v0 AS (
+  SELECT word, w, regexp_replace(word, '(.)', '{\\1}', 'g') AS seq FROM vocab0
+),"""
+    + ",".join(_BPE_ITER_SQL.format(k=k, p=k - 1) for k in (1, 2, 3, 4, 5))
+    + """,
+e0 AS (
+  SELECT DISTINCT word FROM words
+),
+e1 AS (
+  SELECT word, regexp_replace(word, '(.)', '{\\1}', 'g') AS seq FROM e0
+),
+e2 AS (SELECT e.word, CASE WHEN r.pair IS NOT NULL THEN replace(e.seq, r.pair, r.merged) ELSE e.seq END AS seq FROM e1 e LEFT JOIN r1 r ON TRUE),
+e3 AS (SELECT e.word, CASE WHEN r.pair IS NOT NULL THEN replace(e.seq, r.pair, r.merged) ELSE e.seq END AS seq FROM e2 e LEFT JOIN r2 r ON TRUE),
+e4 AS (SELECT e.word, CASE WHEN r.pair IS NOT NULL THEN replace(e.seq, r.pair, r.merged) ELSE e.seq END AS seq FROM e3 e LEFT JOIN r3 r ON TRUE),
+e5 AS (SELECT e.word, CASE WHEN r.pair IS NOT NULL THEN replace(e.seq, r.pair, r.merged) ELSE e.seq END AS seq FROM e4 e LEFT JOIN r4 r ON TRUE),
+e6 AS (SELECT e.word, CASE WHEN r.pair IS NOT NULL THEN replace(e.seq, r.pair, r.merged) ELSE e.seq END AS seq FROM e5 e LEFT JOIN r5 r ON TRUE),
+enc AS (
+  SELECT word,
+         CAST(len(seq) - len(replace(seq, '{', '')) AS BIGINT) AS n_sub
+  FROM e6
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(w.word)) AS BIGINT) AS n_symbols,
+       CAST(SUM(e.n_sub) AS BIGINT) AS n_subwords
+FROM words w JOIN enc e ON w.word = e.word
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""
+)
+
+
+@register(
+    "docs_bpe_encode",
+    _BPE_ENCODE_ORACLE,
+    "text", "tokenizer", "bpe", "inference",
+)
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE over the corpus it was trained on
+    (operators/text.bpe_encode_stats ∘ bpe_merge_steps): apply the 5
+    learned merges, in training order, to every document and report
+    per-doc token economics — word count, symbol count before merging,
+    subword count after.  Closes the tokenizer lifecycle the family
+    opened with docs_bpe_merges (train → encode), value-oracled
+    end-to-end: the oracle re-derives the merge table with the same
+    unrolled CTEs, then unrolls the 5 inference steps as literal
+    replaces.  Merges rewrite only the DISTINCT word vocabulary (the
+    corpus side just joins by word), and every output is an exact
+    integer — zero numeric-parity caveats."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = TX.bpe_merge_steps(docs, vocab_size=500, n_merges=5)
+    return TX.bpe_encode_stats(docs, merges, n_merges=5).orderBy("doc_id")

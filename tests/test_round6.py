@@ -526,3 +526,47 @@ def test_stream_join_mv_batch_equality_and_replay(spark):
     # replay: the memoized work dir re-drains a drained checkpoint
     out2 = catalog.CATALOG["stream_join_mv"].fn(spark, SF_SMOKE)
     assert [tuple(r) for r in out2.collect()] == got1
+
+
+# ---------------------------------------------------------------------------
+# BPE inference (docs_bpe_encode)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_hand_computed(spark):
+    """Tiny corpus where the merge sequence is fully predictable:
+    'abab' dominates, so merges are {a}{b}->{ab} then {ab}{ab}->{abab}
+    (freq ties broken by pair text); encode counts follow exactly.
+    Also exercises the short-rule-table edge: only 4 merges are
+    learnable here, so step-5's empty rule must be an identity, not a
+    vocabulary wipe."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab cd"), (2, "abab cd cd")],
+        "doc_id long, text string",
+    )
+    merges = TX.bpe_merge_steps(docs, vocab_size=10, n_merges=5)
+    got = {r.step: (r.pair, r.merged, r.freq) for r in merges.collect()}
+    assert got[1] == ("{a}{b}", "{ab}", 8)   # 2 per 'abab' x 4 occurrences
+    assert got[2] == ("{ab}{ab}", "{abab}", 4)
+    assert got[3] == ("{c}{d}", "{cd}", 3)
+    assert len(got) == 3  # no pairs left after 3 merges
+    enc = {
+        r.doc_id: (r.n_words, r.n_symbols, r.n_subwords)
+        for r in TX.bpe_encode_stats(docs, merges, n_merges=5).collect()
+    }
+    # doc1: words abab x3 (1 subword each after merge2) + cd (1 subword)
+    # doc2: abab (1) + cd x2 (1 each)
+    assert enc[1] == (4, 14, 4)
+    assert enc[2] == (3, 8, 3)
+
+
+def test_bpe_encode_consistency_with_merges(spark):
+    """On the real fixture: n_words <= n_subwords <= n_symbols per doc,
+    and total subword shrinkage is positive (5 merges must compress)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    merges = TX.bpe_merge_steps(docs, vocab_size=500, n_merges=5)
+    rows = TX.bpe_encode_stats(docs, merges, n_merges=5).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_subwords <= r.n_symbols
+    assert sum(r.n_subwords for r in rows) < sum(r.n_symbols for r in rows)
