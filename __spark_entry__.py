@@ -76,7 +76,7 @@ _PRIORITY = [
     "events_purchase_attribution",    # first driver row (first/last-touch attribution)
     "events_compact_latest",          # first driver row (keyed compaction)
     "events_multires_rollup",         # first driver row (multi-resolution rollup)
-    "docs_filter_chain",              # text/training-data anchor
+    "docs_bpe_encode",                # NEWLY ORACLED r6: BPE inference (train->encode lifecycle)
     "docs_unigram_logprob",           # re-check: transcendental-free integer-moment oracle (r6)
     "docs_repetition_stats",          # first driver row (n-gram repetition)
     "docs_pii_redact",                # first driver row (regex redaction)
