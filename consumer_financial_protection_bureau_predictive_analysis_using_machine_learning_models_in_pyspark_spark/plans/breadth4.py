@@ -460,6 +460,14 @@ def ann_semantic_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's 12%-dense pair graph is one connected component and the
     whole corpus collapses to a single survivor.  0.35 keeps only
     tight clusters (the SemDeDup regime: drop ε-balls, not neighbors).
+
+    Cost note (r6 bench): this entry moved 1.5 s → 3.4 s at sf0.1 when
+    it switched from the cached-IVF BLAS pair path to the
+    exact-decimal hyperplane path — a deliberate trade: the decimal
+    fold is what makes the end-to-end value oracle safe at the strict
+    driver hash gate (float64 BLAS membership can flip at the
+    threshold boundary).  Production dedup keeps the BLAS path via
+    ann_semantic_dedup / _incremental; this entry's job is verification.
     """
     from ..operators import dedup as DD
 

@@ -656,10 +656,15 @@ def run_streaming_quality_gate(
     from ..operators import quality as Q
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
+        # NULL predicate -> violation (coalesce to True), matching
+        # column_audit's r6 NULL semantics: a NULL in a checked column is
+        # a defect, and the accept/quarantine split must agree with the
+        # audit counts riding the same batch (a NULL-swallowing accept
+        # here would pass rows the audit table reports as violations).
         reasons = F.array_compact(
             F.array(
                 *[
-                    F.when(F.coalesce(pred, F.lit(False)), F.lit(name))
+                    F.when(F.coalesce(pred, F.lit(True)), F.lit(name))
                     for name, pred in checks.items()
                 ]
             )
