@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "docs_hybrid_rrf",
     "ann_semantic_dedup",
     "ann_semantic_canonical",
+    "ann_semantic_canonical_fast",
     "ann_semantic_dedup_incremental",
     "ann_semantic_dedup_incremental_lsh",
     "docs_quality_deciles_approx",

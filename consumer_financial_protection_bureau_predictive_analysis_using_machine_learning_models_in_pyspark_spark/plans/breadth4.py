@@ -493,6 +493,44 @@ def ann_semantic_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_semantic_canonical_fast", None,
+    "similarity", "dedup", "semdedup", "canonical", "ivf", "blas",
+)
+def ann_semantic_canonical_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-cost twin of ``ann_semantic_canonical``: the same
+    pairs → components → canonical → per-source-counts composition, but
+    candidate pairs come from the prebuilt IVF index's per-cell BLAS
+    scorer (semantic_dedup_pairs_fast) instead of the exact-decimal
+    hyperplane path.  Rows-only (KMeans codebook upstream); its job in
+    the bench is to keep the verification entry's 2× exact-decimal cost
+    honest — this is what the composition costs when you serve it.
+    Keep-set invariants (one survivor per cluster, min-id survivor) are
+    pinned for the shared operators in tests/test_round4.py."""
+    from ..operators import dedup as DD
+    from .text_queries import ivf_index_for
+
+    idx = ivf_index_for(spark, sf_dir, n_assign=3)
+    pairs = SIM.semantic_dedup_pairs_fast(idx, threshold=0.35).select(
+        F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
+    )
+    comp = DD.connected_components(pairs)
+    docs = _t(spark, sf_dir, "documents")
+    kept = DD.canonical_docs(docs, comp)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .join(
+            docs.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_total")
+            ),
+            "source",
+        )
+        .select("source", "n_total", "n_kept")
+        .orderBy("source")
+    )
+
+
+@register(
     "ann_semantic_dedup", None, "similarity", "dedup", "semdedup", "ivf"
 )
 def ann_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
