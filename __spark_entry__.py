@@ -70,7 +70,7 @@ _PRIORITY = [
     "part_copurchase_triangles",      # first driver row (graph: triangles)
     "part_association_rules",         # first driver row (association rules)
     "part_similar_items",             # first driver row (item-item recommender)
-    "events_funnel",                  # behavioral anchor
+    "docs_training_export",           # NEWLY ORACLED r6: end-to-end filter->dedup->sample->pack composition
     "events_user_paths",              # first driver row (lag-window paths)
     "events_top_session_paths",       # first driver row (session path mining)
     "events_purchase_attribution",    # first driver row (first/last-touch attribution)

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "docs_temperature_mix",
     "docs_quality_deciles",
     "docs_pack_manifest",
+    "docs_training_export",
     "docs_bm25_rank",
     "docs_hybrid_rrf",
     "ann_semantic_dedup",

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..operators import layout as LY
 from ..operators import text as TX
 from .catalog import _t, register
-from .text_queries import _D_TOKS, _STOP_SQL
+from .text_queries import _AUG_CTE, _D_FP, _D_TOKS, _STOP_SQL
 
 # ---------------------------------------------------------------------------
 # Incremental materialized-view maintenance
@@ -494,6 +494,122 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_dec").cast("double").alias("sum_value"),
         F.col("max_ts").cast("string").alias("max_ts"),
     ).orderBy("user_id")
+
+
+@register(
+    "docs_training_export",
+    f"""
+WITH aug AS ({{AUG}}),
+t AS (
+  SELECT doc_id, text, {_D_TOKS} AS toks FROM aug
+),
+m AS (
+  SELECT doc_id, text, toks,
+         length(text) >= 100 AS p_chars,
+         len(toks) >= 20 AS p_tokens,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) >= 0.5 AS p_alpha,
+         CAST(len(list_filter(toks, s -> list_contains({_STOP_SQL}, s))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) <= 0.3 AS p_stop
+  FROM t
+),
+kept AS (
+  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM m WHERE p_chars AND p_tokens AND p_alpha AND p_stop
+),
+fp AS (
+  SELECT doc_id, n_tokens, {{FP}} AS f FROM kept
+),
+canon AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           MIN(doc_id) OVER (PARTITION BY f) AS keep_id
+    FROM fp) x
+  WHERE doc_id = keep_id
+),
+r AS (
+  SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS rk FROM canon
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY rk, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM r
+),
+samp AS (SELECT doc_id, n_tokens FROM c WHERE cum <= 20000),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+  FROM samp
+)
+SELECT CAST(FLOOR((cum2 - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM p GROUP BY bin_id ORDER BY bin_id
+""".format(AUG=_AUG_CTE, FP=_D_FP),
+    "pipeline", "composition", "export", "end-to-end",
+)
+def docs_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data export — the four pipeline stages a
+    real curation run chains, composed as ONE lazy plan and value-oracled
+    through every stage boundary: C4/Gopher quality filter → exact
+    content dedup (min-id canonical) → deterministic 20k-token budget
+    slice (md5-shuffled two-phase prefix sum) → 512-token greedy packing
+    with the ordered doc-id manifest.  Input is the dup-augmented corpus
+    so the dedup stage provably removes rows.
+
+    Each stage is an already-oracled operator (docs_filter_chain,
+    dedup_exact, docs_token_budget_sample, docs_pack_manifest); this
+    entry proves the COMPOSITION — one Catalyst plan, no materialization
+    between stages, filters pruning before any shuffle, the only global
+    ordering a 256-row bucket-offset table inside the distributed prefix
+    sum.  This is the "switch your pipeline to this repo" demo: the
+    manifest it returns is what a training loader consumes.
+    """
+    from ..functions import textfns as TF
+    from ..operators import pipeline as PL
+    from .text_queries import _aug
+
+    aug = _aug(spark, sf_dir)
+    text = F.col("text")
+    toks = TF.tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in TF.STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    rules = [
+        ("min_chars", F.length(text) >= 100),
+        ("min_tokens", F.size(toks) >= 20),
+        (
+            "alpha_ratio",
+            F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")).cast("double")
+            / F.length(text).cast("double")
+            >= 0.5,
+        ),
+        (
+            "stopword_ratio",
+            n_stop.cast("double") / F.size(toks).cast("double") <= 0.3,
+        ),
+    ]
+    flags = PL.filter_chain(aug, rules)
+    kept = aug.join(flags.filter(F.col("keep")).select("doc_id"), "doc_id")
+    fp = kept.select(
+        "doc_id", "text", TF.content_fingerprint("text").alias("_f")
+    )
+    keepers = fp.groupBy("_f").agg(F.min("doc_id").alias("doc_id"))
+    canon = kept.join(keepers.select("doc_id"), "doc_id")
+    samp = PL.sample_token_budget(canon, 20_000).select("doc_id")
+    packed = PL.pack_manifest(
+        canon.join(samp, "doc_id").withColumn("_part", F.lit("all")),
+        budget=512,
+        part_col="_part",
+    )
+    return packed.select(
+        "bin_id",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("bin_tokens").cast("bigint").alias("bin_tokens"),
+        "doc_ids",
+    ).orderBy("bin_id")
 
 
 _JOIN_MV_DIRS: dict[str, str] = {}

@@ -553,6 +553,9 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
     # (c) batch side of incremental/merge ops: the DELTA is the small
     #     side by contract; the corpus side is never hinted
     "ann_semantic_canonical": "SemDeDup loser id list: pair-graph-bounded",
+    "ann_semantic_canonical_fast": "SemDeDup loser id list: pair-graph-bounded",
+    "docs_bpe_encode": "merge rules: 1-row-per-step broadcast (n_merges rows total)",
+    "docs_training_export": "per-bucket offset table: 256 buckets (same as docs_token_budget_sample)",
     "ann_semantic_dedup_incremental": "batch probe ids: delta-bounded",
     "dedup_canonical_docs": "loser id list: duplicate-pairs-bounded",
     "dedup_incremental_bloom": "batch fingerprints: delta-bounded",
