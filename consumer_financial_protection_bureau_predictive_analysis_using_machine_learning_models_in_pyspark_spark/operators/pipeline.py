@@ -297,13 +297,22 @@ def filter_chain(
     Pure column expressions — the whole chain is one codegen'd projection
     evaluated during the scan; at 100 TB this runs at parquet-read speed
     and the downstream filter on ``keep`` prunes before any shuffle.
+
+    NULL semantics (the column_audit r6 discipline, applied to the
+    curation gate): a predicate that evaluates to NULL (e.g. any length
+    test on a NULL text) FAILS its rule — fail-closed, with the reason
+    naming that rule — instead of the three-valued alternative where
+    ``keep`` is NULL (dropped by the downstream filter) while ``reason``
+    incoherently reads 'kept'.
     """
     reason = F.lit("kept")
     for name, pred in reversed(list(rules)):
-        reason = F.when(~pred, F.lit(name)).otherwise(reason)
+        reason = F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)).otherwise(
+            reason
+        )
     keep = F.lit(True)
     for _, pred in rules:
-        keep = keep & pred
+        keep = keep & F.coalesce(pred, F.lit(False))
     return df.select(id_col, keep.alias("keep"), reason.alias("reason"))
 
 

@@ -570,3 +570,24 @@ def test_bpe_encode_consistency_with_merges(spark):
     for r in rows:
         assert r.n_words <= r.n_subwords <= r.n_symbols
     assert sum(r.n_subwords for r in rows) < sum(r.n_symbols for r in rows)
+
+
+def test_filter_chain_null_text_fails_closed(spark):
+    """A NULL text must FAIL the first rule whose predicate goes NULL
+    (keep=False, reason names the rule) — not produce keep=NULL with a
+    'kept' reason (the curation twin of the column_audit NULL fix)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        pipeline as PL,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x" * 200 + " " + "word " * 30)],
+        "doc_id long, text string",
+    )
+    rules = [
+        ("min_chars", F.length("text") >= 100),
+        ("min_tokens", F.size(F.split(F.col("text"), r"\s+")) >= 20),
+    ]
+    out = {r.doc_id: (r.keep, r.reason) for r in PL.filter_chain(df, rules).collect()}
+    assert out[1] == (False, "min_chars")
+    assert out[2] == (True, "kept")

@@ -72,6 +72,14 @@ AUDIT = {
         "checks are keyed anti-joins (BroadcastHashJoin LeftAnti with "
         "AQE-chosen dim broadcasts) over key-only projections."
     ),
+    "docs_training_export": (
+        "Four curation stages — quality filter, exact dedup, token-budget "
+        "sample, greedy pack — compose as ONE plan: the filter is a "
+        "codegen'd projection pruning before any shuffle, dedup shuffles "
+        "8-byte fingerprints (text never moves), the sample's only global "
+        "ordering is the broadcast 256-row bucket-offset table, and the "
+        "pack windows are partitioned.  No stage materializes."
+    ),
 }
 
 _KEEP_DETail_PREFIXES = (
