@@ -230,6 +230,12 @@ _PRIORITY = [
     "docs_language_id",               # text family: docs_token_stats etc.
     "docs_fingerprints",              # text family: docs_token_stats etc.
     "dedup_simhash",                  # dedup family: minhash/jaccard twins
+    # r6c rotations out of the window + r6 additions (overflow slots)
+    "docs_filter_chain",              # rotated out r6c (green r4-r5); text filter family: repetition/pii/vocab + training_export in-window
+    "events_funnel",                  # rotated out r6c (green r1-r5); sequence windows: user_paths/session_paths in-window
+    "ann_range_search",               # rotated out r6c (green r1-r5); decimal-dot threshold family: lsh-twin + int8 rerank in-window
+    "ann_semantic_canonical_fast",    # r6 addition (rows-only; production-cost BLAS twin of in-window ann_semantic_canonical)
+    "stream_join_mv",                 # r6 addition (rows-only; batch-equality + replay pinned); MV family: stream_mv_maintenance in-window
 ]
 
 
