@@ -236,6 +236,7 @@ _PRIORITY = [
     "ann_range_search",               # rotated out r6c (green r1-r5); decimal-dot threshold family: lsh-twin + int8 rerank in-window
     "ann_semantic_canonical_fast",    # r6 addition (rows-only; production-cost BLAS twin of in-window ann_semantic_canonical)
     "stream_join_mv",                 # r6 addition (rows-only; batch-equality + replay pinned); MV family: stream_mv_maintenance in-window
+    "docs_bpe_vocab",                 # r6 addition (oracled; tokenizer family: bpe_encode in-window shares the training CTEs)
 ]
 
 

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "events_purchase_attribution",
     "docs_bpe_merges",
     "docs_bpe_encode",
+    "docs_bpe_vocab",
     "part_association_rules",
     "lineitem_numeric_corr",
     "orders_price_psi",

@@ -636,32 +636,22 @@ def vocab_coverage(
     )
 
 
-def bpe_merge_steps(
+def _bpe_train(
     df: DataFrame,
-    text_col: str = "text",
-    vocab_size: int = 500,
-    n_merges: int = 5,
-) -> DataFrame:
-    """BPE tokenizer training, the discovery loop: iteratively find the
-    most frequent adjacent symbol pair in the corpus vocabulary and merge
-    it — the algorithm behind GPT/Llama tokenizers (Sennrich et al. 2016).
-    Returns the ordered merge table (step, pair, merged, freq).
-
-    Scale shape: the ONLY corpus-sized pass is the word-frequency
-    aggregate; BPE then iterates on the top-`vocab_size` word/frequency
-    DICT (the classic formulation), so merge steps cost O(vocab) each —
-    independent of corpus size, exactly how you'd train on 100 TB.  The
-    dict frame is persisted once; each step is a vocabulary-sized
-    explode→agg plus a 1-row broadcast of the winning rule (no driver
-    collect anywhere — the rule joins back as data).
-
-    Symbol sequences are strings of brace-wrapped symbols ("{l}{o}{w}");
-    since the vocabulary is filtered to ^[a-z]+$ words, braces cannot
-    occur inside symbols, so a literal replace of "{a}{b}"→"{ab}" is
-    boundary-safe and left-to-right-deterministic on both engines (the
-    same representation the oracle SQL unrolls).  Ties break on pair
-    text, so the merge table is fully deterministic.
-    """
+    text_col: str,
+    vocab_size: int,
+    n_merges: int,
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE training core: returns (per-step rule frames, the final
+    merged word dict).  The ONLY corpus-sized pass is the word-frequency
+    aggregate; the merge loop iterates on the top-``vocab_size``
+    word/frequency DICT (the classic formulation), so steps cost
+    O(vocab) each — independent of corpus size.  The dict frame is
+    persisted once; each step is a vocabulary-sized explode→agg plus a
+    1-row broadcast of the winning rule (no driver collect anywhere —
+    the rule joins back as data).  A step with no pairs left yields an
+    EMPTY rule frame; the LEFT-join-on-TRUE dict update applies it as
+    identity instead of wiping the vocabulary."""
     toks = df.select(F.explode(TF.tokens(text_col)).alias("word"))
     vocab = (
         toks.filter(F.col("word").rlike("^[a-z]+$"))
@@ -714,22 +704,88 @@ def bpe_merge_steps(
         rule = rule.persist(StorageLevel.MEMORY_AND_DISK)
         rule.count()
         rules.append(rule)
-        v = v.crossJoin(
-            F.broadcast(rule.select("pair", "merged"))
+        v = v.join(
+            F.broadcast(rule.select("pair", "merged")), F.lit(True), "left"
         ).select(
             "word",
             "w",
-            F.replace(F.col("seq"), F.col("pair"), F.col("merged")).alias(
-                "seq"
-            ),
+            F.when(
+                F.col("pair").isNotNull(),
+                F.replace(F.col("seq"), F.col("pair"), F.col("merged")),
+            )
+            .otherwise(F.col("seq"))
+            .alias("seq"),
         )
+    return rules, v
 
+
+def bpe_merge_steps(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 500,
+    n_merges: int = 5,
+) -> DataFrame:
+    """BPE tokenizer training, the discovery loop: iteratively find the
+    most frequent adjacent symbol pair in the corpus vocabulary and merge
+    it — the algorithm behind GPT/Llama tokenizers (Sennrich et al. 2016).
+    Returns the ordered merge table (step, pair, merged, freq); the loop
+    itself lives in :func:`_bpe_train` (shared with
+    :func:`bpe_subword_vocab`).
+
+    Symbol sequences are strings of brace-wrapped symbols ("{l}{o}{w}");
+    since the vocabulary is filtered to ^[a-z]+$ words, braces cannot
+    occur inside symbols, so a literal replace of "{a}{b}"→"{ab}" is
+    boundary-safe and left-to-right-deterministic on both engines (the
+    same representation the oracle SQL unrolls).  Ties break on pair
+    text, so the merge table is fully deterministic.  A corpus too small
+    to learn ``n_merges`` rules returns fewer rows (empty steps are
+    dropped rather than fabricated).
+    """
+    rules, _ = _bpe_train(df, text_col, vocab_size, n_merges)
     out = rules[0]
     for r in rules[1:]:
         out = out.unionByName(r)
     # the persisted dict (and per-step rule frames) must outlive the
     # returned lazy frame; they self-unpersist with the session
     return out.orderBy("step")
+
+
+def bpe_subword_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 500,
+    n_merges: int = 5,
+) -> DataFrame:
+    """The third tokenizer artifact: the SUBWORD VOCABULARY with corpus
+    frequencies after the learned merges — what a tokenizer ships beside
+    its merge table (train → encode → vocab completes the lifecycle).
+
+    Same :func:`_bpe_train` loop, then the FINAL merged symbol sequences
+    of the top-``vocab_size`` word dict explode into symbols, each
+    occurrence weighted by its word's corpus frequency.  Output
+    (symbol, freq) — brace wrapping stripped — ordered by freq desc then
+    symbol.  The explode is over the vocabulary dict (≤ vocab_size rows
+    × word length), never the corpus; all-integer output, exact
+    cross-engine parity for free.
+    """
+    _, v = _bpe_train(df, text_col, vocab_size, n_merges)
+    sym = F.explode(
+        F.split(F.replace(F.col("seq"), F.lit("}{"), F.lit("} {")), " ")
+    ).alias("_sym")
+    return (
+        v.select("w", sym)
+        .select(
+            F.replace(
+                F.replace(F.col("_sym"), F.lit("{"), F.lit("")),
+                F.lit("}"),
+                F.lit(""),
+            ).alias("symbol"),
+            F.col("w"),
+        )
+        .groupBy("symbol")
+        .agg(F.sum("w").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "symbol")
+    )
 
 
 def bpe_encode_stats(

@@ -1275,6 +1275,52 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_VOCAB_ORACLE = (
+    """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+vocab0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS w
+  FROM toks WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word ORDER BY w DESC, word LIMIT 500
+),
+v0 AS (
+  SELECT word, w, regexp_replace(word, '(.)', '{\\1}', 'g') AS seq FROM vocab0
+),"""
+    + ",".join(_BPE_ITER_SQL.format(k=k, p=k - 1) for k in (1, 2, 3, 4, 5))
+    + """
+SELECT replace(replace(sym, '{', ''), '}', '') AS symbol,
+       CAST(SUM(w) AS BIGINT) AS freq
+FROM (
+  SELECT w, unnest(string_split(replace(seq, '}{', '} {'), ' ')) AS sym
+  FROM v5
+) s
+GROUP BY 1
+ORDER BY freq DESC, symbol
+"""
+)
+
+
+@register(
+    "docs_bpe_vocab",
+    _BPE_VOCAB_ORACLE,
+    "text", "tokenizer", "bpe", "vocabulary",
+)
+def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The subword VOCABULARY after the 5 learned merges (operators/text
+    .bpe_subword_vocab) — the artifact a tokenizer ships beside its merge
+    table, completing the train → encode → vocab lifecycle.  Symbol
+    frequencies are per-occurrence corpus-weighted over the top-500 word
+    dict's final merged sequences; the oracle unrolls the same training
+    CTEs and explodes v5.  Vocabulary-sized work after the single
+    corpus word-frequency pass; all-integer output."""
+    return TX.bpe_subword_vocab(
+        _t(spark, sf_dir, "documents"), vocab_size=500, n_merges=5
+    )
+
+
 _BPE_ENCODE_ORACLE = (
     """
 WITH dtoks AS (
