@@ -591,3 +591,21 @@ def test_filter_chain_null_text_fails_closed(spark):
     out = {r.doc_id: (r.keep, r.reason) for r in PL.filter_chain(df, rules).collect()}
     assert out[1] == (False, "min_chars")
     assert out[2] == (True, "kept")
+
+
+def test_bpe_subword_vocab_hand_computed(spark):
+    """Same predictable corpus as the encode pin: after merges
+    {a}{b}->{ab}, {ab}{ab}->{abab}, {c}{d}->{cd}, the dict holds
+    abab (w=4, one symbol 'abab') and cd (w=3, one symbol 'cd') —
+    the vocab artifact is exactly those corpus-weighted symbols."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab cd"), (2, "abab cd cd")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.symbol: r.freq
+        for r in TX.bpe_subword_vocab(
+            docs, vocab_size=10, n_merges=5
+        ).collect()
+    }
+    assert out == {"abab": 4, "cd": 3}
