@@ -44,199 +44,199 @@ def entry(spark: SparkSession) -> DataFrame:
 # have never received a driver row come first-class, plus three re-checks
 # and the two entries newly promoted from rows-only to oracled.
 _PRIORITY = [
-    # ---- r6 driver window (first 50): every entry still awaiting its
-    # first driver row (36, per CORRECTNESS_r01-r05), the three r6
-    # re-checks (restructured unigram oracle, NULL-audit semantics,
-    # broadcast gate), the two newly-oracled ANN entries, and 9 fast
-    # long-green family anchors.  Rotation derived from the LANDED
-    # CORRECTNESS_r05.json (VERDICT r5 item 1).
-    "complaints_clean",               # reference-parity core anchor
-    "complaints_flagship",            # reference-parity core anchor
-    "star_constraint_audit",          # re-check: NULL-as-violation audit semantics landed r6
-    "q1_pricing_summary",             # relational anchor
-    "q12_shipping_delay_class",       # first driver row (CASE-conditional agg)
-    "q14_promo_effect",               # first driver row (conditional ratio)
-    "q18_large_volume_customers",     # gate anchor: broadcast runtime-gated
-    "q19_disjunctive_revenue",        # first driver row (disjunctive pushdown)
-    "orders_merge_upsert",            # first driver row (CDC merge)
-    "orders_snapshot_diff",           # first driver row (CDC snapshot diff; null-safe key join r6)
-    "orders_price_psi",               # first driver row (drift: PSI)
-    "orders_price_ks",                # first driver row (drift: binned KS)
-    "orders_status_priority_chi2",    # first driver row (drift: chi-square)
-    "lineitem_numeric_corr",          # first driver row (profiling: correlation matrix)
-    "lineitem_zorder_export",         # first driver row (rows-only: z-clustered write + manifest)
-    "orc_roundtrip_part",             # first driver row (ORC source/sink + partition pruning)
-    "supplier_strong_components",     # first driver row (components, recursive-CTE oracle)
-    "part_copurchase_triangles",      # first driver row (graph: triangles)
-    "part_association_rules",         # first driver row (association rules)
-    "part_similar_items",             # first driver row (item-item recommender)
-    "docs_training_export",           # NEWLY ORACLED r6: end-to-end filter->dedup->sample->pack composition
-    "events_user_paths",              # first driver row (lag-window paths)
-    "events_top_session_paths",       # first driver row (session path mining)
-    "events_purchase_attribution",    # first driver row (first/last-touch attribution)
-    "events_compact_latest",          # first driver row (keyed compaction)
-    "events_multires_rollup",         # first driver row (multi-resolution rollup)
-    "docs_bpe_encode",                # NEWLY ORACLED r6: BPE inference (train->encode lifecycle)
-    "docs_unigram_logprob",           # re-check: transcendental-free integer-moment oracle (r6)
-    "docs_repetition_stats",          # first driver row (n-gram repetition)
-    "docs_pii_redact",                # first driver row (regex redaction)
-    "docs_vocab_coverage",            # first driver row (top-V type coverage)
-    "docs_weighted_topk_sample",      # first driver row (exactly-k A-ES sample)
-    "docs_shard_export",              # first driver row (hash-sharded export)
-    "dedup_minhash_lsh",              # dedup anchor
-    "dedup_minhash_fast",             # first driver row (rows-only: xxhash64 twin, pair-equality pinned)
-    "dedup_components_star",          # first driver row (large/small-star components)
-    "dedup_canonical_best",           # first driver row (quality-aware canonical)
-    "ann_semantic_dedup_incremental_lsh",  # NEWLY ORACLED r6: LSH twin of the IVF incremental triage
-    "ann_semantic_canonical",         # NEWLY ORACLED r6: hyperplane pairs + recursive-CTE components
-    "ann_int8_rerank_topk",           # NEWLY ORACLED r6: deterministic int8 quantization in SQL
-    "ann_semantic_dedup",             # first driver row (rows-only: IVF-cell pair scoring)
-    "media_meta_stats",               # multimodal anchor
-    "media_decode_features",          # first driver row (rows-only: mapInPandas decode plumbing)
-    "media_resize_images",            # first driver row (rows-only: fixed-shape tensor resize)
-    "stream_windowed_counts",         # streaming anchor
-    "stream_quality_gate",            # first driver row (foreachBatch accept/quarantine gate)
-    "stream_mv_maintenance",          # first driver row (rows-only: streaming MV merge loop)
-    "ml_lda_topics",                  # first driver row (rows-only: online-LDA twin)
-    "ml_timely_lr_lift",              # first driver row (rows-only: lift/gains on scored frame)
-    "ml_timely_lr_lift_approx",       # first driver row (rows-only: approx-decile twin)
+    # ---- r7 driver window (first 50): the two r6 hash-FAIL re-checks
+    # (q12 oracle BIGINT casts; canonical-best integer quality surface),
+    # the r6 erroring media row (scalar surface), the three entries that
+    # have never had a driver row, the five entries whose hash surface
+    # moved to the engine-stable integer quality_u in the r7 ROUND audit,
+    # and 39 oldest-first rotations (every r1/r2-vintage entry gets a
+    # fresh row).  Derived from the union of CORRECTNESS_r01-r06.
+    "q12_shipping_delay_class",          # re-check: oracle SUM counts now CAST AS BIGINT (r6 FAIL was HUGEINT->float64 on the hash surface)
+    "dedup_canonical_best",              # re-check: rank+surface moved to integer micro-unit quality_u (r6 FAIL was float-ROUND build sensitivity)
+    "media_resize_images",               # re-check: catalog surface now n_pixels+checksum scalars (r6 row errored hashing the raw tensor)
+    "docs_bpe_vocab",                    # first driver row (oracled r6 post-window; BPE train->encode->vocab lifecycle)
+    "ann_semantic_canonical_fast",       # first driver row (rows-only: BLAS production twin; equality with exact sibling pinned in pytest)
+    "stream_join_mv",                    # first driver row (rows-only: join-MV with mid-stream dim rewrite; batch-equality pinned)
+    "docs_quality_score",                # re-check: per-doc surface moved to integer micro-units (r7 ROUND-audit hardening)
+    "docs_quality_zscore",               # re-check: hash surface now integer moments sum_qu/sum_qu2 (r7 ROUND-audit hardening)
+    "docs_quality_deciles",              # re-check: NTILE rank key + stats now quality_u (r7 ROUND-audit hardening)
+    "docs_quality_deciles_approx",       # re-check (rows-only): sketch twin follows quality_u surface
+    "docs_corpus_datasheet",             # re-check: quality mass now exact BIGINT sum_quality_u (r7 ROUND-audit hardening)
+    "complaints_frequency_encode",       # rotated in r7 (last driver row r1, oldest-first)
+    "complaints_confusion_pivot",        # rotated in r7 (last driver row r1, oldest-first)
+    "events_value_quantiles",            # rotated in r7 (last driver row r1, oldest-first)
+    "ann_lsh_topk",                      # rotated in r7 (last driver row r1, oldest-first)
+    "dedup_components",                  # rotated in r7 (last driver row r1, oldest-first)
+    "ml_timely_svm",                     # rotated in r7 (last driver row r1, oldest-first)
+    "ml_response_rf",                    # rotated in r7 (last driver row r1, oldest-first)
+    "complaints_rebalance_8class",       # rotated in r7 (last driver row r1, oldest-first)
+    "ann_cosine_topk_fast",              # rotated in r7 (last driver row r1, oldest-first)
+    "dedup_jaccard_blocked",             # rotated in r7 (last driver row r1, oldest-first)
+    "complaints_class_distribution",     # rotated in r7 (last driver row r1, oldest-first)
+    "docs_token_stats",                  # rotated in r7 (last driver row r1, oldest-first)
+    "complaints_oversample_timely",      # rotated in r7 (last driver row r1, oldest-first)
+    "complaints_train_test_split",       # rotated in r7 (last driver row r1, oldest-first)
+    "complaints_date_parts",             # rotated in r7 (last driver row r1, oldest-first)
+    "complaints_per_class_metrics",      # rotated in r7 (last driver row r1, oldest-first)
+    "dedup_canonical_docs",              # rotated in r7 (last driver row r1, oldest-first)
+    "ml_timely_gbt",                     # rotated in r7 (last driver row r1, oldest-first)
+    "q6_forecast_revenue",               # rotated in r7 (last driver row r1, oldest-first)
+    "sql_nation_revenue",                # rotated in r7 (last driver row r1, oldest-first)
+    "complaints_confusion_counts",       # rotated in r7 (last driver row r1, oldest-first)
+    "customers_in_both_statuses",        # rotated in r7 (last driver row r1, oldest-first)
+    "customers_only_finished",           # rotated in r7 (last driver row r1, oldest-first)
+    "union_order_sample_frames",         # rotated in r7 (last driver row r1, oldest-first)
+    "lineitem_cube",                     # rotated in r7 (last driver row r1, oldest-first)
+    "orders_rollup_by_date",             # rotated in r7 (last driver row r1, oldest-first)
+    "events_props_extract",              # rotated in r7 (last driver row r1, oldest-first)
+    "events_hourly_agg",                 # rotated in r7 (last driver row r1, oldest-first)
+    "events_ordinal",                    # rotated in r7 (last driver row r1, oldest-first)
+    "orders_running_total",              # rotated in r7 (last driver row r1, oldest-first)
+    "topk_companies_per_state",          # rotated in r7 (last driver row r1, oldest-first)
+    "docs_language_id",                  # rotated in r7 (last driver row r1, oldest-first)
+    "docs_fingerprints",                 # rotated in r7 (last driver row r1, oldest-first)
+    "dedup_simhash",                     # rotated in r7 (last driver row r1, oldest-first)
+    "q4_order_priority",                 # rotated in r7 (last driver row r2, oldest-first)
+    "q22_sales_opportunity",             # rotated in r7 (last driver row r2, oldest-first)
+    "q11_important_parts",               # rotated in r7 (last driver row r2, oldest-first)
+    "q15_top_supplier",                  # rotated in r7 (last driver row r2, oldest-first)
+    "q16_supplier_part_count",           # rotated in r7 (last driver row r2, oldest-first)
     # ---- window boundary (50) ----  overflow: operator covered by an
-    # in-window sibling or already driver-green in r1-r5 (comments name
-    # the covering twin / last green round)
-    "complaints_json_clean",          # driver-green r5 window; family anchor in-window
-    "supplier_copurchase_pagerank",   # r6 window debut (graph family, unrolled-SQL oracle)
-    "q3_top_unshipped_orders",        # driver-green r5 window; family anchor in-window
-    "q17_small_quantity_revenue",     # driver-green r5 window; family anchor in-window
-    "lineitem_unpivot",               # driver-green r5 window; family anchor in-window
-    "orders_scd2",                    # driver-green r5 window; family anchor in-window
-    "orders_mv_merge",                # r6 window debut
-    "lineitem_zorder_layout",         # r6 window debut
-    "lineitem_skipping_stats",        # r6 window debut
-    "events_value_outliers_mad",      # r5 window debut (r4 breadth pack)
-    "events_value_outliers_mad_approx",# r6 window debut (rows-only: sketch twin)
-    "events_active_users_approx",     # r5 window debut (rows-only: HLL sketch)
-    "docs_temperature_mix",           # r5 window debut
-    "docs_quality_deciles",           # r5 window debut
-    "docs_quality_deciles_approx",    # r5 window debut (rows-only: sketch twin)
-    "docs_pack_manifest",             # r5 window debut
-    "docs_bm25_rank",                 # r5 window debut
-    "docs_hybrid_rrf",                # r5 window debut
-    "docs_bigram_pmi",                # r6 window debut
-    "docs_quality_zscore",            # r6 window debut
-    "docs_corpus_datasheet",          # r6 window debut
-    "orders_profile",                 # r6 window debut
-    "orders_profile_approx",          # r6 window debut (rows-only: HLL twin)
-    "csv_roundtrip_customer",         # r6 window debut
-    "dedup_incremental_bloom",        # r6 window debut (shares dedup_incremental oracle)
-    "dedup_incremental_minhash",      # r6 window debut
-    "dedup_incremental_minhash_prebuilt",# r6 window debut (same oracle, prebuilt index)
-    "ann_ivf_prebuilt_topk",          # r5 window debut (rows-only: MLlib vectors)
-    "ann_semantic_dedup_incremental", # r6 window debut (rows-only: incremental ingest)
-    "ann_recall_eval",                # r6 window debut (oracled recall@5)
-    "docs_bpe_merges",                # r6 window debut (tokenizer family, unrolled-SQL oracle)
-    "stream_session_stats",           # driver-green r5 window; family anchor in-window
-    "stream_static_enrich",           # r5 window debut
-    "stream_semantic_dedup",          # r6 window debut (rows-only: foreachBatch loop)
-    "ml_timely_lr",                   # driver-green r5 window; family anchor in-window
-    "ml_response_dt",                 # driver-green r5 window; family anchor in-window
-    "complaints_binary_metrics",      # rotated out r6b (green r1-r4); metrics family: complaints_flagship in-window
-    "q2_min_cost_supplier",           # rotated out r6b (green r4); join ladder: q3/q17/q18 in-window
-    "er_fuzzy_part_match",            # rotated out r6b (driver-green r4); blocked-join verify: dedup_minhash_lsh in-window
-    "sink_roundtrip_orders",          # rotated out r6 (green r4); sink family: csv_roundtrip_customer in-window
-    "salted_lineitem_agg",            # rotated out r6 (green r4); salt-split agg pytest skew-spread bounds
-    "skewjoin_events_enrich",         # rotated out r6 (green r4); gated-broadcast family: q18 gate in-window
-    "events_sessionize",              # rotated out r6 (green r4); session windows: stream_session_stats in-window
-    "events_cohort_retention",        # rotated out r6 (green r4); sequence windows: events_funnel in-window
-    "docs_tfidf_keywords",            # rotated out r6 (green r4); explode+agg+broadcast: docs_bm25_rank in-window
-    "docs_decontaminate",             # rotated out r6 (green r4); gram-membership: dedup_incremental_bloom in-window
-    "docs_chunk",                     # rotated out r6 (green r4); in-row arrays: docs_pack_manifest in-window
-    "docs_token_budget_sample",       # rotated out r6 (green r4); prefix-sum pack: docs_pack_manifest in-window
-    "docs_weighted_sample",           # rotated out r6 (green r4); hash-Bernoulli: docs_temperature_mix in-window
-    "dedup_incremental",              # rotated out r6 (green r4); dedup_incremental_bloom shares its oracle verbatim
-    "ann_cosine_topk",                # rotated out r6 (green r4); exact cosine: ann_recall_eval exact CTE in-window
-    "stream_dedup_events",            # rotated out r6 (green r4); stateful dedup: stream_semantic_dedup in-window
-    "stream_running_user_stats",      # rotated out r6 (rows r4); state family: stream_semantic_dedup in-window
-    "stream_click_purchase_join",     # rotated out r6 (green r4); stream joins: stream_static_enrich in-window
-    "ml_timely_lr_tuned",             # rotated out r6 (rows r4); tuner twin of in-window ml_timely_lr
-    "ml_lda_topics_em",               # rotated out r6 (rows r4); NLP fit family: golden LDA pin in pytest
-    "complaints_monthly_trend",       # rotated out r5 (driver-green r4); F1 date parts: complaints reference core + events windows
-    "orders_status_pivot",            # rotated out r5 (green r4); reshape family: lineitem_unpivot in-window
-    "orders_rfm_segments",            # rotated out r5 (green r4); NTILE family: docs_quality_deciles in-window
-    "customer_halves_full_outer",     # rotated out r5 (green r4); FULL OUTER: docs_hybrid_rrf fuse in-window
-    "events_rolling_mean_dev",        # rotated out r5 (green r4); rolling deviation: events_value_outliers_mad in-window
-    "events_value_histogram",         # rotated out r5 (green r4); bucket fold: docs_quality_deciles_approx in-window
-    "events_active_users",            # rotated out r5 (green r4); exact twin of in-window events_active_users_approx
-    "docs_domain_mix",                # rotated out r5 (green r4); mixture family: docs_temperature_mix in-window
-    "docs_stratified_sample",         # rotated out r5 (green r4); hash-rank sampling: docs_weighted_sample in-window
-    "docs_boilerplate_spans",         # rotated out r5 (green r4); cross-doc gram agg: docs_bm25_rank explode+agg in-window
-    "ann_ivf_topk",                   # rotated out r5 (rows r4); fit-included twin of in-window ann_ivf_prebuilt_topk
-    "stream_minute_rollup",           # rotated out r5 (rows r4); foreachBatch rollup: stream family in-window
-    "q21_waiting_suppliers",          # rotated out r4 (green r3); anti/semi family: q17 + orders_scd2 windows
-    "q5_local_supplier_volume",       # rotated out r4 (green r3); star join: q1/q2 in-window
-    "q7_volume_shipping",             # rotated out r4 (green r3); star rollup: q2 join ladder
-    "q8_market_share",                # rotated out r4 (green r3); conditional ratio: orders_status_pivot
-    "q9_profit_by_nation",            # rotated out r4 (green r3); star rollup: q2 join ladder
-    "q10_returned_items",             # rotated out r4 (green r3); top-k join: q3 in-window
-    "q13_customer_distribution",      # rotated out r4 (green r3); outer+2-level agg: customer_halves_full_outer
-    "q20_potential_promotion",        # rotated out r4 (green r3); semi ladder: q17 de-correlation
-    "events_asof_join",               # rotated out r4 (green r3); ordered-window family: events_rolling_mean_dev
-    "events_interval_join",           # rotated out r4 (green r3); range join: ann_range_search threshold family
-    "events_grouping_sets",           # rotated out r4 (green r3); Expand family: events_active_users stack
-    "events_heavy_hitters_cms",       # rotated out r4 (green r3); sketch family: events_value_histogram buckets
-    "events_gap_fill",                # rotated out r4 (green r3); sequence/fill: events_rolling_mean_dev frames
-    "docs_pack_bins",                 # rotated out r4 (green r3); prefix-sum pack: docs_token_budget_sample
-    "q4_order_priority",              # rotated out r3 (driver-green r2); SEMI family: q20 in-window
-    "q22_sales_opportunity",          # rotated out r3 (green r2); ANTI: q21; scalar subquery: q17
-    "q11_important_parts",            # rotated out r3 (green r2); global threshold: q17
-    "q15_top_supplier",               # rotated out r3 (green r2); max-over-agg: q2 correlated-min
-    "q16_supplier_part_count",        # rotated out r3 (green r2); NOT-IN anti: q21; 2-level agg: q13
-    "dedup_exact",                    # rotated out r3 (green r2); fingerprint groupBy: dedup_incremental
-    "dedup_embedding_cosine",         # rotated out r3 (green r2); cosine family: ann_cosine_topk
-    "media_frame_sample",             # rotated out r3 (green r2); media family: media_meta_stats
-    "stream_sliding_counts",          # rotated out r3 (green r2); windowed-agg twin: stream_windowed_counts
-    "ml_feature_importances",         # rotated out r3 (rows r2); pytest value checks; ml family in-window
-    "complaints_frequency_encode",    # green r1; encode join shape in complaints_flagship
-    "complaints_confusion_pivot",     # green r1; metrics family: complaints_binary_metrics
-    "events_value_quantiles",         # green r1; exact+approx sketch twins pytest-checked
-    "ann_lsh_topk",                   # green r1; bucketed-ANN family: ann_ivf_topk in-window
-    "dedup_components",               # green r1; same oracle as dedup_components_star
-    "ml_timely_svm",                  # rows r1; fit family: ml_timely_lr in-window
-    "ml_response_rf",                 # rows r1; tree family: ml_response_dt in-window
-    "complaints_rebalance_8class",    # rows r1; sampling value checks live in pytest
-    "ann_cosine_topk_fast",           # BLAS twin of oracle-checked ann_cosine_topk
-    "dedup_jaccard_blocked",          # blocked self-join: minhash verify path twin
-    "complaints_class_distribution",  # A2 count+orderBy: complaints_flagship
-    "docs_token_stats",               # token stats: docs_filter_chain/docs_tfidf_keywords
-    "complaints_oversample_timely",   # U1/U3 rows-only: complaints_rebalance_8class
-    "complaints_train_test_split",    # U4 rows-only: unit-tested, split twin of rebalance
-    "complaints_date_parts",          # P10/F1: green r1; events_hourly date fns
-    "complaints_per_class_metrics",   # F5 metrics: binary_metrics/confusion twins
-    "docs_quality_score",             # superseded by docs_filter_chain (same stats)
-    "dedup_canonical_docs",           # anti-join composition of dedup_components
-    "ml_timely_gbt",                  # M11: rows-only twin of ml_timely_lr/svm
-    "q6_forecast_revenue",            # scan+filter+agg: q1
-    "sql_nation_revenue",             # SQL front end over q5's shape
-    "complaints_confusion_counts",    # M19: complaints_confusion_pivot
-    "customers_in_both_statuses",     # intersect: except twin below
-    "customers_only_finished",        # except: intersect twin above
-    "union_order_sample_frames",      # union: complaints_oversample_timely
-    "lineitem_cube",                  # cube: orders_rollup_by_date
-    "orders_rollup_by_date",          # rollup: lineitem_cube
-    "events_props_extract",           # from_json: stream path parses props too
-    "events_hourly_agg",              # tumbling agg: stream_windowed_counts
-    "events_ordinal",                 # ordinal window: topk_companies_per_state
-    "orders_running_total",           # running window: topk_companies_per_state
-    "topk_companies_per_state",       # rank window: events_sessionize windows
-    "docs_language_id",               # text family: docs_token_stats etc.
-    "docs_fingerprints",              # text family: docs_token_stats etc.
-    "dedup_simhash",                  # dedup family: minhash/jaccard twins
-    # r6c rotations out of the window + r6 additions (overflow slots)
-    "docs_filter_chain",              # rotated out r6c (green r4-r5); text filter family: repetition/pii/vocab + training_export in-window
-    "events_funnel",                  # rotated out r6c (green r1-r5); sequence windows: user_paths/session_paths in-window
-    "ann_range_search",               # rotated out r6c (green r1-r5); decimal-dot threshold family: lsh-twin + int8 rerank in-window
-    "ann_semantic_canonical_fast",    # r6 addition (rows-only; production-cost BLAS twin of in-window ann_semantic_canonical)
-    "stream_join_mv",                 # r6 addition (rows-only; batch-equality + replay pinned); MV family: stream_mv_maintenance in-window
-    "docs_bpe_vocab",                 # r6 addition (oracled; tokenizer family: bpe_encode in-window shares the training CTEs)
+    # in-window sibling or recently driver-green (comments name the
+    # covering twin / last green round)
+    "complaints_clean",                  # reference-parity core anchor
+    "complaints_flagship",               # reference-parity core anchor
+    "star_constraint_audit",             # re-check: NULL-as-violation audit semantics landed r6
+    "q1_pricing_summary",                # relational anchor
+    "q14_promo_effect",                  # first driver row (conditional ratio)
+    "q18_large_volume_customers",        # gate anchor: broadcast runtime-gated
+    "q19_disjunctive_revenue",           # first driver row (disjunctive pushdown)
+    "orders_merge_upsert",               # first driver row (CDC merge)
+    "orders_snapshot_diff",              # first driver row (CDC snapshot diff; null-safe key join r6)
+    "orders_price_psi",                  # first driver row (drift: PSI)
+    "orders_price_ks",                   # first driver row (drift: binned KS)
+    "orders_status_priority_chi2",       # first driver row (drift: chi-square)
+    "lineitem_numeric_corr",             # first driver row (profiling: correlation matrix)
+    "lineitem_zorder_export",            # first driver row (rows-only: z-clustered write + manifest)
+    "orc_roundtrip_part",                # first driver row (ORC source/sink + partition pruning)
+    "supplier_strong_components",        # first driver row (components, recursive-CTE oracle)
+    "part_copurchase_triangles",         # first driver row (graph: triangles)
+    "part_association_rules",            # first driver row (association rules)
+    "part_similar_items",                # first driver row (item-item recommender)
+    "docs_training_export",              # NEWLY ORACLED r6: end-to-end filter->dedup->sample->pack composition
+    "events_user_paths",                 # first driver row (lag-window paths)
+    "events_top_session_paths",          # first driver row (session path mining)
+    "events_purchase_attribution",       # first driver row (first/last-touch attribution)
+    "events_compact_latest",             # first driver row (keyed compaction)
+    "events_multires_rollup",            # first driver row (multi-resolution rollup)
+    "docs_bpe_encode",                   # NEWLY ORACLED r6: BPE inference (train->encode lifecycle)
+    "docs_unigram_logprob",              # re-check: transcendental-free integer-moment oracle (r6)
+    "docs_repetition_stats",             # first driver row (n-gram repetition)
+    "docs_pii_redact",                   # first driver row (regex redaction)
+    "docs_vocab_coverage",               # first driver row (top-V type coverage)
+    "docs_weighted_topk_sample",         # first driver row (exactly-k A-ES sample)
+    "docs_shard_export",                 # first driver row (hash-sharded export)
+    "dedup_minhash_lsh",                 # dedup anchor
+    "dedup_minhash_fast",                # first driver row (rows-only: xxhash64 twin, pair-equality pinned)
+    "dedup_components_star",             # first driver row (large/small-star components)
+    "ann_semantic_dedup_incremental_lsh", # NEWLY ORACLED r6: LSH twin of the IVF incremental triage
+    "ann_semantic_canonical",            # NEWLY ORACLED r6: hyperplane pairs + recursive-CTE components
+    "ann_int8_rerank_topk",              # NEWLY ORACLED r6: deterministic int8 quantization in SQL
+    "ann_semantic_dedup",                # first driver row (rows-only: IVF-cell pair scoring)
+    "media_meta_stats",                  # multimodal anchor
+    "media_decode_features",             # first driver row (rows-only: mapInPandas decode plumbing)
+    "stream_windowed_counts",            # streaming anchor
+    "stream_quality_gate",               # first driver row (foreachBatch accept/quarantine gate)
+    "stream_mv_maintenance",             # first driver row (rows-only: streaming MV merge loop)
+    "ml_lda_topics",                     # first driver row (rows-only: online-LDA twin)
+    "ml_timely_lr_lift",                 # first driver row (rows-only: lift/gains on scored frame)
+    "ml_timely_lr_lift_approx",          # first driver row (rows-only: approx-decile twin)
+    "complaints_json_clean",             # driver-green r5 window; family anchor in-window
+    "supplier_copurchase_pagerank",      # r6 window debut (graph family, unrolled-SQL oracle)
+    "q3_top_unshipped_orders",           # driver-green r5 window; family anchor in-window
+    "q17_small_quantity_revenue",        # driver-green r5 window; family anchor in-window
+    "lineitem_unpivot",                  # driver-green r5 window; family anchor in-window
+    "orders_scd2",                       # driver-green r5 window; family anchor in-window
+    "orders_mv_merge",                   # r6 window debut
+    "lineitem_zorder_layout",            # r6 window debut
+    "lineitem_skipping_stats",           # r6 window debut
+    "events_value_outliers_mad",         # r5 window debut (r4 breadth pack)
+    "events_value_outliers_mad_approx",  # r6 window debut (rows-only: sketch twin)
+    "events_active_users_approx",        # r5 window debut (rows-only: HLL sketch)
+    "docs_temperature_mix",              # r5 window debut
+    "docs_pack_manifest",                # r5 window debut
+    "docs_bm25_rank",                    # r5 window debut
+    "docs_hybrid_rrf",                   # r5 window debut
+    "docs_bigram_pmi",                   # r6 window debut
+    "orders_profile",                    # r6 window debut
+    "orders_profile_approx",             # r6 window debut (rows-only: HLL twin)
+    "csv_roundtrip_customer",            # r6 window debut
+    "dedup_incremental_bloom",           # r6 window debut (shares dedup_incremental oracle)
+    "dedup_incremental_minhash",         # r6 window debut
+    "dedup_incremental_minhash_prebuilt", # r6 window debut (same oracle, prebuilt index)
+    "ann_ivf_prebuilt_topk",             # r5 window debut (rows-only: MLlib vectors)
+    "ann_semantic_dedup_incremental",    # r6 window debut (rows-only: incremental ingest)
+    "ann_recall_eval",                   # r6 window debut (oracled recall@5)
+    "docs_bpe_merges",                   # r6 window debut (tokenizer family, unrolled-SQL oracle)
+    "stream_session_stats",              # driver-green r5 window; family anchor in-window
+    "stream_static_enrich",              # r5 window debut
+    "stream_semantic_dedup",             # r6 window debut (rows-only: foreachBatch loop)
+    "ml_timely_lr",                      # driver-green r5 window; family anchor in-window
+    "ml_response_dt",                    # driver-green r5 window; family anchor in-window
+    "complaints_binary_metrics",         # rotated out r6b (green r1-r4); metrics family: complaints_flagship in-window
+    "q2_min_cost_supplier",              # rotated out r6b (green r4); join ladder: q3/q17/q18 in-window
+    "er_fuzzy_part_match",               # rotated out r6b (driver-green r4); blocked-join verify: dedup_minhash_lsh in-window
+    "sink_roundtrip_orders",             # rotated out r6 (green r4); sink family: csv_roundtrip_customer in-window
+    "salted_lineitem_agg",               # rotated out r6 (green r4); salt-split agg pytest skew-spread bounds
+    "skewjoin_events_enrich",            # rotated out r6 (green r4); gated-broadcast family: q18 gate in-window
+    "events_sessionize",                 # rotated out r6 (green r4); session windows: stream_session_stats in-window
+    "events_cohort_retention",           # rotated out r6 (green r4); sequence windows: events_funnel in-window
+    "docs_tfidf_keywords",               # rotated out r6 (green r4); explode+agg+broadcast: docs_bm25_rank in-window
+    "docs_decontaminate",                # rotated out r6 (green r4); gram-membership: dedup_incremental_bloom in-window
+    "docs_chunk",                        # rotated out r6 (green r4); in-row arrays: docs_pack_manifest in-window
+    "docs_token_budget_sample",          # rotated out r6 (green r4); prefix-sum pack: docs_pack_manifest in-window
+    "docs_weighted_sample",              # rotated out r6 (green r4); hash-Bernoulli: docs_temperature_mix in-window
+    "dedup_incremental",                 # rotated out r6 (green r4); dedup_incremental_bloom shares its oracle verbatim
+    "ann_cosine_topk",                   # rotated out r6 (green r4); exact cosine: ann_recall_eval exact CTE in-window
+    "stream_dedup_events",               # rotated out r6 (green r4); stateful dedup: stream_semantic_dedup in-window
+    "stream_running_user_stats",         # rotated out r6 (rows r4); state family: stream_semantic_dedup in-window
+    "stream_click_purchase_join",        # rotated out r6 (green r4); stream joins: stream_static_enrich in-window
+    "ml_timely_lr_tuned",                # rotated out r6 (rows r4); tuner twin of in-window ml_timely_lr
+    "ml_lda_topics_em",                  # rotated out r6 (rows r4); NLP fit family: golden LDA pin in pytest
+    "complaints_monthly_trend",          # rotated out r5 (driver-green r4); F1 date parts: complaints reference core + events windows
+    "orders_status_pivot",               # rotated out r5 (green r4); reshape family: lineitem_unpivot in-window
+    "orders_rfm_segments",               # rotated out r5 (green r4); NTILE family: docs_quality_deciles in-window
+    "customer_halves_full_outer",        # rotated out r5 (green r4); FULL OUTER: docs_hybrid_rrf fuse in-window
+    "events_rolling_mean_dev",           # rotated out r5 (green r4); rolling deviation: events_value_outliers_mad in-window
+    "events_value_histogram",            # rotated out r5 (green r4); bucket fold: docs_quality_deciles_approx in-window
+    "events_active_users",               # rotated out r5 (green r4); exact twin of in-window events_active_users_approx
+    "docs_domain_mix",                   # rotated out r5 (green r4); mixture family: docs_temperature_mix in-window
+    "docs_stratified_sample",            # rotated out r5 (green r4); hash-rank sampling: docs_weighted_sample in-window
+    "docs_boilerplate_spans",            # rotated out r5 (green r4); cross-doc gram agg: docs_bm25_rank explode+agg in-window
+    "ann_ivf_topk",                      # rotated out r5 (rows r4); fit-included twin of in-window ann_ivf_prebuilt_topk
+    "stream_minute_rollup",              # rotated out r5 (rows r4); foreachBatch rollup: stream family in-window
+    "q21_waiting_suppliers",             # rotated out r4 (green r3); anti/semi family: q17 + orders_scd2 windows
+    "q5_local_supplier_volume",          # rotated out r4 (green r3); star join: q1/q2 in-window
+    "q7_volume_shipping",                # rotated out r4 (green r3); star rollup: q2 join ladder
+    "q8_market_share",                   # rotated out r4 (green r3); conditional ratio: orders_status_pivot
+    "q9_profit_by_nation",               # rotated out r4 (green r3); star rollup: q2 join ladder
+    "q10_returned_items",                # rotated out r4 (green r3); top-k join: q3 in-window
+    "q13_customer_distribution",         # rotated out r4 (green r3); outer+2-level agg: customer_halves_full_outer
+    "q20_potential_promotion",           # rotated out r4 (green r3); semi ladder: q17 de-correlation
+    "events_asof_join",                  # rotated out r4 (green r3); ordered-window family: events_rolling_mean_dev
+    "events_interval_join",              # rotated out r4 (green r3); range join: ann_range_search threshold family
+    "events_grouping_sets",              # rotated out r4 (green r3); Expand family: events_active_users stack
+    "events_heavy_hitters_cms",          # rotated out r4 (green r3); sketch family: events_value_histogram buckets
+    "events_gap_fill",                   # rotated out r4 (green r3); sequence/fill: events_rolling_mean_dev frames
+    "docs_pack_bins",                    # rotated out r4 (green r3); prefix-sum pack: docs_token_budget_sample
+    "dedup_exact",                       # rotated out r3 (green r2); fingerprint groupBy: dedup_incremental
+    "dedup_embedding_cosine",            # rotated out r3 (green r2); cosine family: ann_cosine_topk
+    "media_frame_sample",                # rotated out r3 (green r2); media family: media_meta_stats
+    "stream_sliding_counts",             # rotated out r3 (green r2); windowed-agg twin: stream_windowed_counts
+    "ml_feature_importances",            # rotated out r3 (rows r2); pytest value checks; ml family in-window
+    "docs_filter_chain",                 # rotated out r6c (green r4-r5); text filter family: repetition/pii/vocab + training_export in-window
+    "events_funnel",                     # rotated out r6c (green r1-r5); sequence windows: user_paths/session_paths in-window
+    "ann_range_search",                  # rotated out r6c (green r1-r5); decimal-dot threshold family: lsh-twin + int8 rerank in-window
 ]
 
 

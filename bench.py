@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "skewjoin_events_enrich",
     "er_fuzzy_part_match",
     "orders_profile",
+    "orders_profile_approx",
     "csv_roundtrip_customer",
     # text / dedup / similarity (LLM-data-pipeline surface)
     "docs_token_stats",
@@ -241,6 +242,23 @@ def main() -> None:
         payload["regressions_vs_prev"] = regressions
         for name, (prev, cur) in regressions.items():
             print(f"# REGRESSION {name}: {prev:.3f}s -> {cur:.3f}s", file=sys.stderr)
+    # per twin pair (QuerySpec.twin_of; QUERIES.md `twin of` column): the
+    # exact-anchor / production-twin wall ratio, committed so the
+    # "verification entry costs Nx the serving path" claim (e.g.
+    # ann_semantic_canonical 3.23 s vs _fast 1.40 s in r6) is a
+    # regression-guarded number, not a one-off VERDICT observation.
+    twin_speedup = {}
+    for name, spec in CATALOG.items():
+        if spec.twin_of and name in timings and spec.twin_of in timings:
+            tw, an = timings[name], timings[spec.twin_of]
+            twin_speedup[name] = {
+                "anchor": spec.twin_of,
+                "anchor_sec": an,
+                "twin_sec": tw,
+                "speedup": round(an / tw, 3) if tw > 0 else None,
+            }
+    if twin_speedup:
+        payload["twin_speedup"] = twin_speedup
     _write_local_artifact(payload)
     print(json.dumps(payload))
     spark.stop()

@@ -727,9 +727,11 @@ def canonical_docs_best(
     never a global sort — over the components frame joined to the
     (doc_id, quality) projection, so the corpus text rides only the final
     anti-join (same never-shuffle-the-corpus posture as
-    ``canonical_docs``).  Quality must be an exact-comparable value
-    (e.g. the 6-decimal quality score) so the argmax is engine- and
-    partitioning-independent.
+    ``canonical_docs``).  Quality must be an exact-comparable value —
+    use text.quality_score_exact's integer ``quality_u``, never a
+    ROUND()ed float: the r6 driver round proved a float rank key can
+    flip WHICH doc is canonical across engine builds — so the argmax is
+    engine- and partitioning-independent.
     """
     from pyspark.sql import Window
 

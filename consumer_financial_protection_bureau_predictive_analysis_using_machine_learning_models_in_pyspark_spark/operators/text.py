@@ -59,6 +59,84 @@ def quality_score(
     )
 
 
+def quality_moments(text_col: str = "text") -> tuple[Column, Column, Column, Column]:
+    """The four exact integer moments that determine the quality score:
+    (L, N, A, S) = (char length, token count, alphabetic char count,
+    stopword count), each as a BIGINT column with a ``greatest(.., 1)``
+    divide-by-zero guard on L and N (mirrored verbatim in the DuckDB
+    oracles).  Shared by ``quality_score_exact`` and every catalog entry
+    that puts quality on a driver hash surface."""
+    text = F.col(text_col)
+    toks = TF.tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in TF.STOPWORDS_EN])
+    L = F.greatest(F.length(text).cast("bigint"), F.lit(1).cast("bigint"))
+    N = F.greatest(F.size(toks).cast("bigint"), F.lit(1).cast("bigint"))
+    A = F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")).cast("bigint")
+    S = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "bigint"
+    )
+    return L, N, A, S
+
+
+def quality_u_expr() -> Column:
+    """The micro-unit quality fold over moment columns ``_l/_n/_a/_s``
+    (as projected by callers from :func:`quality_moments`): BIGINT,
+    half-up integer division only — see :func:`quality_score_exact`."""
+    return (
+        F.least(F.col("_l"), F.lit(500)) * F.lit(2000)
+        + F.expr("(2000000 * _a + _l) DIV (2 * _l)")
+        + F.expr("(2000000 * _s + _n) DIV (2 * _n)")
+        + F.least(F.col("_n"), F.lit(100)) * F.lit(10000)
+    ).cast("bigint")
+
+
+def quality_score_exact(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Engine-stable integer twin of ``quality_score``: the same
+    equal-weighted heuristic, but every ratio is half-up-rounded to
+    integer MICRO-units (1e-6) with pure int64 arithmetic, so the result
+    is bit-identical on any engine/build — no IEEE double ever touches
+    the surface.
+
+    Emitted columns (all BIGINT):
+
+    - ``n_tokens``
+    - ``alpha_ratio_u``    = round_half_up(1e6 · alpha_chars / chars)
+    - ``stopword_ratio_u`` = round_half_up(1e6 · stopwords / tokens)
+    - ``quality_u``        = Σ of the four per-term micro ratios, i.e.
+      4e6 · quality with each term individually rounded;
+      quality_u / 4e6 agrees with ``quality_score``'s float ``quality``
+      to within 5e-7 (pinned in tests).
+
+    round_half_up(p/q) for positive ints is ``(2p + q) DIV (2q)`` —
+    truncating integer division, identical in Spark (``DIV``) and DuckDB
+    (``//``).  Motivation (r6 postmortem, `dedup_canonical_best` /
+    `docs_unigram_logprob`): ``ROUND(<IEEE double>, 6)`` recomputed on
+    two engines is build-sensitive at 6th-decimal rounding boundaries;
+    ranking or hashing on that float can flip.  This surface cannot.
+    """
+    L, N, A, S = quality_moments(text_col)
+    base = df.select(
+        "doc_id",
+        *keep,
+        L.alias("_l"),
+        N.alias("_n"),
+        A.alias("_a"),
+        S.alias("_s"),
+    )
+    alpha_u = F.expr("(2000000 * _a + _l) DIV (2 * _l)")
+    stop_u = F.expr("(2000000 * _s + _n) DIV (2 * _n)")
+    return base.select(
+        "doc_id",
+        *keep,
+        F.col("_n").alias("n_tokens"),
+        alpha_u.cast("bigint").alias("alpha_ratio_u"),
+        stop_u.cast("bigint").alias("stopword_ratio_u"),
+        quality_u_expr().alias("quality_u"),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword-hit language heuristic: score = stopword hits per
     candidate language, argmax with a fixed precedence tiebreak; 'und'
@@ -399,35 +477,22 @@ def corpus_datasheet(
     df: DataFrame, group_col: str = "source", text_col: str = "text"
 ) -> DataFrame:
     """The dataset datasheet: per ``group_col`` (source/domain) — doc
-    count, whitespace-token and BPE-estimate totals, exact-decimal
+    count, whitespace-token and BPE-estimate totals, exact integer
     quality mass, and predicted-English share — the summary table every
     corpus release ships, computed in ONE aggregation pass (per-doc
     expressions project once, every stat is a parallel agg — never a
     pass per metric; at 100 TB this is a single map-reduce over the
     narrow (group, text) projection).
 
-    Quality folds as DECIMAL(12,6) (order-independent — the rounded
-    per-doc score is the same column docs_quality_score exposes);
-    language share reuses language_id's argmax expression in place.
-    Returns (group, n_docs, n_tokens, bpe_estimate, sum_quality,
-    n_pred_en).
+    Quality folds as exact BIGINT micro-units (quality_score_exact's
+    ``quality_u`` — order-independent and engine-stable, unlike the
+    pre-r7 sum of ROUND()ed floats); language share reuses language_id's
+    argmax expression in place.  Returns (group, n_docs, n_tokens,
+    bpe_estimate, sum_quality_u, n_pred_en).
     """
     text = F.col(text_col)
     toks = TF.tokens(text_col)
     n_tokens = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in TF.STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    alpha_ratio = (
-        F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")).cast("double")
-        / F.length(text).cast("double")
-    )
-    quality = F.round(
-        0.25 * F.least(F.lit(1.0), F.length(text) / F.lit(500.0))
-        + 0.25 * alpha_ratio
-        + 0.25 * (n_stop.cast("double") / n_tokens.cast("double"))
-        + 0.25 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)),
-        6,
-    )
     scores = {}
     for lang, words in TF.LANG_STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
@@ -446,12 +511,22 @@ def corpus_datasheet(
         .when(s["de"] >= s["fr"], F.lit("de"))
         .otherwise(F.lit("fr"))
     )
+    L, N, A, S = quality_moments(text_col)
     per_doc = df.select(
         F.col(group_col).alias("grp"),
         n_tokens.cast("bigint").alias("_nt"),
         F.ceil(F.length(text) / 4.0).cast("bigint").alias("_bpe"),
-        quality.cast("decimal(12,6)").alias("_q"),
+        L.alias("_l"),
+        N.alias("_n"),
+        A.alias("_a"),
+        S.alias("_s"),
         (pred == "en").cast("int").alias("_en"),
+    ).select(
+        "grp",
+        "_nt",
+        "_bpe",
+        quality_u_expr().alias("_qu"),
+        "_en",
     )
     return (
         per_doc.groupBy("grp")
@@ -459,7 +534,7 @@ def corpus_datasheet(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("_nt").cast("bigint").alias("n_tokens"),
             F.sum("_bpe").cast("bigint").alias("bpe_estimate"),
-            F.sum("_q").cast("double").alias("sum_quality"),
+            F.sum("_qu").cast("bigint").alias("sum_quality_u"),
             F.sum("_en").cast("bigint").alias("n_pred_en"),
         )
         .withColumnRenamed("grp", group_col)
@@ -535,28 +610,39 @@ def quality_zscore_by_source(df: DataFrame, text_col: str = "text") -> DataFrame
     that stops one verbose domain's absolute scores from drowning
     another's in a global quality cut.
 
-    Two-phase, join-back shape: phase 1 folds exact DECIMAL sums of q
-    and q^2 per source (one keyed agg; mean/sd derive from the exact
-    sums with a FIXED double expression order mirrored in the oracle);
-    phase 2 broadcasts the domain-sized stats table back onto the doc
-    stream for the outlier compare — the corpus itself never shuffles.
-    Output per source: n_docs, mean_q, sd_q, n_outliers.
+    Two-phase, join-back shape: phase 1 folds exact BIGINT sums of the
+    micro-unit quality (quality_score_exact) and its square per source
+    (one keyed agg; mean/sd derive from the exact integer sums with a
+    FIXED double expression order mirrored in the oracle — every double
+    op in that chain is IEEE-correctly-rounded from exact integers, so
+    the |z| > 2 comparison is engine-stable, unlike the pre-r7 surface
+    that summed ROUND()ed floats); phase 2 broadcasts the domain-sized
+    stats table back onto the doc stream for the outlier compare — the
+    corpus itself never shuffles.  Output per source: n_docs, sum_qu,
+    sum_qu2, n_outliers — integer moments only on the hash surface
+    (mean/sd are derivable; the rounded forms live in pytest).
+
+    bigint headroom: qu ≤ 4e6 so qu² ≤ 1.6e13; Σqu² overflows int64
+    only past ~576k docs per source — far beyond any driver/bench scale
+    (switch the fold to DECIMAL(38,0) when a real corpus approaches it).
     """
-    q = quality_score(df, text_col, keep=("source",)).select(
-        "source", F.col("quality").cast("decimal(12,6)").alias("_q")
+    q = quality_score_exact(df, text_col, keep=("source",)).select(
+        "source", F.col("quality_u").alias("_qu")
     )
     stats = q.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("_q").alias("_sum_q"),
-        F.sum(F.col("_q") * F.col("_q")).alias("_sum_q2"),
+        F.sum("_qu").cast("bigint").alias("_sum_qu"),
+        F.sum(F.col("_qu") * F.col("_qu")).cast("bigint").alias("_sum_qu2"),
     )
-    mean = F.col("_sum_q").cast("double") / F.col("n_docs").cast("double")
-    var = F.col("_sum_q2").cast("double") / F.col("n_docs").cast("double") - (
-        F.col("_sum_q").cast("double") / F.col("n_docs").cast("double")
-    ) * (F.col("_sum_q").cast("double") / F.col("n_docs").cast("double"))
+    mean = F.col("_sum_qu").cast("double") / F.col("n_docs").cast("double")
+    var = F.col("_sum_qu2").cast("double") / F.col("n_docs").cast("double") - (
+        F.col("_sum_qu").cast("double") / F.col("n_docs").cast("double")
+    ) * (F.col("_sum_qu").cast("double") / F.col("n_docs").cast("double"))
     stats = stats.select(
         "source",
         "n_docs",
+        F.col("_sum_qu").alias("sum_qu"),
+        F.col("_sum_qu2").alias("sum_qu2"),
         mean.alias("_mean"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sd"),
     )
@@ -565,7 +651,7 @@ def quality_zscore_by_source(df: DataFrame, text_col: str = "text") -> DataFrame
         .select(
             "source",
             (
-                F.abs(F.col("_q").cast("double") - F.col("_mean"))
+                F.abs(F.col("_qu").cast("double") - F.col("_mean"))
                 > F.lit(2.0) * F.col("_sd")
             ).cast("int").alias("_out"),
         )
@@ -575,8 +661,8 @@ def quality_zscore_by_source(df: DataFrame, text_col: str = "text") -> DataFrame
     return stats.join(outliers, "source").select(
         "source",
         "n_docs",
-        F.round("_mean", 6).alias("mean_q"),
-        F.round("_sd", 6).alias("sd_q"),
+        "sum_qu",
+        "sum_qu2",
         "n_outliers",
     )
 

@@ -615,6 +615,8 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            # estimates by construction; the error bound vs the exact
            # query is pinned in tests/test_round3.py
     "analytics", "active-users", "approx", "sketch",
+    twin_of="events_active_users",
+    twin_pin="tests/test_round3.py::test_active_users_approx_error_bound",
 )
 def events_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB form of events_active_users: same one-scan stack Expand,

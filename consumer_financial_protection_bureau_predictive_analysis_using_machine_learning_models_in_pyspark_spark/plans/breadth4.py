@@ -25,7 +25,14 @@ from ..operators import sampling
 from ..operators import text as TX
 from ..operators import similarity as SIM
 from .catalog import _t, register
-from .text_queries import _D_TOKS, _DIM, _STOP_SQL, _hyperplane_sql
+from .text_queries import (
+    _D_TOKS,
+    _DIM,
+    _QU_EXPR_SQL,
+    _QU_MOMENTS_SQL,
+    _STOP_SQL,
+    _hyperplane_sql,
+)
 
 # ---------------------------------------------------------------------------
 # Temperature-scaled domain mixture
@@ -106,25 +113,19 @@ WITH t AS (
   SELECT doc_id, text, {_D_TOKS} AS toks FROM documents
 ),
 q AS (
-  SELECT doc_id,
-         ROUND(0.25 * least(1.0, length(text) / 500.0)
-             + 0.25 * (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-                       / CAST(length(text) AS DOUBLE))
-             + 0.25 * (CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
-                       / CAST(len(toks) AS DOUBLE))
-             + 0.25 * least(1.0, len(toks) / 100.0), 6) AS quality
-  FROM t
+  SELECT doc_id, {_QU_EXPR_SQL} AS quality_u
+  FROM (SELECT doc_id, {_QU_MOMENTS_SQL} FROM t)
 ),
 d AS (
-  SELECT doc_id, quality,
-         NTILE(10) OVER (ORDER BY quality, doc_id) AS decile
+  SELECT doc_id, quality_u,
+         NTILE(10) OVER (ORDER BY quality_u, doc_id) AS decile
   FROM q
 )
 SELECT decile,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       MIN(quality) AS min_quality,
-       MAX(quality) AS max_quality,
-       CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) AS sum_quality
+       CAST(MIN(quality_u) AS BIGINT) AS min_quality_u,
+       CAST(MAX(quality_u) AS BIGINT) AS max_quality_u,
+       CAST(SUM(quality_u) AS BIGINT) AS sum_quality_u
 FROM d
 GROUP BY decile
 ORDER BY decile
@@ -133,12 +134,13 @@ ORDER BY decile
 )
 def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum bucket assignment: exact quality deciles (NTILE over
-    (quality, doc_id) — deterministic tiebreak) with per-decile count and
-    quality range.  The per-decile mean is reported as the EXACT decimal
-    sum (a rounded mean can land on a round-half boundary; the sum
-    cannot).
+    (quality_u, doc_id) — deterministic tiebreak) with per-decile count
+    and quality range, all on the INTEGER micro-unit surface
+    (quality_score_exact; r7 hardening — the pre-r7 float-ROUND rank key
+    was the same latent decile-boundary exposure that burned
+    dedup_canonical_best in r6).
 
-    Scale posture: the window input is the narrow (quality, doc_id)
+    Scale posture: the window input is the narrow (quality_u, doc_id)
     projection, never text — but NTILE is still a single global sort; at
     100 TB assign buckets from approx_percentile thresholds instead (one
     sketch aggregate + a map-side CASE; the events_value_quantiles twin
@@ -147,20 +149,18 @@ def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    q = TX.quality_score(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "quality"
+    q = TX.quality_score_exact(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_u"
     )
-    w = Window.orderBy("quality", "doc_id")
+    w = Window.orderBy("quality_u", "doc_id")
     return (
         q.withColumn("decile", F.ntile(10).over(w))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.min("quality").alias("min_quality"),
-            F.max("quality").alias("max_quality"),
-            F.sum(F.col("quality").cast("decimal(12,6)"))
-            .cast("double")
-            .alias("sum_quality"),
+            F.min("quality_u").cast("bigint").alias("min_quality_u"),
+            F.max("quality_u").cast("bigint").alias("max_quality_u"),
+            F.sum("quality_u").cast("bigint").alias("sum_quality_u"),
         )
         .orderBy("decile")
     )
@@ -172,6 +172,8 @@ def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
            # quantile sketches give different boundaries by construction;
            # the bucket-size bound vs the exact deciles is pinned in pytest
     "text", "quality", "curriculum", "approx", "sketch",
+    twin_of="docs_quality_deciles",
+    twin_pin="tests/test_round4.py::test_quality_deciles_approx_tracks_exact",
 )
 def docs_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB curriculum path the exact query's docstring names: decile
@@ -180,24 +182,24 @@ def docs_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort anywhere, so it scales like a plain two-phase aggregate.  Bucket
     populations approach n/10 as the sketch accuracy rises; the deviation
     bound vs the exact NTILE deciles is pinned in pytest."""
-    q = TX.quality_score(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "quality"
+    q = TX.quality_score_exact(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_u"
     )
     probs = [i / 10.0 for i in range(1, 10)]
     thr = q.agg(
-        F.percentile_approx("quality", probs, 10_000).alias("_thr")
+        F.percentile_approx("quality_u", probs, 10_000).alias("_thr")
     )
     bucket = (
-        F.size(F.filter(F.col("_thr"), lambda t: F.col("quality") > t)) + 1
+        F.size(F.filter(F.col("_thr"), lambda t: F.col("quality_u") > t)) + 1
     )
     return (
         q.crossJoin(F.broadcast(thr))
-        .select("doc_id", "quality", bucket.cast("int").alias("decile"))
+        .select("doc_id", "quality_u", bucket.cast("int").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.min("quality").alias("min_quality"),
-            F.max("quality").alias("max_quality"),
+            F.min("quality_u").cast("bigint").alias("min_quality_u"),
+            F.max("quality_u").cast("bigint").alias("max_quality_u"),
         )
         .orderBy("decile")
     )
@@ -495,6 +497,8 @@ def ann_semantic_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_semantic_canonical_fast", None,
     "similarity", "dedup", "semdedup", "canonical", "ivf", "blas",
+    twin_of="ann_semantic_canonical",
+    twin_pin="tests/test_round4.py::test_semantic_dedup_fast_matches_expression_path",
 )
 def ann_semantic_canonical_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION-cost twin of ``ann_semantic_canonical``: the same
@@ -622,6 +626,8 @@ def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approx_quantile are different sketches — no cross-engine oracle;
     # agreement with the exact twin is pinned in tests/test_round5.py.
     "analytics", "outliers", "median", "mad", "sketch",
+    twin_of="events_value_outliers_mad",
+    twin_pin="tests/test_round5.py::test_mad_outlier_approx_twin_agrees_with_exact",
 )
 def events_value_outliers_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of ``events_value_outliers_mad``: per-user median
@@ -663,6 +669,8 @@ def events_value_outliers_mad_approx(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "ann_semantic_dedup_incremental", None,
     "similarity", "dedup", "semdedup", "incremental",
+    twin_of="ann_semantic_dedup_incremental_lsh",
+    twin_pin="tests/test_round5.py::test_incremental_semdedup_two_batch_fixture",
 )
 def ann_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SemDeDup — the steady-state ingest flow
@@ -865,6 +873,8 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine-specific; agreement with the exact profile is pinned in
     # tests/test_round5.py
     "quality", "profile", "stats", "approx", "sketch",
+    twin_of="orders_profile",
+    twin_pin="tests/test_round5.py::test_profile_table_nulls_and_single_scan",
 )
 def orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of ``orders_profile``: HLL approx_count_distinct

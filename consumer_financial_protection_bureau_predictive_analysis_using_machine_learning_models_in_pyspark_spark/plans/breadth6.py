@@ -31,7 +31,14 @@ from pyspark.sql import functions as F
 from ..operators import layout as LY
 from ..operators import text as TX
 from .catalog import _t, register
-from .text_queries import _AUG_CTE, _D_FP, _D_TOKS, _STOP_SQL
+from .text_queries import (
+    _AUG_CTE,
+    _D_FP,
+    _D_TOKS,
+    _QU_EXPR_SQL,
+    _QU_MOMENTS_SQL,
+    _STOP_SQL,
+)
 
 # ---------------------------------------------------------------------------
 # Incremental materialized-view maintenance
@@ -255,44 +262,33 @@ def docs_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-domain quality standardization
 # ---------------------------------------------------------------------------
 
-_Q_SQL = f"""
-ROUND(0.25 * least(1.0, length(text) / 500.0)
-    + 0.25 * (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-              / CAST(length(text) AS DOUBLE))
-    + 0.25 * (CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
-              / CAST(len(toks) AS DOUBLE))
-    + 0.25 * least(1.0, len(toks) / 100.0), 6)
-""".strip()
-
-
 @register(
     "docs_quality_zscore",
     f"""
 WITH s AS (SELECT source, text, {_D_TOKS} AS toks FROM documents),
-q AS (SELECT source, CAST({_Q_SQL} AS DECIMAL(12,6)) AS qv FROM s),
+b AS (SELECT source, {_QU_MOMENTS_SQL} FROM s),
+q AS (SELECT source, {_QU_EXPR_SQL} AS qu FROM b),
 st AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         SUM(qv) AS sum_q, SUM(qv * qv) AS sum_q2
+         CAST(SUM(qu) AS BIGINT) AS sum_qu,
+         CAST(SUM(qu * qu) AS BIGINT) AS sum_qu2
   FROM q GROUP BY source
 ),
 d AS (
-  SELECT source, n_docs,
-         CAST(sum_q AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean,
-         sqrt(GREATEST(CAST(sum_q2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
-              - (CAST(sum_q AS DOUBLE) / CAST(n_docs AS DOUBLE))
-                * (CAST(sum_q AS DOUBLE) / CAST(n_docs AS DOUBLE)), 0.0)) AS sd
+  SELECT source, n_docs, sum_qu, sum_qu2,
+         CAST(sum_qu AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean,
+         sqrt(GREATEST(CAST(sum_qu2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+              - (CAST(sum_qu AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                * (CAST(sum_qu AS DOUBLE) / CAST(n_docs AS DOUBLE)), 0.0)) AS sd
   FROM st
 ),
 o AS (
   SELECT q.source,
-         CAST(SUM(CASE WHEN abs(CAST(q.qv AS DOUBLE) - d.mean) > 2.0 * d.sd
+         CAST(SUM(CASE WHEN abs(CAST(q.qu AS DOUBLE) - d.mean) > 2.0 * d.sd
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
   FROM q JOIN d ON q.source = d.source GROUP BY q.source
 )
-SELECT d.source, d.n_docs,
-       ROUND(d.mean, 6) AS mean_q,
-       ROUND(d.sd, 6) AS sd_q,
-       o.n_outliers
+SELECT d.source, d.n_docs, d.sum_qu, d.sum_qu2, o.n_outliers
 FROM d JOIN o ON d.source = o.source
 ORDER BY d.source
 """,
@@ -300,12 +296,17 @@ ORDER BY d.source
 )
 def docs_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality calibration (operators.text
-    .quality_zscore_by_source): mean/sd of the heuristic quality score
-    per source from exact DECIMAL sums of q and q², plus the |z| > 2
-    outlier count against the source's OWN distribution — the step that
-    stops a global quality cut from flattening one domain.  The
-    domain-sized stats table broadcasts back for the outlier compare;
-    the corpus never shuffles."""
+    .quality_zscore_by_source): per-source moments of the INTEGER
+    micro-unit quality (quality_score_exact — r7 hash-surface
+    hardening; the pre-r7 surface summed ROUND()ed floats, the exact
+    failure mode that burned dedup_canonical_best in r6), plus the
+    |z| > 2 outlier count against the source's OWN distribution — the
+    step that stops a global quality cut from flattening one domain.
+    mean/sd stay internal doubles derived from the exact integer sums
+    with a fixed expression order (every op IEEE-correctly-rounded from
+    exact inputs → engine-stable compare); the hash surface itself is
+    all BIGINT.  The domain-sized stats table broadcasts back for the
+    outlier compare; the corpus never shuffles."""
     docs = _t(spark, sf_dir, "documents")
     return TX.quality_zscore_by_source(docs).orderBy("source")
 
@@ -372,16 +373,19 @@ _COMPONENT_XTAIL_CTES = _COMPONENT_CTES.replace(_AUG_CTE, _AUG_XTAIL_CTE)
     f"""
 {_COMPONENT_XTAIL_CTES},
 qual AS (
-  SELECT doc_id, CAST({_Q_SQL} AS DECIMAL(12,6)) AS quality
-  FROM (SELECT doc_id, text, {_D_TOKS} AS toks FROM aug)
+  SELECT doc_id, {_QU_EXPR_SQL} AS quality_u
+  FROM (
+    SELECT doc_id, {_QU_MOMENTS_SQL}
+    FROM (SELECT doc_id, text, {_D_TOKS} AS toks FROM aug)
+  )
 ),
 ranked AS (
   SELECT c.doc_id,
          ROW_NUMBER() OVER (PARTITION BY c.component
-                            ORDER BY q.quality DESC, c.doc_id) AS rn
+                            ORDER BY q.quality_u DESC, c.doc_id) AS rn
   FROM comp c JOIN qual q ON q.doc_id = c.doc_id
 )
-SELECT g.doc_id, q.quality
+SELECT g.doc_id, q.quality_u
 FROM aug g JOIN qual q ON q.doc_id = g.doc_id
 WHERE g.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
 ORDER BY g.doc_id
@@ -395,7 +399,14 @@ def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep their HIGHEST-quality member, tie → min id — versus
     ``dedup_canonical_docs``' min-id convention.  The ranking window is
     per-component (cluster-sized); the corpus rides only the final
-    anti-join."""
+    anti-join.
+
+    r7 hash-surface hardening: the ranking key and the emitted score are
+    ``quality_u`` — quality_score_exact's pure-int64 micro-unit fold —
+    after the r6 driver row proved the float ``ROUND(Σ 0.25·term, 6)``
+    surface DuckDB-build-sensitive (values bit-identical locally, hash
+    FAIL on the driver box; and a boundary flip on a float RANK could
+    change WHICH doc is canonical, not just a printed digit)."""
     from ..operators import dedup as DD
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -407,12 +418,10 @@ def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = DD.minhash_dedup_pairs(spark, aug, threshold=0.5)
     comps = DD.connected_components(pairs)
-    qual = TX.quality_score(aug).select(
-        "doc_id", F.col("quality").cast("decimal(12,6)").alias("quality")
-    )
+    qual = TX.quality_score_exact(aug).select("doc_id", "quality_u")
     return (
-        DD.canonical_docs_best(qual, comps, qual, quality_col="quality")
-        .select("doc_id", "quality")
+        DD.canonical_docs_best(qual, comps, qual, quality_col="quality_u")
+        .select("doc_id", "quality_u")
         .orderBy("doc_id")
     )
 

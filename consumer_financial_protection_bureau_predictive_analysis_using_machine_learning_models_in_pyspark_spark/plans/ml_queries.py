@@ -182,7 +182,11 @@ def ml_lda_topics_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topics.select("topic", "term", F.round("weight", 6).alias("weight"))
 
 
-@register("ml_lda_topics", None, "ml", "nlp", "lda")
+@register(
+    "ml_lda_topics", None, "ml", "nlp", "lda",
+    twin_of="ml_lda_topics_em",
+    twin_pin="tests/test_ml.py::test_lda_em_optimizer_parity_path",
+)
 def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic modeling on documents (reference complaints_narrative_LDA.py,
     k scaled to the corpus): native clean-text → CV/IDF → online LDA →
@@ -291,6 +295,8 @@ def ml_timely_lr_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_timely_lr_lift_approx", None,
     "ml", "binary", "lr", "lift", "sketch-twin",
+    twin_of="ml_timely_lr_lift",
+    twin_pin="tests/test_ml.py::test_lr_lift_approx_tracks_exact",
 )
 def ml_timely_lr_lift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch twin of ml_timely_lr_lift — the 100 TB scoring path AS

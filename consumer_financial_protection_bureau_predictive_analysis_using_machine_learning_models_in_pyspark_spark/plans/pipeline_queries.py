@@ -185,6 +185,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_bloom",
     _INCR_DEDUP_SQL,
     "pipeline", "dedup", "incremental", "bloom",
+    twin_of="dedup_incremental",
+    twin_pin="tests/test_round5.py::test_bloom_incremental_exact_under_false_positives",
 )
 def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom-prefiltered twin of ``dedup_incremental``

@@ -67,31 +67,48 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TF.STOPWORDS_EN) + "]"
 
+# Engine-stable integer quality surface (r7): DuckDB mirror of
+# operators.text.quality_score_exact — every ratio half-up-rounded to
+# 1e-6 micro-units with pure int64 arithmetic (round_half_up(p/q) =
+# (2p+q)//(2q)), so the driver hash surface carries no IEEE double that a
+# DuckDB-build-dependent ROUND could flip (the r6 `dedup_canonical_best`
+# / r4-r5 `docs_unigram_logprob` failure mode).  The moment columns
+# (l, n, a, s) and the micro-unit fold must stay textually in sync with
+# quality_score_exact's Spark expressions.
+_QU_MOMENTS_SQL = f"""GREATEST(CAST(length(text) AS BIGINT), 1) AS l,
+       GREATEST(CAST(len(toks) AS BIGINT), 1) AS n,
+       CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS BIGINT) AS a,
+       CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS s"""
+_QU_EXPR_SQL = (
+    "CAST(LEAST(l, 500) * 2000 + (2000000 * a + l) // (2 * l)"
+    " + (2000000 * s + n) // (2 * n) + LEAST(n, 100) * 10000 AS BIGINT)"
+)
+
 
 @register(
     "docs_quality_score",
     f"""
 WITH t AS (
   SELECT doc_id, text, {_D_TOKS} AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, {_QU_MOMENTS_SQL} FROM t
 )
 SELECT doc_id,
-       CAST(len(toks) AS BIGINT) AS n_tokens,
-       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
-       ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
-             / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
-       ROUND(0.25 * least(1.0, length(text) / 500.0)
-           + 0.25 * (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-                     / CAST(length(text) AS DOUBLE))
-           + 0.25 * (CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
-                     / CAST(len(toks) AS DOUBLE))
-           + 0.25 * least(1.0, len(toks) / 100.0), 6) AS quality
-FROM t
+       n AS n_tokens,
+       CAST((2000000 * a + l) // (2 * l) AS BIGINT) AS alpha_ratio_u,
+       CAST((2000000 * s + n) // (2 * n) AS BIGINT) AS stopword_ratio_u,
+       {_QU_EXPR_SQL} AS quality_u
+FROM b
 """,
     "text", "quality",
 )
 def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.quality_score(_t(spark, sf_dir, "documents"))
+    """Per-doc quality on the engine-stable integer micro-unit surface
+    (operators.text.quality_score_exact; the float twin quality_score
+    stays the ergonomic API, their ≤5e-7 agreement is pinned in
+    tests/test_round7.py)."""
+    return TX.quality_score_exact(_t(spark, sf_dir, "documents"))
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -482,7 +499,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_cosine_topk_fast", None, "similarity", "ann", "pandas-udf")
+@register(
+    "ann_cosine_topk_fast", None, "similarity", "ann", "pandas-udf",
+    twin_of="ann_cosine_topk",
+    twin_pin="tests/test_sources_sinks.py::test_cosine_topk_fast_matches_exact",
+)
 def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLAS-matmul exact top-5 (mapInPandas, per-task local top-k, tiny
     final shuffle) — the production fast path.  Rows-only: float64 matmul
@@ -552,7 +573,9 @@ def ivf_index_release(sf_dir: str | None = None) -> int:
 
 
 @register(
-    "ann_ivf_prebuilt_topk", None, "similarity", "ann", "ivf", "prebuilt"
+    "ann_ivf_prebuilt_topk", None, "similarity", "ann", "ivf", "prebuilt",
+    twin_of="ann_ivf_topk",
+    twin_pin="tests/test_pipeline_ops.py::test_ivf_prebuilt_twin_matches_fit_included",
 )
 def ann_ivf_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN served from a prebuilt, persisted index — the steady-state
@@ -755,7 +778,11 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pii_redact(aug)
 
 
-@register("dedup_minhash_fast", None, "dedup", "minhash", "xxhash64")
+@register(
+    "dedup_minhash_fast", None, "dedup", "minhash", "xxhash64",
+    twin_of="dedup_minhash_lsh",
+    twin_pin="tests/test_pipeline_ops.py::test_minhash_fast_path_matches_md5_pairs",
+)
 def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of ``dedup_minhash_lsh``: identical pipeline, but the
     shingle hash is JVM-native xxhash64 instead of md5-hex→conv (the md5
@@ -1101,6 +1128,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_minhash_prebuilt",
     _INCR_MH_SQL,
     "pipeline", "dedup", "incremental", "minhash", "lsh", "prebuilt",
+    twin_of="dedup_incremental_minhash",
+    twin_pin="tests/test_round5.py::test_minhash_index_cache_reuse_and_release",
 )
 def dedup_incremental_minhash_prebuilt(
     spark: SparkSession, sf_dir: str
@@ -1129,25 +1158,22 @@ WITH s AS (
   FROM documents
 ),
 q AS (
-  SELECT source, toks, text,
-         ROUND(0.25 * least(1.0, length(text) / 500.0)
-             + 0.25 * (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-                       / CAST(length(text) AS DOUBLE))
-             + 0.25 * (CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
-                       / CAST(len(toks) AS DOUBLE))
-             + 0.25 * least(1.0, len(toks) / 100.0), 6) AS quality,
-         CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
-              WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
-              WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
-              WHEN score_de >= score_fr THEN 'de'
-              ELSE 'fr' END AS lang_pred
-  FROM s
+  SELECT source, toks, text, {_QU_EXPR_SQL} AS quality_u, lang_pred
+  FROM (
+    SELECT source, toks, text, {_QU_MOMENTS_SQL},
+           CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+                WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+                WHEN score_de >= score_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+  )
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
        CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_estimate,
-       CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) AS sum_quality,
+       CAST(SUM(quality_u) AS BIGINT) AS sum_quality_u,
        CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
 FROM q
 GROUP BY source

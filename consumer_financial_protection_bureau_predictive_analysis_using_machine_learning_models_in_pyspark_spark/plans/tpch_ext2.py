@@ -227,10 +227,10 @@ SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
             WHEN date_diff('day', CAST(o_orderdate AS DATE),
                            CAST(l_shipdate AS DATE)) <= 90 THEN 'MEDIUM'
             ELSE 'SLOW' END AS delay_class,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate >= o_orderdate

@@ -65,7 +65,7 @@ def test_quality_deciles_partition_sizes_and_ordering(spark):
     assert max(sizes) - min(sizes) <= 1  # NTILE contract
     # deciles are quality-ordered and non-overlapping
     for lo, hi in zip(rows, rows[1:]):
-        assert lo.max_quality <= hi.min_quality
+        assert lo.max_quality_u <= hi.min_quality_u
 
 
 def test_pack_manifest_consistent_with_pack_bins(spark):
@@ -159,7 +159,7 @@ def test_quality_deciles_approx_tracks_exact(spark):
     approx = catalog.CATALOG["docs_quality_deciles_approx"].fn(spark, SF_SMOKE).collect()
     assert [r.decile for r in approx] == list(range(1, 11))
     for lo, hi in zip(approx, approx[1:]):
-        assert lo.max_quality <= hi.min_quality
+        assert lo.max_quality_u <= hi.min_quality_u
     n = sum(exact.values())
     for r in approx:
         assert abs(r.n_docs - n / 10.0) <= 0.25 * (n / 10.0) + 2, (

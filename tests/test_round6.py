@@ -178,7 +178,8 @@ def test_bigram_pmi_no_shuffle_to_form_pairs(spark):
 
 
 def test_quality_zscore_bounds(spark):
-    """Population-sd invariants: sd >= 0; outlier count obeys the
+    """Integer-moment invariants (r7 surface): n·Σq² ≥ (Σq)² (Cauchy-
+    Schwarz ⇔ population variance ≥ 0); outlier count obeys the
     Chebyshev bound n/4 for |z| > 2 (loose sanity, holds for ANY
     distribution); every source in the corpus is present."""
     rep = catalog.CATALOG["docs_quality_zscore"].fn(spark, SF_SMOKE).collect()
@@ -186,7 +187,8 @@ def test_quality_zscore_bounds(spark):
     n_sources = docs.select("source").distinct().count()
     assert len(rep) == n_sources
     for r in rep:
-        assert r.sd_q >= 0.0
+        assert r.n_docs * r.sum_qu2 >= r.sum_qu * r.sum_qu
+        assert 0 <= r.sum_qu <= 4_000_000 * r.n_docs
         assert 0 <= r.n_outliers <= r.n_docs / 4.0 + 1
 
 

@@ -1,0 +1,183 @@
+"""Round-7 additions: the engine-stable integer quality surface
+(quality_score_exact / quality_u), the machine-readable twin registry
+(QuerySpec.twin_of / twin_pin), and the driver-hashable media_resize
+catalog surface.  Oracle parity for the converted entries is covered by
+test_oracle_parity; these tests pin what the oracles can't express —
+the float-twin agreement bound, the hand-computed micro-unit formula,
+and registry integrity."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.functions import (  # noqa: E501
+    textfns as TF,
+)
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+    text as TX,
+)
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+    catalog,
+)
+
+from .conftest import SF_SMOKE
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------------------
+# Integer micro-unit quality surface
+# ---------------------------------------------------------------------------
+
+
+def _quality_u_py(text: str) -> tuple[int, int, int, int]:
+    """Independent Python-int reimplementation of the micro-unit formula
+    (round_half_up(p/q) = (2p+q)//(2q)); returns (n, alpha_u, stop_u, qu)."""
+    toks = re.split(r"\s+", text.strip().lower())
+    L = max(len(text), 1)
+    N = max(len(toks), 1)
+    A = len(re.sub(r"[^A-Za-z ]", "", text))
+    S = sum(1 for t in toks if t in TF.STOPWORDS_EN)
+    alpha_u = (2_000_000 * A + L) // (2 * L)
+    stop_u = (2_000_000 * S + N) // (2 * N)
+    qu = min(L, 500) * 2000 + alpha_u + stop_u + min(N, 100) * 10000
+    return N, alpha_u, stop_u, qu
+
+
+def test_quality_score_exact_handcomputed(spark):
+    """'The cat sat on the mat.' — every moment verified against plain
+    Python integer arithmetic, including the half-up tie behavior."""
+    text = "The cat sat on the mat."
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    r = TX.quality_score_exact(df).collect()[0]
+    n, alpha_u, stop_u, qu = _quality_u_py(text)
+    assert (r.n_tokens, r.alpha_ratio_u, r.stopword_ratio_u, r.quality_u) == (
+        n, alpha_u, stop_u, qu,
+    )
+    # spot half-up ties: 1/8 of 1e6 = exact; 1/3 truncates to ...333;
+    # 1/2 rounds the .5 tie UP
+    assert (2 * 1 * 1_000_000 + 8) // (2 * 8) == 125_000
+    assert (2 * 1 * 1_000_000 + 3) // (2 * 3) == 333_333
+    assert (2 * 1 * 1_000_000 + 2_000_000) // (2 * 2_000_000) == 1
+
+
+def test_quality_exact_twin_tracks_float(spark):
+    """quality_u / 4e6 agrees with the float quality_score to within one
+    half micro-unit per term (4 terms x 0.5/4e6 = 5e-7) over the whole
+    smoke corpus — the documented twin bound."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    joined = (
+        TX.quality_score_exact(docs)
+        .select("doc_id", "quality_u")
+        .join(TX.quality_score(docs).select("doc_id", "quality"), "doc_id")
+        .select(
+            F.max(
+                F.abs(F.col("quality") - F.col("quality_u") / F.lit(4e6))
+            ).alias("max_diff")
+        )
+        .collect()[0]
+    )
+    assert joined.max_diff <= 5.01e-7, joined.max_diff
+
+
+def test_quality_exact_all_python_parity(spark):
+    """Whole-corpus parity with the independent Python-int formula —
+    pins the Spark expression (DIV, greatest guards, least clamps)
+    bit-for-bit, the same way the DuckDB oracle pins the SQL side."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = TX.quality_score_exact(docs).join(
+        docs.select("doc_id", "text"), "doc_id"
+    ).collect()
+    assert rows
+    for r in rows:
+        n, alpha_u, stop_u, qu = _quality_u_py(r.text)
+        assert (
+            r.n_tokens, r.alpha_ratio_u, r.stopword_ratio_u, r.quality_u
+        ) == (n, alpha_u, stop_u, qu), r.doc_id
+
+
+def test_canonical_best_surface_is_integer(spark):
+    """The r7 hardening contract: dedup_canonical_best hashes (and ranks
+    on) BIGINT quality_u — no float column anywhere on the surface."""
+    df = catalog.CATALOG["dedup_canonical_best"].fn(spark, SF_SMOKE)
+    dtypes = dict(df.dtypes)
+    assert dtypes == {"doc_id": "bigint", "quality_u": "bigint"}, dtypes
+
+
+# ---------------------------------------------------------------------------
+# Twin registry (QuerySpec.twin_of / twin_pin)
+# ---------------------------------------------------------------------------
+
+
+def test_twin_registry_integrity():
+    """Every twin_of names a registered entry (never itself), every
+    twin_pin points at an existing test function in an existing file,
+    and the known production twins are all annotated."""
+    twins = {
+        n: s for n, s in catalog.CATALOG.items() if s.twin_of is not None
+    }
+    expected = {
+        "ann_cosine_topk_fast",
+        "ann_semantic_canonical_fast",
+        "dedup_minhash_fast",
+        "docs_quality_deciles_approx",
+        "events_value_outliers_mad_approx",
+        "events_active_users_approx",
+        "orders_profile_approx",
+        "ml_timely_lr_lift_approx",
+        "dedup_incremental_bloom",
+        "dedup_incremental_minhash_prebuilt",
+        "ann_ivf_prebuilt_topk",
+        "ann_semantic_dedup_incremental",
+        "ml_lda_topics",
+    }
+    assert set(twins) == expected, set(twins) ^ expected
+    for name, spec in twins.items():
+        assert spec.twin_of in catalog.CATALOG, (name, spec.twin_of)
+        assert spec.twin_of != name
+        assert spec.twin_pin, name
+        path, sep, func = spec.twin_pin.partition("::")
+        assert sep and func, spec.twin_pin
+        full = os.path.join(REPO, path)
+        assert os.path.exists(full), spec.twin_pin
+        src = open(full).read()
+        assert f"def {func}(" in src, spec.twin_pin
+
+
+def test_queries_md_carries_twin_column():
+    """QUERIES.md (generated by tools/catalog_index.py) must link every
+    annotated twin to its anchor in the `twin of` column."""
+    md = open(os.path.join(REPO, "QUERIES.md")).read()
+    for name, spec in catalog.CATALOG.items():
+        if spec.twin_of:
+            pat = rf"\| `{name}` \| [a-z-]+ \| `{spec.twin_of}` \|"
+            assert re.search(pat, md), (name, spec.twin_of)
+
+
+# ---------------------------------------------------------------------------
+# media_resize_images driver surface
+# ---------------------------------------------------------------------------
+
+
+def test_media_resize_catalog_surface_is_hashable(spark):
+    """The catalog entry must emit only scalar columns (the r6 driver row
+    errored hashing the raw tensor), with the checksum consistent with
+    the raw operator tensor."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        multimodal as MM,
+    )
+
+    df = catalog.CATALOG["media_resize_images"].fn(spark, SF_SMOKE)
+    for _, dtype in df.dtypes:
+        assert not dtype.startswith("array"), df.dtypes
+    rows = {r.media_id: r for r in df.collect()}
+    assert rows
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    raw = MM.resize_images(MM.media_table(docs), width=8, height=8)
+    for r in raw.limit(5).collect():
+        cat = rows[r.media_id]
+        assert cat.n_pixels == len(r.pixels) == 64
+        assert abs(cat.px_checksum - sum(r.pixels)) <= 5e-7

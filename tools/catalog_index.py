@@ -27,6 +27,7 @@ def render() -> str:
     names = list(E.queries())
     n = len(names)
     o = sum(1 for sp in catalog.CATALOG.values() if sp.oracle)
+    t = sum(1 for sp in catalog.CATALOG.values() if sp.twin_of)
     lines = [
         "# Query catalog index",
         "",
@@ -37,15 +38,25 @@ def render() -> str:
         "overflow entries",
         "name their covering in-window twin in `__spark_entry__.py`.",
         "",
-        "| # | query | check | tags |",
-        "|---|---|---|---|",
+        f"{t} entries are fast/approx/prebuilt production twins: `twin of` "
+        "names the exact",
+        "anchor entry and each pair's equality/deviation bound is pinned by "
+        "the pytest in",
+        "`QuerySpec.twin_pin` (see `plans/catalog.py`); `bench.py` reports "
+        "per-pair",
+        "`twin_speedup` wall ratios.",
+        "",
+        "| # | query | check | twin of | tags |",
+        "|---|---|---|---|---|",
     ]
     for i, name in enumerate(names, 1):
         spec = catalog.CATALOG[name]
         check = "oracle" if spec.oracle else "rows-only"
         win = " (window)" if i <= WINDOW else ""
+        twin = f"`{spec.twin_of}`" if spec.twin_of else ""
         lines.append(
-            f"| {i}{win} | `{name}` | {check} | {', '.join(spec.tags)} |"
+            f"| {i}{win} | `{name}` | {check} | {twin} | "
+            f"{', '.join(spec.tags)} |"
         )
     return "\n".join(lines) + "\n"
 
