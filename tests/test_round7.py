@@ -158,6 +158,81 @@ def test_queries_md_carries_twin_column():
 
 
 # ---------------------------------------------------------------------------
+# Confusion-matrix artifact export (reference literal parity: the two
+# driver-side heatmap scripts desicion_tree_confusion_matrix.py /
+# random_forest_confusion_matrix.py hand-transcribe an 8x8 matrix; the
+# engine computes and exports it)
+# ---------------------------------------------------------------------------
+
+
+def test_confusion_matrix_export_golden(spark, tmp_path):
+    """The computed 8x8 matrix must equal the committed golden CSV on the
+    deterministic sf0.001 prediction fixture, row and column order
+    included; the CSV written by the export must round-trip to the same
+    frame."""
+    import pandas as pd
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        metrics as M,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.catalog import (  # noqa: E501
+        _RESPONSE_CLASSES,
+        _preds,
+    )
+
+    out = str(tmp_path / "confusion.csv")
+    pdf = M.confusion_matrix_export(
+        _preds(spark, SF_SMOKE),
+        "company_response",
+        "response_pred",
+        classes=[v for v, _ in _RESPONSE_CLASSES],
+        csv_path=out,
+    )
+    golden = pd.read_csv(
+        os.path.join(REPO, "tests", "golden", "confusion_8class_sf0001.csv"),
+        index_col=0,
+    )
+    assert pdf.shape == (8, 8)
+    assert list(pdf.index) == list(golden.index)
+    assert list(pdf.columns) == list(golden.columns)
+    assert (pdf.to_numpy() == golden.to_numpy()).all()
+    written = pd.read_csv(out, index_col=0)
+    assert (written.to_numpy() == golden.to_numpy()).all()
+    # total mass = every cleaned complaint, once
+    assert int(pdf.to_numpy().sum()) == _preds(spark, SF_SMOKE).count()
+
+
+def test_confusion_matrix_export_heatmap_strict(spark, tmp_path):
+    """Requesting the heatmap without matplotlib must fail loudly (the
+    multimodal-codec strict posture), after still writing the CSV."""
+    import pytest
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        metrics as M,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.catalog import (  # noqa: E501
+        _preds,
+    )
+
+    try:
+        import matplotlib  # noqa: F401
+
+        pytest.skip("matplotlib present; heatmap path would render")
+    except ImportError:
+        pass
+    out = str(tmp_path / "cm.csv")
+    with pytest.raises(NotImplementedError, match="matplotlib"):
+        M.confusion_matrix_export(
+            _preds(spark, SF_SMOKE),
+            "company_response",
+            "response_pred",
+            csv_path=out,
+            heatmap_path=str(tmp_path / "cm.png"),
+        )
+    assert os.path.exists(out), "CSV must be written before the plot gate"
+
+
+# ---------------------------------------------------------------------------
 # media_resize_images driver surface
 # ---------------------------------------------------------------------------
 
