@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "docs_temperature_mix",
     "docs_quality_deciles",
     "docs_pack_manifest",
+    "docs_pack_sequences",
+    "docs_domain_reweight",
     "docs_training_export",
     "docs_bm25_rank",
     "docs_hybrid_rrf",

@@ -568,3 +568,203 @@ def incremental_dedup_bloom(
             .alias("status"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 128,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Fixed-length SEQUENCE packing with document SPLITTING — the actual
+    pretraining batch-assembly contract.  ``pack_bins``/``pack_manifest``
+    are greedy no-split packers (a doc never straddles bins, bins run
+    ragged); real sample packing concatenates the token stream and cuts
+    it every ``seq_len`` tokens, so documents cross sequence boundaries
+    and every sequence except the last is exactly full.  A training
+    loader needs the boundary map — which doc occupies which token span
+    of which sequence — to reset attention masks at doc starts.
+
+    Shape: one global token prefix-sum gives each doc its half-open
+    global interval [start, end); the doc then explodes to exactly the
+    sequences it overlaps (``F.sequence`` over floor-divided bounds —
+    fanout = 1 + (n_tokens div seq_len), bounded), and per-sequence spans
+    are pure column arithmetic.  The prefix sum uses the same two-phase
+    distributed form as ``sample_token_budget`` — per-bucket totals
+    (``n_buckets`` rows) carry the global running offset, the wide
+    window is partitioned per bucket — with the bucket key a zero-padded
+    ``order_col`` prefix so (bucket, order) ordering IS the global
+    order.  No global-sort window ever materializes; the corpus text
+    never shuffles (only (id, n_tokens) rows do).
+
+    Returns one row per sequence: (seq_id, n_segments, n_tokens — always
+    ``seq_len`` except the final sequence — and ``segments``, the
+    ordered "doc_id:start-end" comma list in within-sequence token
+    coordinates, end exclusive).
+    """
+    n_tok = F.size(TF.tokens(text_col)).cast("bigint")
+    base = df.select(
+        F.col(order_col).alias("_id"),
+        n_tok.alias("_nt"),
+        F.substring(F.lpad(F.col(order_col).cast("string"), 12, "0"), 1, 8)
+        .alias("_bucket"),
+    )
+    offsets = (
+        base.groupBy("_bucket")
+        .agg(F.sum("_nt").alias("_bucket_tokens"))
+        .select(
+            "_bucket",
+            (
+                F.coalesce(
+                    F.sum("_bucket_tokens").over(
+                        Window.orderBy("_bucket").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).alias("_offset"),
+        )
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        base.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_cum", F.sum("_nt").over(w) + F.col("_offset"))
+        .withColumn("_start", F.col("_cum") - F.col("_nt"))
+        # a 0-token doc has an empty interval: drop it BEFORE the explode
+        # (F.sequence(a, b) with b < a would generate a DESCENDING range)
+        .filter(F.col("_nt") >= 1)
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_start") / F.lit(seq_len)),
+                    F.floor((F.col("_cum") - 1) / F.lit(seq_len)),
+                )
+            ),
+        )
+        .select(
+            "_id",
+            "seq_id",
+            F.greatest(
+                F.col("_start") - F.col("seq_id") * F.lit(seq_len), F.lit(0)
+            ).alias("span_start"),
+            F.least(
+                F.col("_cum") - F.col("seq_id") * F.lit(seq_len),
+                F.lit(seq_len),
+            ).alias("span_end"),
+        )
+    )
+    seg = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("span_start"),
+                        F.col("_id"),
+                        F.col("span_end"),
+                    )
+                )
+            ),
+            lambda s: F.concat(
+                s["_id"].cast("string"),
+                F.lit(":"),
+                s["span_start"].cast("string"),
+                F.lit("-"),
+                s["span_end"].cast("string"),
+            ),
+        ),
+    )
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.col("span_end") - F.col("span_start"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            seg.alias("segments"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def domain_reweight_mw(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    iterations: int = 3,
+) -> DataFrame:
+    """DoReMi-flavored domain mixture optimization via multiplicative
+    weights, in EXACT integer arithmetic: each domain's loss proxy is its
+    mean quality deficit (micro-units, from quality_score_exact), and
+    each iteration multiplies up the weight of domains whose loss exceeds
+    the current weight-averaged loss (Hedge/MW with the linearized
+    update w ← w·(1 + η·excess), η = 1/2) — the "spend more mixture on
+    the domains the proxy model finds hard" step, with the weighted
+    average recomputed per iteration so updates interact across domains
+    like the real algorithm.
+
+    Every quantity is an int64 in micro-units and every division is the
+    half-up integer form ((2p+q) DIV 2q) — the r7 oracle discipline — so
+    the 3-iteration trajectory replays bit-exactly in the unrolled-CTE
+    DuckDB oracle and on any engine build.  Overflow headroom: weights
+    start at 1e6 and grow ≤1.5×/iteration; w·multiplier ≤ ~5e12 ≪ 2^63.
+
+    Scale posture: the corpus is scanned ONCE for the per-domain moments
+    (map-side combined sum of quality_u); iterations run on the
+    domain-sized frame (a broadcast-sized dim at any corpus scale), so
+    adding iterations costs nothing corpus-shaped.  Returns per domain:
+    n_docs, mloss_u, and the weight after each iteration (w1..wN,
+    scaled 1e6; normalize by SUM(wN) downstream — kept unnormalized so
+    the surface stays integer-exact).
+    """
+    from .text import quality_score_exact
+
+    g = (
+        quality_score_exact(df, text_col, keep=(group_col,))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("quality_u").cast("bigint").alias("sum_qu"),
+        )
+    )
+    cur = g.select(
+        group_col,
+        "n_docs",
+        F.expr(
+            "CAST((2 * (4000000 * n_docs - sum_qu) + n_docs)"
+            " DIV (2 * n_docs) AS BIGINT)"
+        ).alias("mloss_u"),
+    ).withColumn("w", F.lit(1_000_000).cast("bigint"))
+    w_cols = []
+    for t in range(1, iterations + 1):
+        tot = cur.agg(
+            F.sum(F.col("w") * F.col("mloss_u")).alias("_wl"),
+            F.sum("w").alias("_wsum"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(tot))
+            .withColumn("_avg", F.expr("(2 * _wl + _wsum) DIV (2 * _wsum)"))
+            .withColumn(
+                "_ex", F.greatest(F.col("mloss_u") - F.col("_avg"), F.lit(0))
+            )
+            .withColumn(
+                "w",
+                F.expr(
+                    "CAST((2 * (w * (1000000 + (_ex + 1) DIV 2)) + 1000000)"
+                    " DIV 2000000 AS BIGINT)"
+                ),
+            )
+            .withColumn(f"w{t}", F.col("w"))
+            .drop("_wl", "_wsum", "_avg", "_ex")
+        )
+        w_cols.append(f"w{t}")
+    return cur.select(group_col, "n_docs", "mloss_u", *w_cols).orderBy(
+        group_col
+    )

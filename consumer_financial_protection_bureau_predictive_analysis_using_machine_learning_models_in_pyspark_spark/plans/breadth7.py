@@ -1,0 +1,132 @@
+"""Round-7 breadth pack: the two batch-assembly steps between a curated
+corpus and a training run that the catalog did not yet cover —
+
+- docs_pack_sequences:  fixed-length sequence packing WITH document
+  splitting (the real pretraining contract: the token stream is cut
+  every seq_len tokens, docs straddle boundaries, and the loader needs
+  the per-sequence doc-span map to reset attention masks);
+- docs_domain_reweight: DoReMi-flavored multiplicative-weights mixture
+  optimization over domains, iterated in exact int64 micro-unit
+  arithmetic so the 3-step trajectory replays bit-for-bit in the
+  unrolled-CTE DuckDB oracle (the r7 integer-surface discipline applied
+  to an ITERATIVE algorithm, like the decimal pagerank loop).
+
+Both ride the shared tokenization/quality SQL of text_queries so every
+constant stays aligned across the Spark plan and the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import pipeline as PL
+from .catalog import _t, register
+from .text_queries import _D_TOKS, _QU_EXPR_SQL, _QU_MOMENTS_SQL
+
+_SEQ_LEN = 128
+
+
+@register(
+    "docs_pack_sequences",
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_D_TOKS}) AS BIGINT) AS nt FROM documents
+),
+c AS (
+  SELECT doc_id, nt,
+         CAST(SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM t WHERE nt >= 1
+),
+sp AS (
+  SELECT doc_id, cum - nt AS gstart, cum,
+         CAST(unnest(range((cum - nt) // {_SEQ_LEN},
+                           (cum - 1) // {_SEQ_LEN} + 1)) AS BIGINT) AS seq_id
+  FROM c
+)
+SELECT seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(LEAST(cum - seq_id * {_SEQ_LEN}, {_SEQ_LEN})
+                - GREATEST(gstart - seq_id * {_SEQ_LEN}, 0)) AS BIGINT)
+         AS n_tokens,
+       string_agg(doc_id || ':' || GREATEST(gstart - seq_id * {_SEQ_LEN}, 0)
+                         || '-' || LEAST(cum - seq_id * {_SEQ_LEN}, {_SEQ_LEN}),
+                  ',' ORDER BY GREATEST(gstart - seq_id * {_SEQ_LEN}, 0))
+         AS segments
+FROM sp GROUP BY seq_id ORDER BY seq_id
+""",
+    "pipeline", "packing", "sequences", "split", "training-loader",
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-aware sequence packing (operators.pipeline.pack_sequences,
+    seq_len=128): every sequence except the last is exactly full, docs
+    cross boundaries, and ``segments`` is the ordered doc-span map in
+    within-sequence token coordinates.  The global prefix sum runs as the
+    two-phase bucket form (256-row offset table; no global-sort window);
+    the oracle replays the same intervals with a plain ordered window —
+    fine at oracle scale, the thing the distributed form exists to
+    avoid."""
+    docs = _t(spark, sf_dir, "documents")
+    return PL.pack_sequences(docs, seq_len=_SEQ_LEN)
+
+
+def _mw_avg_cte(src: str) -> str:
+    return (
+        f"SELECT CAST((2 * SUM(w * mloss_u) + SUM(w)) // (2 * SUM(w))"
+        f" AS BIGINT) AS avg_u FROM {src}"
+    )
+
+
+def _mw_step_cte(src: str, avg: str) -> str:
+    return f"""
+SELECT source, n_docs, mloss_u,
+       CAST((2 * (w * (1000000 + (GREATEST(mloss_u - {avg}.avg_u, 0) + 1) // 2))
+             + 1000000) // 2000000 AS BIGINT) AS w
+FROM {src} CROSS JOIN {avg}
+""".strip()
+
+
+@register(
+    "docs_domain_reweight",
+    f"""
+WITH s AS (SELECT source, text, {_D_TOKS} AS toks FROM documents),
+b AS (SELECT source, {_QU_MOMENTS_SQL} FROM s),
+q AS (SELECT source, {_QU_EXPR_SQL} AS qu FROM b),
+g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(qu) AS BIGINT) AS sum_qu
+  FROM q GROUP BY source
+),
+w0 AS (
+  SELECT source, n_docs,
+         CAST((2 * (4000000 * n_docs - sum_qu) + n_docs) // (2 * n_docs)
+              AS BIGINT) AS mloss_u,
+         CAST(1000000 AS BIGINT) AS w
+  FROM g
+),
+a1 AS ({_mw_avg_cte('w0')}),
+u1 AS ({_mw_step_cte('w0', 'a1')}),
+a2 AS ({_mw_avg_cte('u1')}),
+u2 AS ({_mw_step_cte('u1', 'a2')}),
+a3 AS ({_mw_avg_cte('u2')}),
+u3 AS ({_mw_step_cte('u2', 'a3')})
+SELECT u1.source, u1.n_docs, u1.mloss_u,
+       u1.w AS w1, u2.w AS w2, u3.w AS w3
+FROM u1
+JOIN u2 ON u1.source = u2.source
+JOIN u3 ON u1.source = u3.source
+ORDER BY u1.source
+""",
+    "pipeline", "mixture", "doremi", "multiplicative-weights", "iterative",
+)
+def docs_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored domain reweighting (operators.pipeline
+    .domain_reweight_mw): 3 multiplicative-weights iterations over the
+    per-domain mean quality-deficit loss proxy, entirely in int64
+    micro-units with half-up integer divisions, so the trajectory —
+    including the per-iteration weighted-average recomputation that
+    makes domains interact — is bit-exact against the unrolled-CTE
+    oracle.  The corpus is scanned once; iterations touch only the
+    domain-sized weight frame."""
+    docs = _t(spark, sf_dir, "documents")
+    return PL.domain_reweight_mw(docs, iterations=3)

@@ -564,6 +564,9 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
     "docs_decontaminate": "benchmark gram set: benchmark-corpus-bounded",
     "docs_temperature_mix": "per-domain keep-ratio table: domain-bounded",
     "docs_token_budget_sample": "per-bucket offset table: 256 buckets",
+    "docs_pack_sequences": "per-bucket offset table: 256 buckets (same as docs_token_budget_sample)",
+    # (docs_domain_reweight's broadcasts are 1-row aggregates, which the
+    # sweep's bounded-scalar rule already accepts without justification)
     "orders_merge_upsert": "upsert key list: update-batch-bounded",
 }
 

@@ -158,6 +158,127 @@ def test_queries_md_carries_twin_column():
 
 
 # ---------------------------------------------------------------------------
+# r7 breadth: split-aware sequence packing + MW domain reweighting
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_handcomputed(spark):
+    """3/5/6-token docs at seq_len=4: the token stream is cut every 4
+    tokens, docs straddle boundaries, spans are exact."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        pipeline as PL,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g h"), (3, "i j k l m n")],
+        "doc_id: long, text: string",
+    )
+    rows = {r.seq_id: r for r in PL.pack_sequences(docs, seq_len=4).collect()}
+    # stream: doc1 [0,3) doc2 [3,8) doc3 [8,14); cuts at 4, 8, 12
+    assert rows[0].segments == "1:0-3,2:3-4"
+    assert rows[1].segments == "2:0-4"
+    assert rows[2].segments == "3:0-4"
+    assert rows[3].segments == "3:0-2"
+    assert [rows[i].n_tokens for i in range(4)] == [4, 4, 4, 2]
+    assert [rows[i].n_segments for i in range(4)] == [2, 1, 1, 1]
+
+
+def test_pack_sequences_invariants(spark):
+    """Corpus-wide: every sequence but the last is exactly full; token
+    mass is conserved; each sequence's spans tile [0, n_tokens) without
+    gap or overlap; the two-phase prefix sum equals the naive global
+    window."""
+    from pyspark.sql import Window
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        pipeline as PL,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = PL.pack_sequences(docs, seq_len=128).collect()
+    assert all(r.n_tokens == 128 for r in rows[:-1]) and rows[-1].n_tokens <= 128
+    total = docs.select(
+        F.sum(F.size(TF.tokens("text"))).cast("bigint")
+    ).collect()[0][0]
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        spans = [
+            tuple(map(int, seg.split(":")[1].split("-")))
+            for seg in r.segments.split(",")
+        ]
+        assert spans[0][0] == 0
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c, r
+        assert spans[-1][1] == r.n_tokens
+    # naive global-window replay of the doc intervals
+    naive = (
+        docs.select(
+            "doc_id", F.size(TF.tokens("text")).cast("bigint").alias("nt")
+        )
+        .filter(F.col("nt") >= 1)
+        .withColumn(
+            "cum",
+            F.sum("nt").over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .collect()
+    )
+    first_doc_of_seq = {}
+    for n in naive:
+        s = (n.cum - n.nt) // 128
+        first_doc_of_seq.setdefault(s, n.doc_id)
+    for r in rows:
+        lead = int(r.segments.split(",")[0].split(":")[0])
+        if r.seq_id in first_doc_of_seq:
+            # the sequence's first NEW doc; a straddler from the previous
+            # sequence may still open it
+            assert lead <= first_doc_of_seq[r.seq_id]
+
+
+def test_domain_reweight_python_parity(spark):
+    """Full integer-parity with an independent Python reimplementation of
+    the MW trajectory (moments from _quality_u_py), including the
+    per-iteration weighted-average interaction."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        pipeline as PL,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {r.source: r for r in PL.domain_reweight_mw(docs).collect()}
+
+    texts = docs.select("source", "text").collect()
+    agg: dict[str, list[int]] = {}
+    for r in texts:
+        qu = _quality_u_py(r.text)[3]
+        n, s = agg.get(r.source, (0, 0))
+        agg[r.source] = (n + 1, s + qu)
+
+    def rhu(p: int, q: int) -> int:
+        return (2 * p + q) // (2 * q)
+
+    mloss = {g: rhu(4_000_000 * n - s, n) for g, (n, s) in agg.items()}
+    w = {g: 1_000_000 for g in mloss}
+    hist = {g: [] for g in mloss}
+    for _ in range(3):
+        avg = rhu(sum(w[g] * mloss[g] for g in w), sum(w.values()))
+        for g in w:
+            ex = max(mloss[g] - avg, 0)
+            w[g] = rhu(w[g] * (1_000_000 + (ex + 1) // 2), 1_000_000)
+            hist[g].append(w[g])
+    assert set(got) == set(mloss)
+    for g in mloss:
+        assert got[g].n_docs == agg[g][0]
+        assert got[g].mloss_u == mloss[g], g
+        assert (got[g].w1, got[g].w2, got[g].w3) == tuple(hist[g]), g
+    # MW sanity: some domain was actually up-weighted, and none shrank
+    assert any(v.w3 > 1_000_000 for v in got.values())
+    assert all(v.w3 >= v.w2 >= v.w1 >= 1_000_000 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
 # Confusion-matrix artifact export (reference literal parity: the two
 # driver-side heatmap scripts desicion_tree_confusion_matrix.py /
 # random_forest_confusion_matrix.py hand-transcribe an 8x8 matrix; the

@@ -80,6 +80,22 @@ AUDIT = {
         "ordering is the broadcast 256-row bucket-offset table, and the "
         "pack windows are partitioned.  No stage materializes."
     ),
+    "docs_pack_sequences": (
+        "The global token prefix sum is the two-phase bucket form: the "
+        "only ordered window over the whole corpus runs on the 256-row "
+        "bucket-total frame (broadcast back), per-doc cumulative sums are "
+        "bucket-partitioned windows, and the scan projects only "
+        "(doc_id, tokenized length) — text never shuffles.  The "
+        "boundary-straddle explode fans out 1 + nt/seq_len rows per doc, "
+        "bounded by the doc's own length."
+    ),
+    "docs_domain_reweight": (
+        "The corpus is scanned ONCE for per-domain integer quality "
+        "moments (partial_ aggregates, domain-keyed exchange of "
+        "|domains| rows); all three MW iterations are 1-row aggregates + "
+        "broadcast joins on the domain-sized frame, so iteration count "
+        "never touches corpus-shaped data."
+    ),
 }
 
 _KEEP_DETail_PREFIXES = (
