@@ -98,12 +98,13 @@ _PRIORITY = [
     "dedup_simhash",                     # rotated in r7 (last driver row r1, oldest-first)
     "q4_order_priority",                 # rotated in r7 (last driver row r2, oldest-first)
     "q22_sales_opportunity",             # rotated in r7 (last driver row r2, oldest-first)
-    "q11_important_parts",               # rotated in r7 (last driver row r2, oldest-first)
+    "ann_pq_adc_topk",                   # NEW r7 (oracled): PQ-ADC serving structure, decimal-exact end-to-end
     "docs_pack_sequences",               # NEW r7 (oracled): split-aware sequence packing, boundary map
     "docs_domain_reweight",              # NEW r7 (oracled): integer-exact multiplicative-weights mixture
     # ---- window boundary (50) ----  overflow: operator covered by an
-    "q15_top_supplier",                  # displaced by the two r7 additions; last row r2, next rotation
-    "q16_supplier_part_count",           # displaced by the two r7 additions; last row r2, next rotation
+    "q11_important_parts",               # displaced by the r7 additions; last row r2, next rotation
+    "q15_top_supplier",                  # displaced by the r7 additions; last row r2, next rotation
+    "q16_supplier_part_count",           # displaced by the r7 additions; last row r2, next rotation
     # in-window sibling or recently driver-green (comments name the
     # covering twin / last green round)
     "complaints_clean",                  # reference-parity core anchor

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "ann_range_search",
     "ann_recall_eval",
     "ann_int8_rerank_topk",
+    "ann_pq_adc_topk",
     # round-4 breadth: temperature mixture + curriculum + manifest
     "docs_temperature_mix",
     "docs_quality_deciles",

@@ -18,6 +18,7 @@ constant stays aligned across the Spark plan and the oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import pipeline as PL
 from .catalog import _t, register
@@ -130,3 +131,83 @@ def docs_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain-sized weight frame."""
     docs = _t(spark, sf_dir, "documents")
     return PL.domain_reweight_mw(docs, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ADC (the PQ half of IVF-PQ serving)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8          # subspaces
+_PQ_K = 16         # centroids per subspace (sampled: vec_id < 16)
+_PQ_SUBDIM = 8     # 64-dim fixture / 8 subspaces
+
+# per-subspace decimal dot between two embeddings over subspace s
+# (dims s*8+1 .. s*8+8), matching operators.similarity.dot_decimal's
+# double-product -> DECIMAL(20,15) fold
+_PQ_SUBDOT = (
+    "SUM(CAST(CAST({a}.embedding[{s} * 8 + j.j] AS DOUBLE)"
+    " * CAST({b}.embedding[{s} * 8 + j.j] AS DOUBLE) AS DECIMAL(20,15)))"
+)
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+WITH j AS (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS j),
+cb AS (
+  SELECT s.s AS s, vec_id AS cid, embedding
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) s
+  WHERE vec_id < {_PQ_K}
+),
+cdot AS (
+  SELECT e.vec_id, c.s, c.cid,
+         {_PQ_SUBDOT.format(a='e', b='c', s='c.s')} AS d
+  FROM embeddings e CROSS JOIN cb c CROSS JOIN j
+  GROUP BY e.vec_id, c.s, c.cid
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d DESC, cid) AS rn
+    FROM cdot
+  ) x WHERE rn = 1
+),
+lut AS (
+  SELECT p.vec_id AS probe_id, c.s, c.cid,
+         {_PQ_SUBDOT.format(a='p', b='c', s='c.s')} AS pd
+  FROM embeddings p CROSS JOIN cb c CROSS JOIN j
+  WHERE p.vec_id < 10
+  GROUP BY p.vec_id, c.s, c.cid
+),
+sc AS (
+  SELECT l.probe_id, co.vec_id AS neighbor_id, SUM(l.pd) AS adc_dec
+  FROM codes co JOIN lut l ON l.s = co.s AND l.cid = co.cid
+  WHERE co.vec_id <> l.probe_id
+  GROUP BY l.probe_id, co.vec_id
+)
+SELECT probe_id, neighbor_id,
+       ROUND(CAST(adc_dec AS DOUBLE), 6) AS adc_score,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY adc_dec DESC, neighbor_id) AS rank
+  FROM sc
+) r WHERE rank <= 5
+""",
+    "similarity", "ann", "pq", "adc", "quantization",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (operators.similarity.pq_adc_topk;
+    probes vec_id < 10, sampled 16-centroid codebooks over 8 subspaces):
+    the corpus side of the scoring join carries only 8 small ints per
+    vector — the 32x-memory PQ serving structure (compose with the IVF
+    cell filter for full IVF-PQ) — and every ranking-path value is exact
+    decimal, so codes, lookup tables, ADC sums, and the top-5 cut all
+    replay bit-exactly in this unrolled-SQL oracle.  Recall vs the exact
+    ann_cosine_topk baseline is pinned in tests/test_round7.py."""
+    from ..operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), m=_PQ_M, k_codebook=_PQ_K, k=5
+    )

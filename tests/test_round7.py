@@ -279,6 +279,57 @@ def test_domain_reweight_python_parity(spark):
 
 
 # ---------------------------------------------------------------------------
+# PQ-ADC (product quantization, inner-product flavor)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """Every vector gets exactly m codes, each cid < k; codebook vectors
+    reconstruct themselves (a codebook member's code in each subspace is
+    a centroid with an equal-or-better dot than its own — for unit-ish
+    random vectors its OWN subvector wins or ties)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        similarity as SIM,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cb = SIM.pq_codebook(emb, m=8, k=16)
+    assert cb.count() == 8 * 16
+    codes = SIM.pq_assign_codes(emb, cb, m=8)
+    n_vec = emb.count()
+    assert codes.count() == n_vec * 8
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 8 for r in per_vec)
+    assert codes.filter((F.col("cid") < 0) | (F.col("cid") >= 16)).count() == 0
+    # determinism: two independent builds agree exactly
+    again = SIM.pq_assign_codes(emb, cb, m=8)
+    assert codes.exceptAll(again).count() == 0
+
+
+def test_pq_adc_recall_floor(spark):
+    """ADC top-5 must beat chance decisively on the fixture: random
+    embeddings are PQ's worst case (near-orthogonal, no cluster
+    structure for the sampled codebook to exploit), and chance recall@5
+    is 5/(n-1) ~ 0.01 at sf0.001 — the pin is 10x chance.  On real
+    clustered embeddings a trained codebook does far better; this floor
+    guards the plumbing (codes, LUT, ADC sum), not index quality."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        similarity as SIM,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, probes, k=5)
+    pq = catalog.CATALOG["ann_pq_adc_topk"].fn(spark, SF_SMOKE)
+    rec = (
+        SIM.recall_at_k(pq, exact, k=5)
+        .agg(F.avg("recall").alias("r"))
+        .collect()[0]["r"]
+    )
+    assert rec >= 0.10, rec
+
+
+# ---------------------------------------------------------------------------
 # Confusion-matrix artifact export (reference literal parity: the two
 # driver-side heatmap scripts desicion_tree_confusion_matrix.py /
 # random_forest_confusion_matrix.py hand-transcribe an 8x8 matrix; the
