@@ -49,8 +49,10 @@ _PRIORITY = [
     # the r6 erroring media row (scalar surface), the three entries that
     # have never had a driver row, the five entries whose hash surface
     # moved to the engine-stable integer quality_u in the r7 ROUND audit,
-    # and 39 oldest-first rotations (every r1/r2-vintage entry gets a
-    # fresh row).  Derived from the union of CORRECTNESS_r01-r06.
+    # the five NEW r7 entries (sequence packing, MW reweight + its apply
+    # step, PQ-ADC + full IVF-PQ serving), and 34 oldest-first rotations
+    # (every r1-vintage entry gets a fresh row; the remaining r2-vintage
+    # ones lead the overflow for r8).  Derived from CORRECTNESS_r01-r06.
     "q12_shipping_delay_class",          # re-check: oracle SUM counts now CAST AS BIGINT (r6 FAIL was HUGEINT->float64 on the hash surface)
     "dedup_canonical_best",              # re-check: rank+surface moved to integer micro-unit quality_u (r6 FAIL was float-ROUND build sensitivity)
     "media_resize_images",               # re-check: catalog surface now n_pixels+checksum scalars (r6 row errored hashing the raw tensor)
@@ -96,12 +98,14 @@ _PRIORITY = [
     "docs_language_id",                  # rotated in r7 (last driver row r1, oldest-first)
     "docs_fingerprints",                 # rotated in r7 (last driver row r1, oldest-first)
     "dedup_simhash",                     # rotated in r7 (last driver row r1, oldest-first)
-    "q4_order_priority",                 # rotated in r7 (last driver row r2, oldest-first)
-    "q22_sales_opportunity",             # rotated in r7 (last driver row r2, oldest-first)
+    "docs_reweighted_sample",            # NEW r7 (oracled): optimize->apply mixture composition
+    "ann_ivfpq_topk",                    # NEW r7 (rows-only): full IVF-PQ serving; consistency+recall pinned
     "ann_pq_adc_topk",                   # NEW r7 (oracled): PQ-ADC serving structure, decimal-exact end-to-end
     "docs_pack_sequences",               # NEW r7 (oracled): split-aware sequence packing, boundary map
     "docs_domain_reweight",              # NEW r7 (oracled): integer-exact multiplicative-weights mixture
     # ---- window boundary (50) ----  overflow: operator covered by an
+    "q4_order_priority",                 # displaced by the r7 additions; last row r2, next rotation
+    "q22_sales_opportunity",             # displaced by the r7 additions; last row r2, next rotation
     "q11_important_parts",               # displaced by the r7 additions; last row r2, next rotation
     "q15_top_supplier",                  # displaced by the r7 additions; last row r2, next rotation
     "q16_supplier_part_count",           # displaced by the r7 additions; last row r2, next rotation

@@ -84,12 +84,14 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     "ann_int8_rerank_topk",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     # round-4 breadth: temperature mixture + curriculum + manifest
     "docs_temperature_mix",
     "docs_quality_deciles",
     "docs_pack_manifest",
     "docs_pack_sequences",
     "docs_domain_reweight",
+    "docs_reweighted_sample",
     "docs_training_export",
     "docs_bm25_rank",
     "docs_hybrid_rrf",

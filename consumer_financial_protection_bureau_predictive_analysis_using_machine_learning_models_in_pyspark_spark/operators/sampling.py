@@ -185,6 +185,70 @@ def temperature_sample(
     )
 
 
+def weighted_mixture_sample(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "w",
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Realize an externally-optimized group mixture: given a per-group
+    target-weight table (any positive exact weights — e.g.
+    ``pipeline.domain_reweight_mw``'s integer ``w3``), draw a
+    deterministic ~``target_frac`` sample whose group mixture follows
+    w_g / Σw.  This is the APPLY step that closes the mixture-
+    optimization loop: reweight computes the target, this realizes it.
+
+    keep_g = min(1, target_frac · (w_g/W) · (N/n_g)); membership is the
+    same engine-reproducible md5-uniform Bernoulli as
+    ``temperature_sample`` (whose self-computed share^alpha weights this
+    generalizes to caller-supplied ones).  The weight/count arithmetic
+    is correctly-rounded IEEE doubles over exact integers in one fixed
+    association order, mirrored by the SQL oracle.
+
+    Scale posture: identical to temperature_sample — the weight table is
+    a bounded domain dim (broadcast), the sample a map-side filter.
+    Returns kept rows with ``keep_frac``, ``group_total`` and the
+    group's ``mix_weight`` attached.
+    """
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    wtab = weights.select(group_col, F.col(weight_col).alias("_w"))
+    joined = (
+        counts.join(wtab, group_col)
+        .withColumn("_n_tot", F.sum("_n_g").over(everything).cast("bigint"))
+        .withColumn("_w_tot", F.sum("_w").over(everything).cast("bigint"))
+    )
+    keep = F.least(
+        F.lit(1.0),
+        F.lit(float(target_frac))
+        * (F.col("_w").cast("double") / F.col("_w_tot").cast("double"))
+        * (F.col("_n_tot").cast("double") / F.col("_n_g").cast("double")),
+    )
+    wfinal = joined.select(
+        group_col, "_n_g", F.col("_w"), keep.alias("_keep")
+    )
+    unif = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint") / F.lit(float(16 ** 13))
+    return (
+        df.join(F.broadcast(wfinal), group_col)
+        .filter(unif < F.col("_keep"))
+        .withColumn(
+            "keep_frac",
+            F.floor(F.col("_keep") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        )
+        .withColumn("group_total", F.col("_n_g").cast("bigint"))
+        .withColumn("mix_weight", F.col("_w").cast("bigint"))
+        .drop("_n_g", "_w", "_keep")
+    )
+
+
 def train_test_split(
     df: DataFrame, weights: list[float] | None = None, seed: int = 42
 ) -> list[DataFrame]:

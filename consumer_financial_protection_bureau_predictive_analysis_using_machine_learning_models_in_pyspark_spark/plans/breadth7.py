@@ -87,10 +87,11 @@ FROM {src} CROSS JOIN {avg}
 """.strip()
 
 
-@register(
-    "docs_domain_reweight",
-    f"""
-WITH s AS (SELECT source, text, {_D_TOKS} AS toks FROM documents),
+# the shared 3-iteration MW trajectory (moments -> losses -> w0..u3),
+# reused verbatim by docs_domain_reweight and docs_reweighted_sample so
+# the optimize and apply entries can never drift apart
+_MW_CTES = f"""
+s AS (SELECT source, text, {_D_TOKS} AS toks FROM documents),
 b AS (SELECT source, {_QU_MOMENTS_SQL} FROM s),
 q AS (SELECT source, {_QU_EXPR_SQL} AS qu FROM b),
 g AS (
@@ -111,6 +112,13 @@ a2 AS ({_mw_avg_cte('u1')}),
 u2 AS ({_mw_step_cte('u1', 'a2')}),
 a3 AS ({_mw_avg_cte('u2')}),
 u3 AS ({_mw_step_cte('u2', 'a3')})
+""".strip()
+
+
+@register(
+    "docs_domain_reweight",
+    f"""
+WITH {_MW_CTES}
 SELECT u1.source, u1.n_docs, u1.mloss_u,
        u1.w AS w1, u2.w AS w2, u3.w AS w3
 FROM u1
@@ -210,4 +218,102 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.pq_adc_topk(
         emb, emb.filter(F.col("vec_id") < 10), m=_PQ_M, k_codebook=_PQ_K, k=5
+    )
+
+
+@register(
+    "docs_reweighted_sample",
+    f"""
+WITH {_MW_CTES},
+wt AS (SELECT source, n_docs, w FROM u3),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+         CAST(SUM(w) AS BIGINT) AS w_tot
+  FROM wt
+),
+keepf AS (
+  SELECT source, n_docs, w,
+         LEAST(1.0, 0.5 * (CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE))
+                        * (CAST(n_tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+           AS keep
+  FROM wt CROSS JOIN tot
+)
+SELECT d.source,
+       MIN(k.n_docs) AS n_total,
+       CAST(MIN(k.w) AS BIGINT) AS mix_weight,
+       FLOOR(MIN(k.keep) * 1e6 + 0.5) / 1e6 AS keep_frac,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM documents d
+JOIN keepf k ON d.source = k.source
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        / POWER(16, 13) < k.keep
+GROUP BY d.source
+ORDER BY d.source
+""",
+    "sampling", "mixture", "doremi", "apply", "deterministic",
+)
+def docs_reweighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step closing the mixture-optimization loop:
+    docs_domain_reweight's final integer weights (w3) become the target
+    mixture, realized at half the corpus by
+    operators.sampling.weighted_mixture_sample's deterministic
+    md5-Bernoulli — docs_temperature_mix's machinery with the
+    heuristic share^alpha weights replaced by the OPTIMIZED ones.  The
+    oracle replays the whole optimize→apply composition (the MW CTEs
+    are shared verbatim with the reweight entry), so a drift in either
+    half fails the hash.  Reports per source: corpus count, weight,
+    keep fraction, kept count."""
+    from ..operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    rw = PL.domain_reweight_mw(docs, iterations=3)
+    kept = SA.weighted_mixture_sample(
+        docs,
+        rw.select("source", F.col("w3").alias("w")),
+        group_col="source",
+        id_col="doc_id",
+        weight_col="w",
+        target_frac=0.5,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.min("group_total").alias("n_total"),
+            F.min("mix_weight").cast("bigint").alias("mix_weight"),
+            F.min("keep_frac").alias("keep_frac"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+        .select("source", "n_total", "mix_weight", "keep_frac", "n_kept")
+        .orderBy("source")
+    )
+
+
+@register(
+    "ann_ivfpq_topk", None,  # rows-only: the IVF coarse quantizer is
+    # MLlib KMeans (codebook not SQL-expressible); recall + full-scan
+    # ADC consistency are pinned in tests/test_round7.py
+    "similarity", "ann", "ivf", "pq", "adc", "serving",
+    twin_of="ann_pq_adc_topk",
+    twin_pin="tests/test_round7.py::test_ivfpq_consistent_with_full_scan_adc",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ serving (operators.similarity.ivfpq_topk) from the
+    persisted IVF index: the coarse quantizer prunes candidates to the
+    probe's 3 cells, PQ-ADC scores the survivors — the query path
+    touches cell-membership ids and 8 ints of code per candidate, never
+    a float corpus vector.  The composition ann_pq_adc_topk's docstring
+    promises, as a catalog entry: cells bound the candidate count
+    (IVF), codes bound the bytes per candidate (PQ)."""
+    from ..operators import similarity as SIM
+    from .text_queries import ivf_index_for
+
+    idx = ivf_index_for(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(
+        idx,
+        emb.filter(F.col("vec_id") < 10),
+        m=_PQ_M,
+        k_codebook=_PQ_K,
+        k=5,
+        n_probe_cells=3,
     )

@@ -121,6 +121,7 @@ def test_twin_registry_integrity():
     }
     expected = {
         "ann_cosine_topk_fast",
+        "ann_ivfpq_topk",
         "ann_semantic_canonical_fast",
         "dedup_minhash_fast",
         "docs_quality_deciles_approx",
@@ -304,6 +305,77 @@ def test_pq_codes_shape_and_determinism(spark):
     # determinism: two independent builds agree exactly
     again = SIM.pq_assign_codes(emb, cb, m=8)
     assert codes.exceptAll(again).count() == 0
+
+
+def test_ivfpq_consistent_with_full_scan_adc(spark):
+    """IVF-PQ is full-scan PQ-ADC under a cell filter: every pair it
+    returns must carry EXACTLY the full-scan ADC score for that pair
+    (same codes, same lookup tables — the decimal path makes this an
+    equality, not a tolerance), and its result set must be a subset of
+    the candidate pairs the probed cells admit."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        similarity as SIM,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.text_queries import (  # noqa: E501
+        ivf_index_for,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    full = {
+        (r.probe_id, r.neighbor_id): r.adc_score
+        for r in SIM.pq_adc_topk(emb, probes, m=8, k_codebook=16, k=n).collect()
+    }
+    idx = ivf_index_for(spark, SF_SMOKE)
+    got = SIM.ivfpq_topk(idx, probes, m=8, k_codebook=16, k=5).collect()
+    assert got, "ivfpq returned rows"
+    for r in got:
+        key = (r.probe_id, r.neighbor_id)
+        assert key in full
+        assert r.adc_score == full[key], (key, r.adc_score, full[key])
+
+
+def test_ivfpq_recall_floor(spark):
+    """Same 10x-chance floor as the full-scan ADC entry — the cell filter
+    must not destroy what little signal the sampled codebook keeps."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        similarity as SIM,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, probes, k=5)
+    pred = catalog.CATALOG["ann_ivfpq_topk"].fn(spark, SF_SMOKE)
+    rec = (
+        SIM.recall_at_k(pred, exact, k=5)
+        .agg(F.avg("recall").alias("r"))
+        .collect()[0]["r"]
+    )
+    assert rec >= 0.10, rec
+
+
+def test_reweighted_sample_realizes_mixture(spark):
+    """The apply step must move the realized mixture TOWARD the optimized
+    weights: for every pair of sources, if source A got a strictly
+    larger weight than B but had the same corpus count, A must not keep
+    a smaller expected fraction (keep_frac monotone in weight for equal
+    counts); and each source's kept count must be within a loose
+    binomial envelope of keep_frac * n_total."""
+    rows = catalog.CATALOG["docs_reweighted_sample"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    by_count: dict[int, list] = {}
+    for r in rows:
+        assert 0.0 < r.keep_frac <= 1.0
+        # binomial envelope: mean +- 5 sd + slack
+        mean = r.keep_frac * r.n_total
+        sd = (r.n_total * r.keep_frac * (1 - r.keep_frac)) ** 0.5
+        assert abs(r.n_kept - mean) <= 5 * sd + 3, (r.source, r.n_kept, mean)
+        by_count.setdefault(r.n_total, []).append(r)
+    for grp in by_count.values():
+        grp.sort(key=lambda r: r.mix_weight)
+        for lo, hi in zip(grp, grp[1:]):
+            assert hi.keep_frac >= lo.keep_frac, (lo, hi)
 
 
 def test_pq_adc_recall_floor(spark):
