@@ -49,10 +49,11 @@ _PRIORITY = [
     # the r6 erroring media row (scalar surface), the three entries that
     # have never had a driver row, the five entries whose hash surface
     # moved to the engine-stable integer quality_u in the r7 ROUND audit,
-    # the five NEW r7 entries (sequence packing, MW reweight + its apply
-    # step, PQ-ADC + full IVF-PQ serving), and 34 oldest-first rotations
-    # (every r1-vintage entry gets a fresh row; the remaining r2-vintage
-    # ones lead the overflow for r8).  Derived from CORRECTNESS_r01-r06.
+    # the eight NEW r7 entries (sequence packing, MW reweight + its
+    # apply step, PQ-ADC + full IVF-PQ serving, epoch shuffle,
+    # calibration + threshold sweep), and 31 oldest-first rotations
+    # (three r1-vintage entries were displaced by the late additions and
+    # lead the r8 overflow).  Derived from CORRECTNESS_r01-r06.
     "q12_shipping_delay_class",          # re-check: oracle SUM counts now CAST AS BIGINT (r6 FAIL was HUGEINT->float64 on the hash surface)
     "dedup_canonical_best",              # re-check: rank+surface moved to integer micro-unit quality_u (r6 FAIL was float-ROUND build sensitivity)
     "media_resize_images",               # re-check: catalog surface now n_pixels+checksum scalars (r6 row errored hashing the raw tensor)
@@ -95,15 +96,18 @@ _PRIORITY = [
     "events_ordinal",                    # rotated in r7 (last driver row r1, oldest-first)
     "orders_running_total",              # rotated in r7 (last driver row r1, oldest-first)
     "topk_companies_per_state",          # rotated in r7 (last driver row r1, oldest-first)
-    "docs_language_id",                  # rotated in r7 (last driver row r1, oldest-first)
-    "docs_fingerprints",                 # rotated in r7 (last driver row r1, oldest-first)
-    "dedup_simhash",                     # rotated in r7 (last driver row r1, oldest-first)
+    "docs_epoch_shuffle",                # NEW r7 (oracled): multi-epoch md5 shuffle manifest, no global sort
+    "ml_timely_lr_calibration",          # NEW r7 (rows-only): reliability/ECE table; invariants pinned
+    "ml_timely_lr_threshold_sweep",      # NEW r7 (rows-only): one-pass PR curve; equals naive filters (pinned)
     "docs_reweighted_sample",            # NEW r7 (oracled): optimize->apply mixture composition
     "ann_ivfpq_topk",                    # NEW r7 (rows-only): full IVF-PQ serving; consistency+recall pinned
     "ann_pq_adc_topk",                   # NEW r7 (oracled): PQ-ADC serving structure, decimal-exact end-to-end
     "docs_pack_sequences",               # NEW r7 (oracled): split-aware sequence packing, boundary map
     "docs_domain_reweight",              # NEW r7 (oracled): integer-exact multiplicative-weights mixture
     # ---- window boundary (50) ----  overflow: operator covered by an
+    "docs_language_id",                  # displaced by the r7 additions; last row r1, leads r8 rotation
+    "docs_fingerprints",                 # displaced by the r7 additions; last row r1, leads r8 rotation
+    "dedup_simhash",                     # displaced by the r7 additions; last row r1, leads r8 rotation
     "q4_order_priority",                 # displaced by the r7 additions; last row r2, next rotation
     "q22_sales_opportunity",             # displaced by the r7 additions; last row r2, next rotation
     "q11_important_parts",               # displaced by the r7 additions; last row r2, next rotation

@@ -160,7 +160,11 @@ BENCH_QUERIES = [
     "ml_timely_lr",
     "ml_timely_lr_lift",
     "ml_timely_lr_lift_approx",
+    "ml_timely_lr_calibration",
+    "ml_timely_lr_threshold_sweep",
     "ml_response_dt",
+    # r7 part 2: loader-side layout
+    "docs_epoch_shuffle",
 ]
 
 

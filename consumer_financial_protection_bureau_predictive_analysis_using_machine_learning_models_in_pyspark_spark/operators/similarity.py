@@ -1133,6 +1133,8 @@ def pq_adc_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """PQ top-k by asymmetric distance computation (ADC), inner-product
     flavor: each probe precomputes its per-subspace dot with every
@@ -1149,11 +1151,20 @@ def pq_adc_topk(
     bit-exactly in the unrolled-SQL oracle.  Recall vs the exact cosine
     baseline is pinned in pytest (sampled 16-centroid codebooks are the
     honest cheap baseline, not a tuned index).
-    Returns (probe_id, neighbor_id, adc_score, rank)."""
+
+    ``codes``/``codebook`` are the offline artifacts (built once per
+    corpus; the plans layer caches them like the IVF index) — when
+    omitted they are derived here, which re-pays the offline build on
+    every call.  Returns (probe_id, neighbor_id, adc_score, rank)."""
     from pyspark.sql import Window
 
-    cb = pq_codebook(corpus, m, k_codebook, dim, id_col, vec_col)
-    codes = pq_assign_codes(corpus, cb, m, dim, id_col, vec_col)
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(corpus, m, k_codebook, dim, id_col, vec_col)
+    )
+    if codes is None:
+        codes = pq_assign_codes(corpus, cb, m, dim, id_col, vec_col)
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
     )

@@ -158,6 +158,54 @@ _PQ_SUBDOT = (
 )
 
 
+# Offline PQ artifacts (codebook + corpus codes) per sf_dir — the same
+# build-once lifecycle as text_queries._IVF_CACHE: serving entries must
+# measure the QUERY path, not re-pay the offline encode per call.
+# Session-validated on every hit (a dead session's persisted blocks died
+# with its executors); deterministic, so caching cannot change values.
+_PQ_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def pq_artifacts_for(
+    spark: SparkSession, sf_dir: str, m: int = _PQ_M, k: int = _PQ_K
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, codes) for the embeddings table, persisted + memoized."""
+    from ..operators import similarity as SIM
+
+    key = (sf_dir, m, k)
+    art = _PQ_CACHE.get(key)
+    if art is not None and art[1].sparkSession is not spark:
+        _PQ_CACHE.pop(key, None)
+        art = None
+    if art is None:
+        from pyspark import StorageLevel
+
+        emb = _t(spark, sf_dir, "embeddings")
+        cb = SIM.pq_codebook(emb, m, k)
+        codes = SIM.pq_assign_codes(emb, cb, m).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        codes.count()  # materialize: the "index is on disk" contract
+        art = (cb, codes)
+        _PQ_CACHE[key] = art
+    return art
+
+
+def pq_artifacts_release(sf_dir: str | None = None) -> int:
+    """Evict cached PQ artifacts (all, or just ``sf_dir``'s), unpersisting
+    the codes frames.  Same teardown contract as ivf_index_release."""
+    evicted = 0
+    for key in list(_PQ_CACHE):
+        if sf_dir is None or key[0] == sf_dir:
+            _cb, codes = _PQ_CACHE.pop(key)
+            try:
+                codes.unpersist()
+            except Exception:
+                pass  # dead session: blocks already gone
+            evicted += 1
+    return evicted
+
+
 @register(
     "ann_pq_adc_topk",
     f"""
@@ -212,12 +260,21 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell filter for full IVF-PQ) — and every ranking-path value is exact
     decimal, so codes, lookup tables, ADC sums, and the top-5 cut all
     replay bit-exactly in this unrolled-SQL oracle.  Recall vs the exact
-    ann_cosine_topk baseline is pinned in tests/test_round7.py."""
+    ann_cosine_topk baseline is pinned in tests/test_round7.py.  Serves
+    from the cached offline artifacts (pq_artifacts_for) — the entry
+    measures ADC scoring, not the per-call encode."""
     from ..operators import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
+    cb, codes = pq_artifacts_for(spark, sf_dir)
     return SIM.pq_adc_topk(
-        emb, emb.filter(F.col("vec_id") < 10), m=_PQ_M, k_codebook=_PQ_K, k=5
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        m=_PQ_M,
+        k_codebook=_PQ_K,
+        k=5,
+        codes=codes,
+        codebook=cb,
     )
 
 
@@ -309,6 +366,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = ivf_index_for(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
+    cb, codes = pq_artifacts_for(spark, sf_dir)
     return SIM.ivfpq_topk(
         idx,
         emb.filter(F.col("vec_id") < 10),
@@ -316,4 +374,67 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_codebook=_PQ_K,
         k=5,
         n_probe_cells=3,
+        codes=codes,
+        codebook=cb,
+    )
+
+
+_EP_N, _EP_SHARDS = 2, 8
+
+
+@register(
+    "docs_epoch_shuffle",
+    f"""
+WITH e AS (
+  SELECT doc_id, n_chars, CAST(unnest(range(0, {_EP_N})) AS INT) AS epoch
+  FROM documents
+),
+k AS (
+  SELECT epoch, doc_id, n_chars,
+         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+           AS order_key
+  FROM e
+),
+s AS (
+  SELECT epoch, n_chars, order_key,
+         CAST((instr('0123456789abcdef', substr(order_key, 1, 1)) - 1)
+              % {_EP_SHARDS} AS INT) AS shard_id
+  FROM k
+)
+SELECT epoch, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(order_key) AS first_key,
+       MAX(order_key) AS last_key
+FROM s
+GROUP BY epoch, shard_id
+ORDER BY epoch, shard_id
+""",
+    "layout", "shuffle", "epochs", "sharding", "training-loader",
+)
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(epoch, shard) manifest of the deterministic multi-epoch
+    training shuffle (operators.layout.epoch_shuffle): every epoch
+    permutes the corpus by an epoch-salted md5 rank and hash-shards it,
+    with NO global sort anywhere — the writer realizes the order as
+    partitionBy(shard) + sortWithinPartitions(order_key).  The manifest
+    folds each shard's doc/char balance plus its first/last order keys
+    (the replay cursor a resumable loader checkpoints).  Cross-epoch
+    decorrelation (a doc's epoch-0 and epoch-1 shards agree only at the
+    1/{_EP_SHARDS} chance rate) is pinned in tests/test_round7.py."""
+    from ..operators import layout as LY
+
+    docs = _t(spark, sf_dir, "documents")
+    shuffled = LY.epoch_shuffle(
+        docs, n_epochs=_EP_N, n_shards=_EP_SHARDS
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        shuffled.groupBy("epoch", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("order_key").alias("first_key"),
+            F.max("order_key").alias("last_key"),
+        )
+        .orderBy("epoch", "shard_id")
     )

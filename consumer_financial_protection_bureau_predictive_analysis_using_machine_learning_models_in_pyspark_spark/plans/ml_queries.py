@@ -320,3 +320,136 @@ def ml_timely_lr_lift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decile"),
     )
     return _lift_from_deciles(bucketed)
+
+
+@register(
+    "ml_timely_lr_calibration", None,
+    "ml", "binary", "lr", "calibration", "reliability",
+)
+def ml_timely_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table for the LR timely model — the
+    companion artifact to the lift/gains table: fixed-width probability
+    bins [0,0.1)..[0.9,1], per bin the count, mean predicted
+    probability, observed positive fraction, and their absolute gap
+    (whose n-weighted sum over bins is expected calibration error).
+    A model whose probabilities drive downstream sampling or routing
+    needs this table, not just an AUC.
+
+    Rows-only (model probabilities aren't SQL-expressible); mechanical
+    invariants — bin bounds contain mean_pred, counts fold to the test
+    split, weighted ECE under a fixture bound — are pinned in
+    tests/test_round7.py.
+
+    Scale shape: the bin id is a map-side projection (no NTILE, no
+    global sort anywhere) and the table is one 10-row aggregate; scoring
+    is embarrassingly parallel, so this runs at full-corpus scale
+    as-is."""
+    scored = _lr_scored(spark, sf_dir)
+    b = F.least(F.floor(F.col("p1") * 10).cast("int"), F.lit(9))
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("p1").alias("_mp"),
+            F.avg("y").alias("_fp"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round("_mp", 6).alias("mean_pred"),
+            F.round("_fp", 6).alias("frac_pos"),
+            F.round(F.abs(F.col("_mp") - F.col("_fp")), 6).alias("abs_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+_SWEEP_BINS = 20
+
+
+@register(
+    "ml_timely_lr_threshold_sweep", None,
+    "ml", "binary", "lr", "threshold", "pr-curve",
+)
+def ml_timely_lr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PR/confusion curve for the LR timely model in ONE pass: the
+    reference evaluates a single operating point (0.5); real deployments
+    pick the threshold from this table.  For every threshold k/20
+    (k=1..19): tp/fp/fn/tn and precision/recall/F1.
+
+    The naive sweep filters the scored frame once per threshold (19
+    scans).  Here: one map-side 20-cell histogram of (n, n_pos) by score
+    cell, then every threshold's confusion counts fall out of a
+    cumulative window over the 20-row aggregate — cell k's suffix sum IS
+    {p1 >= k/20} exactly (floor semantics), so the one-pass table equals
+    the 19-scan table row for row, pinned against direct filtering in
+    tests/test_round7.py.  The window runs over 20 rows, never the
+    scored frame: full-corpus cost is one scan + one 20-row fold."""
+    from pyspark.sql import Window
+
+    scored = _lr_scored(spark, sf_dir)
+    nb = _SWEEP_BINS
+    cell_expr = F.least(F.floor(F.col("p1") * nb).cast("int"), F.lit(nb - 1))
+    hist = scored.groupBy(cell_expr.alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    # densify: a score range with no rows still owes its threshold a row
+    cells = spark.range(nb).select(F.col("id").cast("int").alias("cell"))
+    hist = (
+        cells.join(hist, "cell", "left")
+        .fillna(0, subset=["n", "n_pos"])
+    )
+    tot = hist.agg(
+        F.sum("n").cast("bigint").alias("_nn"),
+        F.sum("n_pos").cast("bigint").alias("_pp"),
+    )
+    wc = Window.orderBy(F.desc("cell")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "cell",
+        F.sum("n").over(wc).alias("_pred_pos"),
+        F.sum("n_pos").over(wc).alias("_tp"),
+    )
+    counts = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cell") >= 1)
+        .select(
+            F.round(F.col("cell") / F.lit(float(nb)), 2).alias("threshold"),
+            F.col("_tp").cast("bigint").alias("tp"),
+            (F.col("_pred_pos") - F.col("_tp")).cast("bigint").alias("fp"),
+            (F.col("_pp") - F.col("_tp")).cast("bigint").alias("fn"),
+            (F.col("_nn") - F.col("_pp") - (F.col("_pred_pos") - F.col("_tp")))
+            .cast("bigint")
+            .alias("tn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    )
+    # CASE-guarded for ANSI mode (the driver's vanilla session): a
+    # positive-free split must yield 0, not a div-by-zero error
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.withColumn("_prec", prec)
+        .withColumn("_rec", rec)
+        .select(
+            "threshold", "tp", "fp", "fn", "tn",
+            F.round("_prec", 6).alias("precision"),
+            F.round("_rec", 6).alias("recall"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("_prec"), F.lit(0.0)) + F.col("_rec") > 0,
+                    2 * F.col("_prec") * F.col("_rec")
+                    / (F.col("_prec") + F.col("_rec")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
+    )

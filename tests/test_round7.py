@@ -500,3 +500,118 @@ def test_media_resize_catalog_surface_is_hashable(spark):
         cat = rows[r.media_id]
         assert cat.n_pixels == len(r.pixels) == 64
         assert abs(cat.px_checksum - sum(r.pixels)) <= 5e-7
+
+
+# ---------------------------------------------------------------------------
+# r7 part 2: eval pack (calibration / threshold sweep), epoch shuffle,
+# PQ offline-artifact cache
+# ---------------------------------------------------------------------------
+
+
+def test_lr_calibration_table(spark):
+    """Mechanical invariants of the reliability table: bins partition the
+    test split, each bin's mean prediction lies inside the bin, and the
+    n-weighted ECE stays sane on the pinned-seed fixture model."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.ml_queries import (  # noqa: E501
+        _lr_scored,
+    )
+
+    rows = (
+        catalog.CATALOG["ml_timely_lr_calibration"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows and all(0 <= r.bin <= 9 for r in rows)
+    total = _lr_scored(spark, SF_SMOKE).count()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        lo, hi = r.bin / 10.0, 1.0 if r.bin == 9 else (r.bin + 1) / 10.0
+        assert lo - 1e-6 <= r.mean_pred <= hi + 1e-6, r
+        assert 0.0 <= r.frac_pos <= 1.0
+        assert abs(r.abs_gap - abs(r.mean_pred - r.frac_pos)) <= 2e-6
+    ece = sum(r.n * r.abs_gap for r in rows) / total
+    assert ece <= 0.35, ece
+
+
+def test_lr_threshold_sweep_matches_direct_filters(spark):
+    """The one-pass histogram sweep must equal the naive per-threshold
+    filter computation EXACTLY (the identity {cell >= k} = {p1 >= k/20}
+    is what makes the single-scan formulation correct), and the curve
+    must behave: tp+fn constant, recall nonincreasing in threshold."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.ml_queries import (  # noqa: E501
+        _lr_scored,
+    )
+
+    table = {
+        r.threshold: r
+        for r in catalog.CATALOG["ml_timely_lr_threshold_sweep"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert len(table) == 19
+    scored = _lr_scored(spark, SF_SMOKE)
+    n_all = scored.count()
+    n_pos = scored.filter(F.col("y") == 1.0).count()
+    for t in (0.25, 0.5, 0.75):
+        tp = scored.filter((F.col("p1") >= t) & (F.col("y") == 1.0)).count()
+        pp = scored.filter(F.col("p1") >= t).count()
+        r = table[t]
+        assert (r.tp, r.fp, r.fn, r.tn) == (
+            tp, pp - tp, n_pos - tp, n_all - n_pos - (pp - tp),
+        ), t
+    ordered = [table[k] for k in sorted(table)]
+    assert all(r.tp + r.fn == n_pos for r in ordered)
+    assert all(
+        a.recall >= b.recall - 1e-9 for a, b in zip(ordered, ordered[1:])
+    )
+
+
+def test_epoch_shuffle_covers_decorrelates_and_replays(spark):
+    """Each epoch is a complete pass (every doc exactly once); epochs
+    don't correlate shard assignment beyond the 1/n_shards chance rate;
+    and the whole shuffle is deterministic across invocations."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        layout as LY,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    sh = LY.epoch_shuffle(docs, n_epochs=2, n_shards=8).cache()
+    per = sh.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("d"),
+    ).collect()
+    assert {r.epoch for r in per} == {0, 1}
+    assert all(r.n == n and r.d == n for r in per)
+    again = LY.epoch_shuffle(docs, n_epochs=2, n_shards=8)
+    assert sh.exceptAll(again).count() == 0
+    assert again.exceptAll(sh).count() == 0
+    e0 = sh.filter("epoch = 0").select("doc_id", F.col("shard_id").alias("s0"))
+    e1 = sh.filter("epoch = 1").select("doc_id", F.col("shard_id").alias("s1"))
+    same = e0.join(e1, "doc_id").filter("s0 = s1").count()
+    assert same / n < 0.35, same / n  # 1/8 chance + fixture slack
+    sh.unpersist()
+
+
+def test_pq_artifacts_cached_and_values_unchanged(spark):
+    """pq_artifacts_for memoizes (same frame object back), and the
+    cached-serving catalog entry returns exactly what an inline
+    cold-build pq_adc_topk returns — caching is a lifecycle change,
+    never a value change."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        similarity as SIM,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        breadth7 as B7,
+    )
+
+    B7.pq_artifacts_release()
+    cb1, codes1 = B7.pq_artifacts_for(spark, SF_SMOKE)
+    _cb2, codes2 = B7.pq_artifacts_for(spark, SF_SMOKE)
+    assert codes1 is codes2
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    inline = SIM.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), m=8, k_codebook=16, k=5
+    )
+    served = catalog.CATALOG["ann_pq_adc_topk"].fn(spark, SF_SMOKE)
+    assert served.exceptAll(inline).count() == 0
+    assert inline.exceptAll(served).count() == 0
+    assert B7.pq_artifacts_release(SF_SMOKE) == 1
