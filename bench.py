@@ -163,8 +163,10 @@ BENCH_QUERIES = [
     "ml_timely_lr_calibration",
     "ml_timely_lr_threshold_sweep",
     "ml_response_dt",
-    # r7 part 2: loader-side layout
+    # r7 part 2: loader-side layout + ops/audit
     "docs_epoch_shuffle",
+    "events_peak_concurrency",
+    "orders_partition_checksums",
 ]
 
 

@@ -237,3 +237,107 @@ def multires_rollup(
         "n_events",
         F.col("sum_dec").cast("double").alias("sum_value"),
     )
+
+
+def concurrency_sweep(
+    intervals: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Per-day peak concurrency of an interval set by HIERARCHICAL
+    sweep-line: the number of intervals simultaneously open, computed
+    without the O(n²) interval self-join AND without a single global
+    ordered window.
+
+    Classic sweep-line needs one globally-ordered running sum — a
+    one-task funnel at 100 TB.  This is the two-phase decomposition
+    (same shape as pipeline.pack_sequences' bucket prefix sum): phase 1
+    computes within-DAY cumulative starts/ends with windows partitioned
+    by day (parallel across days); phase 2 derives each day's base
+    offsets with a window over the DAY-COUNT-sized daily-totals frame
+    (bounded: one row per calendar day), which joins back as a tiny dim.
+    Correctness of the decomposition is proven by the catalog oracle,
+    which computes the NAIVE single global window form — both must
+    produce identical values.
+
+    End semantics are inclusive: an interval ending at instant t is
+    still open at t (its end is subtracted only after t), so touching
+    intervals count as concurrent.
+
+    Returns one row per day: (day, max_concurrent, peak_ts = earliest
+    instant attaining the max, n_started, n_ended).
+    """
+    from pyspark.sql import Window
+
+    pts = (
+        intervals.select(
+            F.col(start_col).alias("ts"),
+            F.lit(1).alias("_ns"),
+            F.lit(0).alias("_ne"),
+        )
+        .unionByName(
+            intervals.select(
+                F.col(end_col).alias("ts"),
+                F.lit(0).alias("_ns"),
+                F.lit(1).alias("_ne"),
+            )
+        )
+        .groupBy("ts")
+        .agg(
+            F.sum("_ns").cast("bigint").alias("ns"),
+            F.sum("_ne").cast("bigint").alias("ne"),
+        )
+        .withColumn("day", F.to_date("ts"))
+    )
+    wd = Window.partitionBy("day").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    within = pts.select(
+        "day",
+        "ts",
+        "ns",
+        "ne",
+        F.sum("ns").over(wd).alias("_cs_in"),
+        F.sum("ne").over(wd).alias("_ce_in"),
+    )
+    daily = pts.groupBy("day").agg(
+        F.sum("ns").cast("bigint").alias("_d_ns"),
+        F.sum("ne").cast("bigint").alias("_d_ne"),
+    )
+    wdays = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = daily.select(
+        "day",
+        F.coalesce(F.sum("_d_ns").over(wdays), F.lit(0)).alias("_base_cs"),
+        F.coalesce(F.sum("_d_ne").over(wdays), F.lit(0)).alias("_base_ce"),
+    )
+    # inclusive ends: subtract this instant's ends AFTER the instant
+    act = within.join(base, "day").select(
+        "day",
+        "ts",
+        "ns",
+        "ne",
+        (
+            (F.col("_base_cs") + F.col("_cs_in"))
+            - (F.col("_base_ce") + F.col("_ce_in") - F.col("ne"))
+        )
+        .cast("bigint")
+        .alias("active"),
+    )
+    wmax = Window.partitionBy("day")
+    peaks = (
+        act.withColumn("_mx", F.max("active").over(wmax))
+        .filter(F.col("active") == F.col("_mx"))
+        .groupBy("day")
+        .agg(
+            F.max("active").cast("bigint").alias("max_concurrent"),
+            F.min("ts").alias("peak_ts"),
+        )
+    )
+    counts = daily.select(
+        "day",
+        F.col("_d_ns").alias("n_started"),
+        F.col("_d_ne").alias("n_ended"),
+    )
+    return peaks.join(counts, "day").orderBy("day")

@@ -438,3 +438,154 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard_id")
     )
+
+
+@register(
+    "events_peak_concurrency",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 600000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+  FROM sess GROUP BY user_id, session_id
+),
+pts AS (
+  SELECT ts, CAST(SUM(ns) AS BIGINT) AS ns, CAST(SUM(ne) AS BIGINT) AS ne
+  FROM (
+    SELECT st AS ts, 1 AS ns, 0 AS ne FROM iv
+    UNION ALL
+    SELECT en AS ts, 0 AS ns, 1 AS ne FROM iv
+  ) u GROUP BY ts
+),
+act AS (
+  SELECT CAST(ts AS DATE) AS day, ts, ns, ne,
+         CAST(SUM(ns) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - (SUM(ne) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ne)
+            AS BIGINT) AS active
+  FROM pts
+),
+mx AS (SELECT day, MAX(active) AS mxa FROM act GROUP BY day),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(ns) AS BIGINT) AS n_started,
+         CAST(SUM(ne) AS BIGINT) AS n_ended
+  FROM pts GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(a.day AS VARCHAR) AS day,
+       CAST(m.mxa AS BIGINT) AS max_concurrent,
+       CAST(MIN(a.ts) AS VARCHAR) AS peak_ts,
+       MIN(d.n_started) AS n_started,
+       MIN(d.n_ended) AS n_ended
+FROM act a
+JOIN mx m ON a.day = m.day AND a.active = m.mxa
+JOIN daily d ON d.day = a.day
+GROUP BY a.day, m.mxa
+ORDER BY a.day
+""",
+    "analytics", "sweep-line", "concurrency", "sessions", "window",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent user sessions (operators.windows
+    .concurrency_sweep over the 10-minute-gap sessions of
+    events_sessionize): the number of sessions simultaneously open,
+    with the earliest instant attaining each day's peak.
+
+    The classic formulation is either an O(n²) interval self-join or a
+    single globally-ordered running sum (a one-task funnel at 100 TB).
+    The operator runs the HIERARCHICAL sweep-line instead — within-day
+    windows in parallel plus a calendar-day-sized base-offset frame —
+    while this oracle computes the naive single global window, so the
+    driver's hash check IS the proof that the two-phase decomposition
+    equals the textbook sweep.  Inclusive end semantics: touching
+    intervals count as concurrent."""
+    from ..operators import windows as W
+    from ..streaming import windows as SW
+
+    ev = _t(spark, sf_dir, "events")
+    stats = SW.session_stats(ev, "ts", ["user_id"], gap_seconds=600)
+    out = W.concurrency_sweep(stats, "session_start", "session_end")
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        "max_concurrent",
+        F.col("peak_ts").cast("string").alias("peak_ts"),
+        "n_started",
+        "n_ended",
+    ).orderBy("day")
+
+
+_CK_MOD = 1_000_000_007
+
+
+@register(
+    "orders_partition_checksums",
+    f"""
+WITH r AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(('0x' || substr(md5(
+            CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+              || strftime(o_orderdate, '%Y-%m-%d')
+         ), 1, 13)) AS BIGINT) % {_CK_MOD} AS v
+  FROM orders
+)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) % {_CK_MOD} AS BIGINT) AS checksum
+FROM r
+GROUP BY month
+ORDER BY month
+""",
+    "quality", "checksum", "replica-audit", "manifest",
+)
+def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-partition content checksums — the replica-
+    divergence audit: two copies of a 100 TB table are compared by
+    exchanging one row per partition (month, n_rows, checksum), never
+    data.  Each row contributes md5(key fields) folded to a 13-hex-digit
+    int mod {_CK_MOD}; the partition checksum is the modular SUM, so it
+    is insensitive to row order / partitioning / file layout — exactly
+    the properties a physical sync (or this engine vs the reference
+    store) must ignore — while any dropped, duplicated, or key-mutated
+    row flips it.  One scan, one keyed agg; no shuffle wider than the
+    month key.  NULL in any keyed field nulls that row's contribution
+    in BOTH engines (concat propagates NULL; SUM skips it) — fail-
+    closed discipline per the r6 quality-gate convention.  Floats are
+    deliberately excluded from the hashed rendering (double→string
+    formatting is engine-specific); value drift in measures is the
+    drift family's job (orders_price_psi/_ks)."""
+    key = F.concat(
+        F.col("o_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("o_orderstatus"),
+        F.lit("|"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    v = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
+        % F.lit(_CK_MOD)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            v.alias("_v"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.sum(F.col("_v").cast("decimal(38,0)")) % F.lit(_CK_MOD))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("month")
+    )

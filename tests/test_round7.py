@@ -615,3 +615,105 @@ def test_pq_artifacts_cached_and_values_unchanged(spark):
     assert served.exceptAll(inline).count() == 0
     assert inline.exceptAll(served).count() == 0
     assert B7.pq_artifacts_release(SF_SMOKE) == 1
+
+
+def test_concurrency_sweep_hand_fixture(spark):
+    """Hand-computed sweep: touching intervals count as concurrent
+    (inclusive ends), a cross-day interval contributes to both days'
+    baselines, and peak_ts is the earliest instant attaining the max."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        windows as W,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            # day 1: A[01:00,02:00], B[02:00,03:00] touch -> concurrent 2
+            (1, "2024-01-01 01:00:00", "2024-01-01 02:00:00"),
+            (2, "2024-01-01 02:00:00", "2024-01-01 03:00:00"),
+            # C straddles midnight: open during all of day-2's D,E
+            (3, "2024-01-01 23:00:00", "2024-01-02 04:00:00"),
+            # day 2: D[01:00,03:00], E[02:00,02:30] + C -> 3 at 02:00
+            (4, "2024-01-02 01:00:00", "2024-01-02 03:00:00"),
+            (5, "2024-01-02 02:00:00", "2024-01-02 02:30:00"),
+        ],
+        "id: long, s: string, e: string",
+    ).select(
+        F.col("id"),
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    rows = {
+        str(r.day): r
+        for r in W.concurrency_sweep(iv, "s", "e").collect()
+    }
+    d1, d2 = rows["2024-01-01"], rows["2024-01-02"]
+    assert d1.max_concurrent == 2
+    assert str(d1.peak_ts) == "2024-01-01 02:00:00"
+    assert (d1.n_started, d1.n_ended) == (3, 2)
+    assert d2.max_concurrent == 3
+    assert str(d2.peak_ts) == "2024-01-02 02:00:00"
+    assert (d2.n_started, d2.n_ended) == (2, 3)
+
+
+def test_partition_checksum_detects_mutation_and_ignores_order(spark):
+    """The checksum must be invariant to row order / partitioning and
+    sensitive to a single-row key mutation, with the blast radius
+    confined to the mutated row's partition."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog,
+    )
+
+    fn = catalog.CATALOG["orders_partition_checksums"].fn
+    base = {r.month: (r.n_rows, r.checksum) for r in fn(spark, SF_SMOKE).collect()}
+    assert base
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    # order/partitioning invariance: same rows, violently rearranged
+    shuffled = orders.repartition(7, "o_custkey").sortWithinPartitions(
+        F.desc("o_totalprice")
+    )
+    import consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.breadth7 as B7  # noqa: E501
+
+    def checksum_of(df):
+        key = F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("o_orderstatus"),
+            F.lit("|"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        v = (
+            F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
+            % F.lit(B7._CK_MOD)
+        )
+        return {
+            r.month: (r.n_rows, r.checksum)
+            for r in df.select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                v.alias("_v"),
+            )
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.sum(F.col("_v").cast("decimal(38,0)")) % F.lit(B7._CK_MOD))
+                .cast("bigint")
+                .alias("checksum"),
+            )
+            .collect()
+        }
+
+    assert checksum_of(shuffled) == base
+    # single-row mutation: flip one order's status
+    victim = orders.orderBy("o_orderkey").first()
+    vmonth = victim.o_orderdate.strftime("%Y-%m")
+    mutated = orders.withColumn(
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") == victim.o_orderkey, F.lit("~TAMPERED~")
+        ).otherwise(F.col("o_orderstatus")),
+    )
+    after = checksum_of(mutated)
+    assert after[vmonth][1] != base[vmonth][1]
+    assert {m: c for m, c in after.items() if m != vmonth} == {
+        m: c for m, c in base.items() if m != vmonth
+    }
