@@ -96,6 +96,25 @@ AUDIT = {
         "broadcast joins on the domain-sized frame, so iteration count "
         "never touches corpus-shaped data."
     ),
+    "events_peak_concurrency": (
+        "Hierarchical sweep-line: the per-instant running sums are "
+        "day-PARTITIONED windows (parallel across days); the only "
+        "single-partition ordered window runs over the daily-totals "
+        "frame — one row per calendar day, bounded by the time span, "
+        "never by data volume — which then joins back as a small dim.  "
+        "The naive global-window formulation the oracle uses would be "
+        "a one-task funnel at 100 TB."
+    ),
+    "docs_epoch_shuffle": (
+        "The epoch-salted permutation is never materialized as a sort: "
+        "order keys and shard ids are pure projections (md5 + instr "
+        "arithmetic), the epoch fan-out is a 2x explode, the n_chars "
+        "enrichment join is unhinted (AQE broadcasts here; SMJ at "
+        "scale), and the wide exchange carries only the "
+        "(epoch, shard)-keyed aggregate of 2*n_shards groups.  A writer "
+        "realizes the order with partitionBy(shard) + "
+        "sortWithinPartitions — local sorts only."
+    ),
 }
 
 _KEEP_DETail_PREFIXES = (
