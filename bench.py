@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "docs_epoch_shuffle",
     "events_peak_concurrency",
     "orders_partition_checksums",
+    "stream_checksum_mv",
 ]
 
 

@@ -589,3 +589,67 @@ def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+_CK_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_checksum_mv", None,
+    "streaming", "checksum", "replica-audit", "incremental", "foreachBatch",
+    twin_of="orders_partition_checksums",
+    twin_pin="tests/test_round7.py::test_stream_checksum_mv_equals_batch_fold",
+)
+def stream_checksum_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the partition-checksum audit (streaming.jobs
+    .run_streaming_checksum_mv): the events table arrives as THREE
+    micro-batches (event_id mod-3 slices, mtime-ordered) and each
+    batch's per-month partial checksum merges into stored state by
+    modular addition — the mergeability of the fold IS the reason this
+    manifest can be maintained at ingest cost instead of by rescan.
+    Returns the final per-month state.  Rows-only (stateful streaming);
+    equality with the from-scratch batch fold over the whole table and
+    idempotent batch replay are pinned in tests/test_round7.py."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs as SJ
+
+    work = _CK_STREAM_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_ck_")
+        if not _CK_STREAM_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _CK_STREAM_DIRS.values()
+                ]
+            )
+        _CK_STREAM_DIRS[sf_dir] = work
+        ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+        in_dir = f"{work}/in"
+        for i in range(3):
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.parquet(f"{in_dir}/b{i}")
+        flat = f"{work}/batches"
+        os.makedirs(flat)
+        for i in range(3):
+            for f_ in os.listdir(f"{in_dir}/b{i}"):
+                if f_.endswith(".parquet"):
+                    dst = f"{flat}/batch_{i}.parquet"
+                    shutil.copyfile(f"{in_dir}/b{i}/{f_}", dst)
+                    os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    flat = f"{work}/batches"
+
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    SJ.run_streaming_checksum_mv(stream, f"{work}/state", f"{work}/ckpt")
+    mv = SJ.read_mv_state(spark, f"{work}/state")
+    return mv.select("month", "n_rows", "checksum").orderBy("month")

@@ -122,6 +122,7 @@ def test_twin_registry_integrity():
     expected = {
         "ann_cosine_topk_fast",
         "ann_ivfpq_topk",
+        "stream_checksum_mv",
         "ann_semantic_canonical_fast",
         "dedup_minhash_fast",
         "docs_quality_deciles_approx",
@@ -717,3 +718,67 @@ def test_partition_checksum_detects_mutation_and_ignores_order(spark):
     assert {m: c for m, c in after.items() if m != vmonth} == {
         m: c for m, c in base.items() if m != vmonth
     }
+
+
+def test_stream_checksum_mv_equals_batch_fold(spark):
+    """Mergeability proof: three micro-batches' modular partial
+    checksums, merged incrementally, must equal the from-scratch batch
+    fold over the whole table."""
+    import consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.breadth7 as B7  # noqa: E501
+
+    streamed = {
+        r.month: (r.n_rows, r.checksum)
+        for r in catalog.CATALOG["stream_checksum_mv"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    key = F.concat(
+        F.col("event_id").cast("string"),
+        F.lit("|"),
+        F.col("event_type"),
+        F.lit("|"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    v = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
+        % F.lit(B7._CK_MOD)
+    )
+    batch = {
+        r.month: (r.n_rows, r.checksum)
+        for r in ev.select(
+            F.date_format("ts", "yyyy-MM").alias("month"), v.alias("_v")
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.sum(F.col("_v").cast("decimal(38,0)")) % F.lit(B7._CK_MOD))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .collect()
+    }
+    assert streamed == batch and streamed
+
+
+def test_stream_checksum_mv_full_redelivery_idempotent(spark):
+    """Crash-replay discipline end-to-end: redelivering ALL batches with
+    a fresh checkpoint over the existing state dir rewrites every
+    version from its predecessors byte-identically — the final state
+    must not double-fold."""
+    import consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.breadth7 as B7  # noqa: E501
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.streaming import (  # noqa: E501
+        jobs as SJ,
+    )
+
+    before = catalog.CATALOG["stream_checksum_mv"].fn(spark, SF_SMOKE).collect()
+    work = B7._CK_STREAM_DIRS[SF_SMOKE]
+    schema = spark.read.parquet(f"{work}/batches").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/batches")
+    )
+    SJ.run_streaming_checksum_mv(
+        stream, f"{work}/state", f"{work}/ckpt_replay"
+    )
+    after = catalog.CATALOG["stream_checksum_mv"].fn(spark, SF_SMOKE).collect()
+    assert before == after
