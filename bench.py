@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "events_peak_concurrency",
     "orders_partition_checksums",
     "stream_checksum_mv",
+    "orders_replica_reconcile",
 ]
 
 

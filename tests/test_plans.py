@@ -538,6 +538,7 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
     "ann_lsh_topk": "probe set literal-bounded + 8-plane bucket expr",
     "ann_pq_adc_topk": "codebook + probe LUT literal-bounded (vec_id < 16 / < 10)",
     "ann_ivfpq_topk": "probe-cell frame + codebook/LUT literal-bounded; candidates probe-batch-bounded",
+    "orders_replica_reconcile": "mismatched-month set: calendar-bounded (months in retention), checksum-filtered",
     "docs_reweighted_sample": "per-domain weight table: domain-bounded (same as docs_temperature_mix)",
     "ann_range_search": "probe set literal-bounded",
     "ann_recall_eval": "probe set literal-bounded (both arms share it)",

@@ -782,3 +782,16 @@ def test_stream_checksum_mv_full_redelivery_idempotent(spark):
     )
     after = catalog.CATALOG["stream_checksum_mv"].fn(spark, SF_SMOKE).collect()
     assert before == after
+
+
+def test_replica_reconcile_finds_exactly_the_damage(spark):
+    """The two-phase reconcile must surface exactly the injected
+    divergence — every damaged key, no false positives — proving the
+    checksum phase loses nothing the drill-down phase needs."""
+    rows = catalog.CATALOG["orders_replica_reconcile"].fn(spark, SF_SMOKE).collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    expected = {
+        r.o_orderkey for r in orders.filter("o_orderkey % 997 = 0").collect()
+    }
+    assert {r.o_orderkey for r in rows} == expected and expected
+    assert all(r.status_right == "X" and r.status_left != "X" for r in rows)
