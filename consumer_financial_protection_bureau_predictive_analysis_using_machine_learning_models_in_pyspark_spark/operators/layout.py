@@ -280,7 +280,10 @@ def epoch_shuffle(
 
     Returns (epoch INT, shard_id INT, <id_col>, order_key STRING hex).
     Pure engine-portable string/arith expressions — no bit tricks, no
-    rand() — so SQL oracles replay it exactly.
+    rand() — so SQL oracles replay it exactly.  The shard folds the
+    first 13 hex digits of the key (a 52-bit uniform, not a single
+    digit) so ANY ``n_shards`` — including > 16 and non-divisors of
+    16 — gets a balanced assignment.
     """
     key = F.md5(
         F.concat(
@@ -290,13 +293,8 @@ def epoch_shuffle(
         )
     )
     shard = (
-        (
-            F.instr(
-                F.lit("0123456789abcdef"), F.substring(F.col("order_key"), 1, 1)
-            )
-            - F.lit(1)
-        )
-        % F.lit(n_shards)
+        F.conv(F.substring(F.col("order_key"), 1, 13), 16, 10).cast("bigint")
+        % F.lit(int(n_shards))
     ).cast("int")
     return (
         df.select(

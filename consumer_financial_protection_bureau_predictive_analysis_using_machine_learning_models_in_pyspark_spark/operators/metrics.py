@@ -227,3 +227,48 @@ def confusion_matrix_export(
         fig.savefig(heatmap_path, bbox_inches="tight")
         plt.close(fig)
     return pdf
+
+
+def partition_checksum(
+    df: DataFrame,
+    partition_col,
+    key_col,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Order/layout-independent per-partition content checksums: each
+    row contributes md5(key rendering) folded to a 13-hex-digit int mod
+    ``mod``; the partition checksum is the modular SUM — insensitive to
+    row order, partitioning, and file layout, flipped by any dropped,
+    duplicated, or key-mutated row.  Replicas of a 100 TB table compare
+    by exchanging one row per partition, never data.
+
+    The modular fold is MERGEABLE ((a+b) % m == ((a%m)+(b%m)) % m), so
+    partials from micro-batches or per-replica segments combine by
+    modular addition — the property `streaming.jobs
+    .run_streaming_checksum_mv` builds on.  This is the ONE definition
+    of the fold; every batch/streaming/reconcile call site must use it
+    so their manifests can never drift apart (the oracles unroll the
+    same arithmetic).
+
+    ``key_col`` must render to an engine-portable STRING (ints, string
+    fields, yyyy-MM-dd dates — never raw doubles, whose string form is
+    engine-specific).  NULL in any keyed field nulls that row's
+    contribution (concat propagates NULL; SUM skips it) — fail-closed.
+
+    Returns (<partition_col as 'part'>, n_rows BIGINT, checksum BIGINT);
+    callers alias 'part' to their grain name.
+    """
+    v = (
+        F.conv(F.substring(F.md5(key_col), 1, 13), 16, 10).cast("bigint")
+        % F.lit(mod)
+    )
+    return (
+        df.select(partition_col.alias("part"), v.alias("_v"))
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.sum(F.col("_v").cast("decimal(38,0)")) % F.lit(mod))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+    )

@@ -243,6 +243,7 @@ def concurrency_sweep(
     intervals: DataFrame,
     start_col: str = "session_start",
     end_col: str = "session_end",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-day peak concurrency of an interval set by HIERARCHICAL
     sweep-line: the number of intervals simultaneously open, computed
@@ -264,12 +265,20 @@ def concurrency_sweep(
     still open at t (its end is subtracted only after t), so touching
     intervals count as concurrent.
 
+    Every calendar day in [min start day, max end day] gets a row, not
+    just days with interval endpoints: the grid is densified with a
+    synthetic midnight sweep point per day, so a day lying entirely
+    inside a long interval (a lease, an incident) reports its carried
+    concurrency (peak_ts = midnight) instead of silently vanishing.
+    The sweep-point frame feeds three consumers and is persisted by
+    default (``materialize``) so the upstream interval build runs once.
+
     Returns one row per day: (day, max_concurrent, peak_ts = earliest
     instant attaining the max, n_started, n_ended).
     """
     from pyspark.sql import Window
 
-    pts = (
+    pts0 = (
         intervals.select(
             F.col(start_col).alias("ts"),
             F.lit(1).alias("_ns"),
@@ -287,8 +296,33 @@ def concurrency_sweep(
             F.sum("_ns").cast("bigint").alias("ns"),
             F.sum("_ne").cast("bigint").alias("ne"),
         )
+    )
+    # densify: one synthetic midnight point per day in the span (a
+    # calendar-bounded frame), merged with any real midnight points
+    span = pts0.agg(
+        F.min(F.to_date("ts")).alias("_d0"),
+        F.max(F.to_date("ts")).alias("_d1"),
+    )
+    syn = span.select(
+        F.explode(F.sequence("_d0", "_d1")).alias("_day")
+    ).select(
+        F.col("_day").cast("timestamp").alias("ts"),
+        F.lit(0).cast("bigint").alias("ns"),
+        F.lit(0).cast("bigint").alias("ne"),
+    )
+    pts = (
+        pts0.unionByName(syn)
+        .groupBy("ts")
+        .agg(
+            F.sum("ns").cast("bigint").alias("ns"),
+            F.sum("ne").cast("bigint").alias("ne"),
+        )
         .withColumn("day", F.to_date("ts"))
     )
+    if materialize:
+        from pyspark import StorageLevel
+
+        pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     wd = Window.partitionBy("day").orderBy("ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -460,7 +460,31 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = _MV_STREAM_DIRS.get(sf_dir)
     if work is None:
+        # memoize ONLY after the staging build completes: a partial build
+        # must raise and leave no cache entry, or a retry would silently
+        # stream a truncated batch set (r7 review finding, fixed in both
+        # streaming staging caches)
         work = tempfile.mkdtemp(prefix="stream_mv_")
+        try:
+            ev = _t(spark, sf_dir, "events").select(
+                "user_id", "ts", "value"
+            )
+            in_dir = f"{work}/in"
+            for i in range(3):
+                ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i).coalesce(
+                    1
+                ).write.parquet(f"{in_dir}/b{i}")
+            flat = f"{work}/batches"
+            os.makedirs(flat)
+            for i in range(3):
+                for f in os.listdir(f"{in_dir}/b{i}"):
+                    if f.endswith(".parquet"):
+                        dst = f"{flat}/batch_{i}.parquet"
+                        shutil.copyfile(f"{in_dir}/b{i}/{f}", dst)
+                        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
         if not _MV_STREAM_DIRS:
             atexit.register(
                 lambda: [
@@ -469,22 +493,6 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         _MV_STREAM_DIRS[sf_dir] = work
-        ev = _t(spark, sf_dir, "events").select(
-            "user_id", "ts", "value"
-        )
-        in_dir = f"{work}/in"
-        for i in range(3):
-            ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i).coalesce(
-                1
-            ).write.parquet(f"{in_dir}/b{i}")
-        flat = f"{work}/batches"
-        os.makedirs(flat)
-        for i in range(3):
-            for f in os.listdir(f"{in_dir}/b{i}"):
-                if f.endswith(".parquet"):
-                    dst = f"{flat}/batch_{i}.parquet"
-                    shutil.copyfile(f"{in_dir}/b{i}/{f}", dst)
-                    os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
     flat = f"{work}/batches"
 
     schema = spark.read.parquet(flat).schema
@@ -654,14 +662,6 @@ def stream_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _JOIN_MV_DIRS.get(sf_dir)
     if work is None:
         work = tempfile.mkdtemp(prefix="stream_joinmv_")
-        if not _JOIN_MV_DIRS:
-            atexit.register(
-                lambda: [
-                    shutil.rmtree(d, ignore_errors=True)
-                    for d in _JOIN_MV_DIRS.values()
-                ]
-            )
-        _JOIN_MV_DIRS[sf_dir] = work
         ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
         users = ev.select("user_id").distinct()
         halves = f"{work}/halves"
@@ -708,6 +708,17 @@ def stream_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write_dim(1)         # every user moves one segment over
         _promote(1)
         _drain()              # batch 1 joins dim v2, merged onto v0 state
+        # memoize ONLY now, after the full build+drain sequence succeeded
+        # — a partial run must raise and leave no cache entry, or a retry
+        # would serve truncated state (r7 review finding)
+        if not _JOIN_MV_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _JOIN_MV_DIRS.values()
+                ]
+            )
+        _JOIN_MV_DIRS[sf_dir] = work
 
     mv = SJ.read_mv_state(spark, f"{work}/state")
     return mv.select(
@@ -750,6 +761,14 @@ def lineitem_zorder_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _ZORDER_DIRS.get(sf_dir)
     if work is None:
         work = tempfile.mkdtemp(prefix="zorder_export_")
+        try:
+            li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+            LY.zorder_write(
+                li, "l_partkey", "l_suppkey", f"{work}/table", n_files=16
+            )
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
         if not _ZORDER_DIRS:
             atexit.register(
                 lambda: [
@@ -758,8 +777,6 @@ def lineitem_zorder_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         _ZORDER_DIRS[sf_dir] = work
-        li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-        LY.zorder_write(li, "l_partkey", "l_suppkey", f"{work}/table", n_files=16)
     rep = LY.file_extent_report(
         spark, f"{work}/table", ("zval", "_bx", "_by")
     )

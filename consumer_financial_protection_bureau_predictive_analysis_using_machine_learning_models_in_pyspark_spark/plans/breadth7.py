@@ -397,7 +397,7 @@ k AS (
 ),
 s AS (
   SELECT epoch, n_chars, order_key,
-         CAST((instr('0123456789abcdef', substr(order_key, 1, 1)) - 1)
+         CAST(CAST(('0x' || substr(order_key, 1, 13)) AS BIGINT)
               % {_EP_SHARDS} AS INT) AS shard_id
   FROM k
 )
@@ -460,13 +460,26 @@ iv AS (
   SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
   FROM sess GROUP BY user_id, session_id
 ),
-pts AS (
+pts0 AS (
   SELECT ts, CAST(SUM(ns) AS BIGINT) AS ns, CAST(SUM(ne) AS BIGINT) AS ne
   FROM (
     SELECT st AS ts, 1 AS ns, 0 AS ne FROM iv
     UNION ALL
     SELECT en AS ts, 0 AS ns, 1 AS ne FROM iv
   ) u GROUP BY ts
+),
+span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM pts0
+),
+syn AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS TIMESTAMP)
+           AS ts,
+         CAST(0 AS BIGINT) AS ns, CAST(0 AS BIGINT) AS ne
+  FROM span
+),
+pts AS (
+  SELECT ts, CAST(SUM(ns) AS BIGINT) AS ns, CAST(SUM(ne) AS BIGINT) AS ne
+  FROM (SELECT * FROM pts0 UNION ALL SELECT * FROM syn) d GROUP BY ts
 ),
 act AS (
   SELECT CAST(ts AS DATE) AS day, ts, ns, ne,
@@ -527,6 +540,21 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CK_MOD = 1_000_000_007
 
 
+def _ck_key_col():
+    """The orders checksum key rendering (ints/strings/dates only)."""
+    return F.concat(
+        F.col("o_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("o_orderstatus"),
+        F.lit("|"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+
+
+def _ck_month_col():
+    return F.date_format("o_orderdate", "yyyy-MM")
+
+
 @register(
     "orders_partition_checksums",
     f"""
@@ -562,31 +590,16 @@ def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed discipline per the r6 quality-gate convention.  Floats are
     deliberately excluded from the hashed rendering (double→string
     formatting is engine-specific); value drift in measures is the
-    drift family's job (orders_price_psi/_ks)."""
-    key = F.concat(
-        F.col("o_orderkey").cast("string"),
-        F.lit("|"),
-        F.col("o_orderstatus"),
-        F.lit("|"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
-    )
-    v = (
-        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
-        % F.lit(_CK_MOD)
-    )
+    drift family's job (orders_price_psi/_ks).  The fold itself is
+    operators.metrics.partition_checksum — the ONE definition every
+    batch/streaming/reconcile call site shares."""
+    from ..operators import metrics as M
+
     return (
-        _t(spark, sf_dir, "orders")
-        .select(
-            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-            v.alias("_v"),
+        M.partition_checksum(
+            _t(spark, sf_dir, "orders"), _ck_month_col(), _ck_key_col()
         )
-        .groupBy("month")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            (F.sum(F.col("_v").cast("decimal(38,0)")) % F.lit(_CK_MOD))
-            .cast("bigint")
-            .alias("checksum"),
-        )
+        .withColumnRenamed("part", "month")
         .orderBy("month")
     )
 
@@ -619,7 +632,31 @@ def stream_checksum_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = _CK_STREAM_DIRS.get(sf_dir)
     if work is None:
+        # register in the memo ONLY after the staging build completes: a
+        # partial build (disk full, interrupt) must raise and leave no
+        # cache entry, or a retry would silently stream a truncated
+        # batch set and return wrong checksums
         work = tempfile.mkdtemp(prefix="stream_ck_")
+        try:
+            ev = _t(spark, sf_dir, "events").select(
+                "event_id", "event_type", "ts"
+            )
+            in_dir = f"{work}/in"
+            for i in range(3):
+                ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+                    1
+                ).write.parquet(f"{in_dir}/b{i}")
+            flat = f"{work}/batches"
+            os.makedirs(flat)
+            for i in range(3):
+                for f_ in os.listdir(f"{in_dir}/b{i}"):
+                    if f_.endswith(".parquet"):
+                        dst = f"{flat}/batch_{i}.parquet"
+                        shutil.copyfile(f"{in_dir}/b{i}/{f_}", dst)
+                        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
         if not _CK_STREAM_DIRS:
             atexit.register(
                 lambda: [
@@ -628,20 +665,6 @@ def stream_checksum_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         _CK_STREAM_DIRS[sf_dir] = work
-        ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
-        in_dir = f"{work}/in"
-        for i in range(3):
-            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
-                1
-            ).write.parquet(f"{in_dir}/b{i}")
-        flat = f"{work}/batches"
-        os.makedirs(flat)
-        for i in range(3):
-            for f_ in os.listdir(f"{in_dir}/b{i}"):
-                if f_.endswith(".parquet"):
-                    dst = f"{flat}/batch_{i}.parquet"
-                    shutil.copyfile(f"{in_dir}/b{i}/{f_}", dst)
-                    os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
     flat = f"{work}/batches"
 
     schema = spark.read.parquet(flat).schema
@@ -722,31 +745,15 @@ def orders_replica_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
     )
 
+    from ..operators import metrics as M
+
     def _chk(df: DataFrame) -> DataFrame:
-        key = F.concat(
-            F.col("o_orderkey").cast("string"),
-            F.lit("|"),
-            F.col("o_orderstatus"),
-            F.lit("|"),
-            F.date_format("o_orderdate", "yyyy-MM-dd"),
-        )
-        v = (
-            F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
-            % F.lit(_CK_MOD)
-        )
-        return (
-            df.select(
-                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-                v.alias("_v"),
-            )
-            .groupBy("month")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                (F.sum(F.col("_v").cast("decimal(38,0)")) % F.lit(_CK_MOD))
-                .cast("bigint")
-                .alias("checksum"),
-            )
-        )
+        # the shared fold (operators.metrics.partition_checksum) with
+        # the shared orders key rendering — byte-for-byte the manifest
+        # entry's definition, so compare and manifest can never drift
+        return M.partition_checksum(
+            df, _ck_month_col(), _ck_key_col()
+        ).withColumnRenamed("part", "month")
 
     ca = _chk(orders)
     cb = _chk(replica)

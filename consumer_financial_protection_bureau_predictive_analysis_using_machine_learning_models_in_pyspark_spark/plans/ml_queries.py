@@ -384,7 +384,12 @@ def ml_timely_lr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     {p1 >= k/20} exactly (floor semantics), so the one-pass table equals
     the 19-scan table row for row, pinned against direct filtering in
     tests/test_round7.py.  The window runs over 20 rows, never the
-    scored frame: full-corpus cost is one scan + one 20-row fold."""
+    scored frame: full-corpus cost is one scan + one 20-row fold.
+
+    Convention: at a threshold with zero predicted positives, precision
+    is NULL (undefined — the standard convention), while recall and f1
+    are 0; consumers iterating the curve must treat NULL precision as
+    "no operating point", not 0."""
     from pyspark.sql import Window
 
     scored = _lr_scored(spark, sf_dir)

@@ -309,7 +309,32 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = _SEMDEDUP_DIRS.get(sf_dir)
     if work is None:
+        # memoize ONLY after the staging build completes: a partial build
+        # must raise and leave no cache entry (r7 review finding, fixed
+        # in every streaming staging cache)
         work = tempfile.mkdtemp(prefix="stream_semdedup_")
+        try:
+            emb = _t(spark, sf_dir, "embeddings")
+            in_dir = f"{work}/in"
+            emb.filter("pmod(vec_id, 10) == 0").coalesce(1).write.parquet(
+                f"{in_dir}/b0"
+            )
+            emb.filter("pmod(vec_id, 10) == 5").coalesce(1).write.parquet(
+                f"{in_dir}/b1"
+            )
+            # flatten: the file source tails a directory of files; mtimes
+            # fix the micro-batch order (b0 strictly first)
+            flat = f"{work}/batches"
+            os.makedirs(flat)
+            for i, sub in enumerate(("b0", "b1")):
+                for f in os.listdir(f"{in_dir}/{sub}"):
+                    if f.endswith(".parquet"):
+                        dst = f"{flat}/batch_{i}.parquet"
+                        shutil.copyfile(f"{in_dir}/{sub}/{f}", dst)
+                        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
         if not _SEMDEDUP_DIRS:
             atexit.register(
                 lambda: [
@@ -318,24 +343,6 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         _SEMDEDUP_DIRS[sf_dir] = work
-        emb = _t(spark, sf_dir, "embeddings")
-        in_dir = f"{work}/in"
-        emb.filter("pmod(vec_id, 10) == 0").coalesce(1).write.parquet(
-            f"{in_dir}/b0"
-        )
-        emb.filter("pmod(vec_id, 10) == 5").coalesce(1).write.parquet(
-            f"{in_dir}/b1"
-        )
-        # flatten: the file source tails a directory of files; mtimes fix
-        # the micro-batch order (b0 strictly first)
-        flat = f"{work}/batches"
-        os.makedirs(flat)
-        for i, sub in enumerate(("b0", "b1")):
-            for f in os.listdir(f"{in_dir}/{sub}"):
-                if f.endswith(".parquet"):
-                    dst = f"{flat}/batch_{i}.parquet"
-                    shutil.copyfile(f"{in_dir}/{sub}/{f}", dst)
-                    os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
     flat = f"{work}/batches"
 
     idx = ivf_index_for(

@@ -814,7 +814,12 @@ def run_streaming_checksum_mv(
         )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.metrics import partition_checksum
+
         spark = batch_df.sparkSession
+        # the SHARED fold definition (operators.metrics.partition_checksum)
+        # with the events key rendering — batch and streaming manifests
+        # agree because they are literally the same expression
         key = F.concat(
             F.col("event_id").cast("string"),
             F.lit("|"),
@@ -822,22 +827,9 @@ def run_streaming_checksum_mv(
             F.lit("|"),
             F.date_format("ts", "yyyy-MM-dd"),
         )
-        v = (
-            F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
-            % F.lit(mod)
-        )
-        partial = (
-            batch_df.select(
-                F.date_format("ts", "yyyy-MM").alias("month"), v.alias("_v")
-            )
-            .groupBy("month")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                (F.sum(F.col("_v").cast("decimal(38,0)")) % F.lit(mod))
-                .cast("bigint")
-                .alias("checksum"),
-            )
-        )
+        partial = partition_checksum(
+            batch_df, F.date_format("ts", "yyyy-MM"), key, mod=mod
+        ).withColumnRenamed("part", "month")
         prev = [x for x in _versions() if x < batch_id]
         if prev:
             state = spark.read.parquet(f"{state_dir}/v{prev[-1]}")

@@ -795,3 +795,44 @@ def test_replica_reconcile_finds_exactly_the_damage(spark):
     }
     assert {r.o_orderkey for r in rows} == expected and expected
     assert all(r.status_right == "X" and r.status_left != "X" for r in rows)
+
+
+def test_concurrency_sweep_densifies_covered_days(spark):
+    """A day lying entirely inside a long interval must still get a row
+    (carried concurrency, peak at midnight) — the r7 review finding."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        windows as W,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "2024-01-03 10:00:00")],
+        "id: long, s: string, e: string",
+    ).select(
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    rows = {str(r.day): r for r in W.concurrency_sweep(iv, "s", "e").collect()}
+    assert set(rows) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    mid = rows["2024-01-02"]
+    assert mid.max_concurrent == 1
+    assert str(mid.peak_ts) == "2024-01-02 00:00:00"
+    assert (mid.n_started, mid.n_ended) == (0, 0)
+
+
+def test_epoch_shuffle_supports_many_shards(spark):
+    """The shard fold uses a 52-bit key prefix, so n_shards > 16 (and
+    non-divisors of 16) are all populated and balanced — the r7 review
+    finding (single hex digit capped shards at 16)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        layout as LY,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sh = LY.epoch_shuffle(docs, n_epochs=1, n_shards=32)
+    counts = {
+        r.shard_id: r.n
+        for r in sh.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == set(range(32)), sorted(counts)
+    n = docs.count()
+    assert max(counts.values()) <= 4 * n / 32  # loose balance bound

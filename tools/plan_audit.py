@@ -102,8 +102,10 @@ AUDIT = {
         "single-partition ordered window runs over the daily-totals "
         "frame — one row per calendar day, bounded by the time span, "
         "never by data volume — which then joins back as a small dim.  "
-        "The naive global-window formulation the oracle uses would be "
-        "a one-task funnel at 100 TB."
+        "The sweep-point frame is persisted (InMemoryTableScan feeds "
+        "all three consumers), so sessionize+union runs once, not per "
+        "consumer.  The naive global-window formulation the oracle "
+        "uses would be a one-task funnel at 100 TB."
     ),
     "docs_epoch_shuffle": (
         "The epoch-salted permutation is never materialized as a sort: "
