@@ -49,13 +49,13 @@ _PRIORITY = [
     # the r6 erroring media row (scalar surface), the three entries that
     # have never had a driver row, the five entries whose hash surface
     # moved to the engine-stable integer quality_u in the r7 ROUND audit,
-    # the twelve NEW r7 entries (sequence packing, MW reweight + its
+    # the thirteen NEW r7 entries (sequence packing, MW reweight + its
     # apply step, PQ-ADC + full IVF-PQ serving, epoch shuffle,
     # calibration + threshold sweep, hierarchical sweep-line, partition
-    # checksums + their streaming MV twin + the two-phase reconcile),
-    # and 27 oldest-first rotations (seven r1-vintage entries were
-    # displaced by the late additions and lead the r8 overflow).
-    # Derived from CORRECTNESS_r01-r06.
+    # checksums + streaming MV twin + two-phase reconcile + the
+    # watermark late-data audit), and 26 oldest-first rotations (eight
+    # r1-vintage entries were displaced by the late additions and lead
+    # the r8 overflow).  Derived from CORRECTNESS_r01-r06.
     "q12_shipping_delay_class",          # re-check: oracle SUM counts now CAST AS BIGINT (r6 FAIL was HUGEINT->float64 on the hash surface)
     "dedup_canonical_best",              # re-check: rank+surface moved to integer micro-unit quality_u (r6 FAIL was float-ROUND build sensitivity)
     "media_resize_images",               # re-check: catalog surface now n_pixels+checksum scalars (r6 row errored hashing the raw tensor)
@@ -93,7 +93,7 @@ _PRIORITY = [
     "union_order_sample_frames",         # rotated in r7 (last driver row r1, oldest-first)
     "lineitem_cube",                     # rotated in r7 (last driver row r1, oldest-first)
     "orders_rollup_by_date",             # rotated in r7 (last driver row r1, oldest-first)
-    "events_props_extract",              # rotated in r7 (last driver row r1, oldest-first)
+    "stream_late_data_audit",            # NEW r7 (rows-only): exact watermark-drop accounting across restarts
     "events_peak_concurrency",           # NEW r7 (oracled): hierarchical sweep-line == naive global sweep
     "orders_partition_checksums",        # NEW r7 (oracled): order-independent replica-audit checksums
     "stream_checksum_mv",                # NEW r7 (rows-only): incremental checksum MV; batch-equality + replay pinned
@@ -107,6 +107,7 @@ _PRIORITY = [
     "docs_pack_sequences",               # NEW r7 (oracled): split-aware sequence packing, boundary map
     "docs_domain_reweight",              # NEW r7 (oracled): integer-exact multiplicative-weights mixture
     # ---- window boundary (50) ----  overflow: operator covered by an
+    "events_props_extract",              # displaced by the r7 additions; last row r1, leads r8 rotation
     "orders_running_total",              # displaced by the r7 additions; last row r1, leads r8 rotation
     "topk_companies_per_state",          # displaced by the r7 additions; last row r1, leads r8 rotation
     "events_hourly_agg",                 # displaced by the r7 additions; last row r1, leads r8 rotation

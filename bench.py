@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "orders_partition_checksums",
     "stream_checksum_mv",
     "orders_replica_reconcile",
+    "stream_late_data_audit",
 ]
 
 

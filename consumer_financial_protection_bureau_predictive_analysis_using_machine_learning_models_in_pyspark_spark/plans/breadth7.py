@@ -788,3 +788,149 @@ def orders_replica_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+_LATE_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_late_data_audit", None,
+    "streaming", "watermark", "late-data", "audit",
+)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact watermark-drop accounting — the entry that PROVES what the
+    watermark does instead of just configuring it.  Three staged
+    micro-batches: (0) the events table; (1) 7 'late_probe' rows whose
+    timestamps sit at the corpus START (hours below the watermark once
+    batch 0 has been seen) plus 7 'ontime_probe' rows 30 minutes before
+    the corpus end (late, but inside the 2 h watermark); (2) one
+    'advance' row 3 h past the end, so the final watermark closes and
+    emits the probe windows under append mode.
+
+    The batches arrive as three SEQUENTIAL availableNow runs sharing one
+    checkpoint — the restart-recovery deployment pattern, and the one
+    where the watermark contract is load-bearing: each run restores the
+    watermark from the checkpoint before reading new files (within a
+    single run, Spark's late-record filtering across micro-batches is
+    weaker — verified empirically — so the audit pins the cross-restart
+    semantics a production job actually relies on).  The 2 h-watermarked
+    hourly agg (streaming.jobs.windowed_counts) must contribute NOTHING
+    from the 7 late probes to the sink and count EXACTLY the 7 on-time
+    probes — per-type injected/streamed/dropped is the returned audit.
+    Bounded state at 100 TB/day rests on this drop behavior; this pins
+    it with exact counts (rows-only: stateful streaming semantics)."""
+    import atexit
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs as SJ
+
+    work = _LATE_DIRS.get(sf_dir)
+    if work is None:
+        # memoize ONLY after the staging build completes (r7 discipline)
+        work = tempfile.mkdtemp(prefix="stream_late_")
+        try:
+            ev = _t(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            b = ev.agg(
+                F.min("ts").alias("lo"),
+                F.max("ts").alias("hi"),
+                F.max("event_id").alias("mid"),
+            ).collect()[0]
+            late = [
+                (b.mid + 1 + i, b.lo + _dt.timedelta(minutes=i), 0,
+                 "late_probe", 1.0)
+                for i in range(7)
+            ]
+            ontime = [
+                (b.mid + 101 + i,
+                 b.hi - _dt.timedelta(minutes=30) + _dt.timedelta(minutes=i),
+                 0, "ontime_probe", 1.0)
+                for i in range(7)
+            ]
+            adv = [
+                (b.mid + 1001, b.hi + _dt.timedelta(hours=3), 0,
+                 "advance", 1.0)
+            ]
+            in_dir = f"{work}/in"
+            ev.coalesce(1).write.parquet(f"{in_dir}/b0")
+            for i, rows in ((1, late + ontime), (2, adv)):
+                spark.createDataFrame(rows, schema=ev.schema).coalesce(
+                    1
+                ).write.parquet(f"{in_dir}/b{i}")
+            flat = f"{work}/batches"
+            os.makedirs(flat)
+            out_dir, ckpt = f"{work}/out", f"{work}/ckpt"
+            # one availableNow RUN per arriving file, shared checkpoint:
+            # each run restores the watermark before reading new files
+            pkey = "spark.sql.shuffle.partitions"
+            old = spark.conf.get(pkey)
+            spark.conf.set(pkey, "32")  # state-partition pin, see _drain
+            try:
+                for i in range(3):
+                    for f_ in os.listdir(f"{in_dir}/b{i}"):
+                        if f_.endswith(".parquet"):
+                            dst = f"{flat}/batch_{i}.parquet"
+                            shutil.copyfile(f"{in_dir}/b{i}/{f_}", dst)
+                            os.utime(
+                                dst,
+                                (1_600_000_000 + i, 1_600_000_000 + i),
+                            )
+                    schema = spark.read.parquet(flat).schema
+                    stream = (
+                        spark.readStream.schema(schema)
+                        .parquet(flat)
+                        # watermarks need TIMESTAMP (LTZ); fixture is NTZ
+                        .withColumn("ts", F.col("ts").cast("timestamp"))
+                    )
+                    q = (
+                        SJ.windowed_counts(stream)
+                        .writeStream.format("parquet")
+                        .option("path", out_dir)
+                        .option("checkpointLocation", ckpt)
+                        .outputMode("append")
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination()
+            finally:
+                spark.conf.set(pkey, old)
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        if not _LATE_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _LATE_DIRS.values()
+                ]
+            )
+        _LATE_DIRS[sf_dir] = work
+
+    out = spark.read.parquet(f"{work}/out")
+    streamed = (
+        out.filter(F.col("event_type").isin("late_probe", "ontime_probe"))
+        .groupBy("event_type")
+        .agg(F.sum("n_events").cast("bigint").alias("n_streamed"))
+    )
+    injected = spark.createDataFrame(
+        [("late_probe", 7), ("ontime_probe", 7)],
+        "event_type: string, n_injected: long",
+    )
+    return (
+        injected.join(streamed, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_injected").cast("bigint").alias("n_injected"),
+            F.coalesce("n_streamed", F.lit(0))
+            .cast("bigint")
+            .alias("n_streamed"),
+            (F.col("n_injected") - F.coalesce("n_streamed", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped_late"),
+        )
+        .orderBy("event_type")
+    )

@@ -836,3 +836,18 @@ def test_epoch_shuffle_supports_many_shards(spark):
     assert set(counts) == set(range(32)), sorted(counts)
     n = docs.count()
     assert max(counts.values()) <= 4 * n / 32  # loose balance bound
+
+
+def test_stream_late_data_audit_exact_drop_set(spark):
+    """The watermark audit's contract: across checkpoint-sharing runs,
+    the 7 late probes contribute NOTHING to the sink and the 7 on-time
+    probes are fully counted — exact, not approximate."""
+    rows = {
+        r.event_type: r
+        for r in catalog.CATALOG["stream_late_data_audit"].fn(spark, SF_SMOKE).collect()
+    }
+    late, ontime = rows["late_probe"], rows["ontime_probe"]
+    assert (late.n_injected, late.n_streamed, late.n_dropped_late) == (7, 0, 7)
+    assert (ontime.n_injected, ontime.n_streamed, ontime.n_dropped_late) == (
+        7, 7, 0,
+    )
