@@ -169,7 +169,11 @@ BENCH_QUERIES = [
     "orders_partition_checksums",
     "stream_checksum_mv",
     "orders_replica_reconcile",
-    "stream_late_data_audit",
+    # stream_late_data_audit is deliberately NOT benched: its wall time
+    # is three sequential streaming-query lifecycles (checkpoint-sharing
+    # restarts) — a fixed harness cost that measures query startup, not
+    # data-path throughput.  Its correctness gate is the exact drop-set
+    # test + the driver's rows-only row.
 ]
 
 

@@ -856,7 +856,14 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "advance", 1.0)
             ]
             in_dir = f"{work}/in"
-            ev.coalesce(1).write.parquet(f"{in_dir}/b0")
+            # base batch: a 1-in-50 sample — the audit pins watermark
+            # SEMANTICS, not base-corpus throughput; probe placement uses
+            # the full table's lo/hi bounds, and the watermark after b0
+            # (max sampled ts - 2 h) preserves every pinned property
+            # (late << wm; on-time > wm; advancer closes both)
+            ev.filter(F.pmod(F.col("event_id"), F.lit(50)) == 0).coalesce(
+                1
+            ).write.parquet(f"{in_dir}/b0")
             for i, rows in ((1, late + ontime), (2, adv)):
                 spark.createDataFrame(rows, schema=ev.schema).coalesce(
                     1
