@@ -209,14 +209,35 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Every multiply operand is pre-cast to DECIMAL(19,·): at 19 digits
+# DuckDB leaves its int64 decimal fast path (p <= 18) for int128, which
+# the sf0.1 sums overflow (Sq unscaled 1.5e9 -> Sq^2 = 2.3e18; caught by
+# the r7 sf0.1 parity sweep).  19+19 = 38 keeps the product legal, and
+# the unscaled products stay < 10^25 through sf100.  Values are
+# unchanged — the casts only widen the physical type.
+_CORR_TERM = (
+    "CAST(CAST(CAST("
+    "CAST(n AS DECIMAL(19,0)) * CAST(s{a}{b} AS DECIMAL(19,{sab}))"
+    " - CAST(s{a} AS DECIMAL(19,{sa})) * CAST(s{b} AS DECIMAL(19,{sb}))"
+    " AS DECIMAL(34,8)) AS VARCHAR) AS DOUBLE)"
+)
+
+_CORR_SCALE = {"q": 2, "d": 4, "t": 4}
+
+
+def _corr_term_sql(a: str, b: str) -> str:
+    return _CORR_TERM.format(
+        a=a, b=b,
+        sa=_CORR_SCALE[a], sb=_CORR_SCALE[b],
+        sab=_CORR_SCALE[a] + _CORR_SCALE[b],
+    )
+
+
 _CORR_PAIR_SQL = """
   SELECT '{x}' AS var_x, '{y}' AS var_y, n,
-         ROUND(CAST(CAST(CAST(CAST(n AS DECIMAL(10,0)) * s{x}{y} - s{x} * s{y}
-                         AS DECIMAL(34,8)) AS VARCHAR) AS DOUBLE)
-               / (sqrt(CAST(CAST(CAST(CAST(n AS DECIMAL(10,0)) * s{x}{x} - s{x} * s{x}
-                                 AS DECIMAL(34,8)) AS VARCHAR) AS DOUBLE))
-                  * sqrt(CAST(CAST(CAST(CAST(n AS DECIMAL(10,0)) * s{y}{y} - s{y} * s{y}
-                                   AS DECIMAL(34,8)) AS VARCHAR) AS DOUBLE))), 6)
+         ROUND({num}
+               / (sqrt({dx})
+                  * sqrt({dy})), 6)
            AS corr
   FROM s"""
 
@@ -243,7 +264,12 @@ WITH s AS (
 )
 """
     + "\nUNION ALL".join(
-        _CORR_PAIR_SQL.format(x=x, y=y)
+        _CORR_PAIR_SQL.format(
+            x=x, y=y,
+            num=_corr_term_sql(x, y),
+            dx=_corr_term_sql(x, x),
+            dy=_corr_term_sql(y, y),
+        )
         for x, y in (("q", "d"), ("q", "t"), ("d", "t"))
     )
     + "\nORDER BY var_x, var_y\n"
@@ -268,6 +294,12 @@ def lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     is correctly rounded, sidestepping DuckDB's inexact wide-decimal→
     double cast (the q1 sum_charge gotcha, where unscaled > 2^53).  sqrt
     is IEEE-correctly-rounded, so the final doubles are bit-identical.
+
+    The oracle pre-casts every multiply operand to DECIMAL(19,·): at
+    sf0.1 the moment sums overflow DuckDB's int64 decimal fast path
+    (p ≤ 18) during Sx·Sy — a physical-width failure, not a value
+    divergence — and 19 digits force the int128 path with unscaled
+    headroom through sf100 (found by the r7 sf0.1 parity sweep).
     """
     li = _t(spark, sf_dir, "lineitem")
     qd = F.col("l_quantity").cast("decimal(6,2)")
