@@ -302,6 +302,68 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.canonical_docs(aug, comps).select("doc_id", "text")
 
 
+@register(
+    "dedup_cluster_size_stats",
+    f"""
+{_COMPONENT_CTES},
+cl AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+),
+corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM aug)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_redundant,
+       CAST((2 * 1000000 * ((cluster_size - 1) * COUNT(*)) + n_total)
+            // (2 * n_total) AS BIGINT) AS dup_frac_u
+FROM cl CROSS JOIN corpus
+GROUP BY cluster_size, n_total
+ORDER BY cluster_size
+""",
+    "dedup", "components", "report", "histogram",
+)
+def dedup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT a corpus owner actually reads: the near-dup
+    cluster-size histogram — per cluster size k (≥2): how many clusters,
+    how many docs they hold, how many are redundant (k−1 per cluster),
+    and the redundant share of the corpus in integer micro-units
+    (half-up, the engine-stable quality_u discipline — no float on the
+    hash surface).  Rides the same minhash pairs → min-label components
+    as dedup_components; the histogram itself is two tiny keyed
+    aggregates over the component-sized frame, so the report is free at
+    any scale once the components exist.  Singleton docs (no near-dup
+    pair) by construction do not appear in the histogram; their count is
+    n_total − Σ n_docs."""
+    aug = _aug(spark, sf_dir)
+    pairs = DD.minhash_dedup_pairs(spark, aug, threshold=0.5)
+    comps = DD.connected_components(pairs)
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    n_total = aug.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_redundant"),
+            F.expr(
+                "CAST((2 * 1000000 * ((cluster_size - 1) * n_clusters)"
+                " + n_total) DIV (2 * n_total) AS BIGINT)"
+            ).alias("dup_frac_u"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"

@@ -851,3 +851,29 @@ def test_stream_late_data_audit_exact_drop_set(spark):
     assert (ontime.n_injected, ontime.n_streamed, ontime.n_dropped_late) == (
         7, 7, 0,
     )
+
+
+def test_cluster_size_stats_conservation(spark):
+    """Histogram conservation: sum of per-size doc counts plus singleton
+    docs equals the augmented corpus, and redundant counts are exactly
+    (size-1)*clusters."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.text_queries import (  # noqa: E501
+        _aug,
+    )
+
+    rows = catalog.CATALOG["dedup_cluster_size_stats"].fn(spark, SF_SMOKE).collect()
+    assert rows and all(r.cluster_size >= 2 for r in rows)
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_redundant == (r.cluster_size - 1) * r.n_clusters
+    aug = _aug(spark, SF_SMOKE)
+    n_total = aug.count()
+    pairs = DD.minhash_dedup_pairs(spark, aug, threshold=0.5)
+    n_in_clusters = (
+        DD.connected_components(pairs).select("doc_id").distinct().count()
+    )
+    assert sum(r.n_docs for r in rows) == n_in_clusters
+    assert n_total - n_in_clusters >= 0
