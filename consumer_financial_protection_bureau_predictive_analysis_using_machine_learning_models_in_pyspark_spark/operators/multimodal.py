@@ -239,3 +239,43 @@ def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFram
 
     imgs = media.filter(F.col("modality") == "image").select("media_id", "content")
     return imgs.mapInPandas(_batches, schema=RESIZE_SCHEMA)
+
+
+def phash_from_pixels(
+    resized: DataFrame,
+    id_col: str = "media_id",
+    pixels_col: str = "pixels",
+) -> DataFrame:
+    """Average-hash perceptual fingerprint from a resized pixel grid:
+    bit i is set iff pixel i exceeds the grid's mean, folded into one
+    BIGINT.  The fingerprint keeps the first 63 bits (every pixel still
+    votes in the mean): a 63-bit Horner fold peaks at 2^63−1 exactly, so
+    it can NEVER overflow signed int64 — it stays legal under the
+    driver's ANSI session, where a 64th bit would error.  Runs entirely
+    in Spark's higher-order array functions over the k-bounded (w*h)
+    tensor — interpreted, but k-bounded per row, the documented safe
+    zone (the blob/codec cost lives in the resize stage, not here).
+
+    This is the image half of near-dup detection at 100 TB: the corpus
+    carries ONE int per image after this, and candidate generation is an
+    exact groupBy on that int (or hamming-banded buckets for a fuzzier
+    radius — the simhash machinery, which this fingerprint feeds
+    unchanged).  Returns (id_col, phash BIGINT).
+    """
+    mean = F.aggregate(
+        F.col(pixels_col),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(F.col(pixels_col))
+    bits = F.transform(
+        F.col(pixels_col), lambda x, i: F.when(x > mean, F.lit(1)).otherwise(0)
+    )
+    # Horner fold over the first 63 bits, high bit first: every partial
+    # satisfies acc <= 2^k - 1 after k steps, so the 63-step fold peaks
+    # at 2^63 - 1 — the exact int64 max, never past it (ANSI-safe)
+    phash = F.aggregate(
+        F.reverse(F.slice(bits, 1, 63)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc * F.lit(2) + b.cast("bigint"),
+    )
+    return resized.select(F.col(id_col), phash.alias("phash"))

@@ -133,3 +133,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard / embedding)."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.cosine_near_dup_pairs(emb, dim=_DIM, threshold=0.15, n_planes=8)
+
+
+@register(
+    "media_phash_dedup", None,
+    "multimodal", "dedup", "phash", "image",
+)
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hash — the multimodal member of the
+    dedup family (exact / minhash / simhash / jaccard / embedding /
+    PHASH): decode-stub resize to an 8×8 grid (real Arrow mapInPandas
+    plumbing), average-hash each grid to one BIGINT
+    (operators.multimodal.phash_from_pixels), then duplicate groups by
+    exact-hash groupBy — after the hash, a 100 TB image corpus dedups on
+    8 bytes per image.
+
+    Near-dup fixture: every 10th image doc of ≥64 chars gets a clone
+    with bytes APPENDED (id offset +999,999, ≡0 mod 3 so the clone keeps
+    image modality) — the 8×8 grid reads the first 64 bytes, so an
+    appended tail leaves it unchanged and each clone provably collides
+    with its original (shorter texts wrap the byte stream, which is why
+    the fixture excludes them); the pinned test checks exactly that
+    recall.  Rows-only (blob byte-folds aren't
+    SQL-expressible — same tier as decode/resize); returns per duplicate
+    group: (phash, n_copies, min_media_id, max_media_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.filter(
+        (F.col("doc_id") % 3 == 0)
+        & (F.col("doc_id") % 10 == 0)
+        & (F.col("n_chars") >= 64)  # grid reads 64 bytes; shorter texts wrap
+    ).select(
+        (F.col("doc_id") + 999_999).alias("doc_id"),
+        F.concat("text", F.lit(" xtail")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 6).alias("n_chars"),
+    )
+    aug = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        clones
+    )
+    media = MM.media_table(aug).filter(F.col("modality") == "image")
+    resized = MM.resize_images(media, width=8, height=8)
+    hashed = MM.phash_from_pixels(resized)
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("media_id").cast("bigint").alias("min_media_id"),
+            F.max("media_id").cast("bigint").alias("max_media_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("phash")
+    )

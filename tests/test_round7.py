@@ -877,3 +877,44 @@ def test_cluster_size_stats_conservation(spark):
     )
     assert sum(r.n_docs for r in rows) == n_in_clusters
     assert n_total - n_in_clusters >= 0
+
+
+def test_media_phash_catches_appended_tail_clones(spark):
+    """Every injected appended-tail clone must hash identically to its
+    original (the first-64-byte grid is unchanged), the fingerprint is
+    deterministic across invocations, and values fit 63 bits (the
+    ANSI-safe Horner bound)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        multimodal as MM,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    clones = docs.filter(
+        (F.col("doc_id") % 3 == 0)
+        & (F.col("doc_id") % 10 == 0)
+        & (F.col("n_chars") >= 64)  # grid reads 64 bytes; shorter texts wrap
+    ).select(
+        (F.col("doc_id") + 999_999).alias("doc_id"),
+        F.concat("text", F.lit(" xtail")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 6).alias("n_chars"),
+    )
+    aug = docs.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).unionByName(clones)
+    media = MM.media_table(aug).filter(F.col("modality") == "image")
+    hashed = MM.phash_from_pixels(MM.resize_images(media, 8, 8))
+    h = {r.media_id: r.phash for r in hashed.collect()}
+    clone_ids = [i for i in h if i >= 999_999]
+    assert clone_ids
+    for cid in clone_ids:
+        assert h[cid] == h[cid - 999_999], cid
+    assert all(0 <= v < 2**63 for v in h.values())
+    again = {
+        r.media_id: r.phash
+        for r in MM.phash_from_pixels(
+            MM.resize_images(media, 8, 8)
+        ).collect()
+    }
+    assert again == h
