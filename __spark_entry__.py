@@ -109,6 +109,7 @@ _PRIORITY = [
     # ---- window boundary (50) ----  overflow: operator covered by an
     "dedup_cluster_size_stats",          # NEW r7 (oracled, registered post-window): components histogram; covered in-window by dedup_components; leads r8
     "media_phash_dedup",                 # NEW r7 (rows-only, registered post-window): perceptual-hash image dedup; clone-recall pinned; covered in-window by media_resize_images; leads r8
+    "media_phash_near_pairs",            # NEW r7 (rows-only, registered post-window): hamming-banded phash pairs == brute force (pinned); twin of media_phash_dedup; leads r8
     "events_props_extract",              # displaced by the r7 additions; last row r1, leads r8 rotation
     "orders_running_total",              # displaced by the r7 additions; last row r1, leads r8 rotation
     "topk_companies_per_state",          # displaced by the r7 additions; last row r1, leads r8 rotation

@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "orders_replica_reconcile",
     "dedup_cluster_size_stats",
     "media_phash_dedup",
+    "media_phash_near_pairs",
     # stream_late_data_audit is deliberately NOT benched: its wall time
     # is three sequential streaming-query lifecycles (checkpoint-sharing
     # restarts) — a fixed harness cost that measures query startup, not

@@ -745,3 +745,75 @@ def canonical_docs_best(
     )
     losers = ranked.filter(F.col("_rn") > 1).select("doc_id")
     return docs.join(losers, "doc_id", "left_anti")
+
+
+def hamming_banded_pairs(
+    fps: DataFrame,
+    fp_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs within a hamming radius WITHOUT the all-pairs scan:
+    split the fingerprint into ``n_bands`` contiguous bit-bands; by
+    pigeonhole, any pair with hamming distance ≤ n_bands−1 agrees exactly
+    on at least one band, so candidate generation is an equi-join on
+    (band index, band value) — the same banding that makes MinHash-LSH
+    scale, applied to hamming space.  Candidates are then verified with
+    the exact popcount, so the result is EXACTLY the pairs within
+    ``max_hamming`` (complete as long as max_hamming < n_bands; asserted).
+
+    At 100 TB: the corpus carries one int per item, the join keys are
+    (band, value) buckets, and only same-bucket candidates are ever
+    compared — identical scale posture to minhash_dedup_pairs.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"completeness requires max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    bw = bits // n_bands
+    band_vals = []
+    for b in range(n_bands):
+        lo = b * bw
+        width = bits - lo if b == n_bands - 1 else bw
+        mask = (1 << width) - 1
+        band_vals.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(fp_col), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
+    banded = fps.select(
+        F.col(id_col).alias("_id"),
+        F.col(fp_col).alias("_fp"),
+        F.explode(F.array(*band_vals)).alias("_b"),
+    ).select("_id", "_fp", F.col("_b.band").alias("_band"), F.col("_b.val").alias("_val"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._val") == F.col("r._val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._fp").alias("_fa"),
+            F.col("r._fp").alias("_fb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", hamming_distance(F.col("_fa"), F.col("_fb")).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -185,3 +185,43 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") >= 2)
         .orderBy("phash")
     )
+
+
+@register(
+    "media_phash_near_pairs", None,
+    "multimodal", "dedup", "phash", "hamming", "lsh",
+    twin_of="media_phash_dedup",
+    twin_pin="tests/test_round7.py::test_phash_banded_pairs_equal_brute_force",
+)
+def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy radius the exact-hash groups can't see: image pairs
+    within hamming distance 3 of each other's 63-bit perceptual hash,
+    via pigeonhole banding (operators.dedup.hamming_banded_pairs —
+    4 bands, so distance ≤ 3 pairs MUST share a band) instead of the
+    O(n²) all-pairs scan.  Same fixture as media_phash_dedup; the banded
+    result is pinned EQUAL to the brute-force hamming join on the
+    fixture, which is the completeness theorem checked empirically.
+    Returns (id_a, id_b, hamming)."""
+    from ..operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.filter(
+        (F.col("doc_id") % 3 == 0)
+        & (F.col("doc_id") % 10 == 0)
+        & (F.col("n_chars") >= 64)  # grid reads 64 bytes; shorter texts wrap
+    ).select(
+        (F.col("doc_id") + 999_999).alias("doc_id"),
+        F.concat("text", F.lit(" xtail")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 6).alias("n_chars"),
+    )
+    aug = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        clones
+    )
+    media = MM.media_table(aug).filter(F.col("modality") == "image")
+    hashed = MM.phash_from_pixels(MM.resize_images(media, 8, 8))
+    return DD.hamming_banded_pairs(
+        hashed, fp_col="phash", id_col="media_id",
+        bits=63, n_bands=4, max_hamming=3,
+    ).orderBy("id_a", "id_b")

@@ -123,6 +123,7 @@ def test_twin_registry_integrity():
         "ann_cosine_topk_fast",
         "ann_ivfpq_topk",
         "stream_checksum_mv",
+        "media_phash_near_pairs",
         "ann_semantic_canonical_fast",
         "dedup_minhash_fast",
         "docs_quality_deciles_approx",
@@ -918,3 +919,47 @@ def test_media_phash_catches_appended_tail_clones(spark):
         ).collect()
     }
     assert again == h
+
+
+def test_phash_banded_pairs_equal_brute_force(spark):
+    """The pigeonhole completeness theorem, checked empirically: the
+    banded candidate join + exact verify must produce EXACTLY the
+    brute-force set of pairs within hamming distance 3 — nothing missed
+    (completeness), nothing extra (verification)."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        multimodal as MM,
+    )
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in catalog.CATALOG["media_phash_near_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    clones = docs.filter(
+        (F.col("doc_id") % 3 == 0)
+        & (F.col("doc_id") % 10 == 0)
+        & (F.col("n_chars") >= 64)
+    ).select(
+        (F.col("doc_id") + 999_999).alias("doc_id"),
+        F.concat("text", F.lit(" xtail")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 6).alias("n_chars"),
+    )
+    aug = docs.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).unionByName(clones)
+    media = MM.media_table(aug).filter(F.col("modality") == "image")
+    h = {
+        r.media_id: r.phash
+        for r in MM.phash_from_pixels(MM.resize_images(media, 8, 8)).collect()
+    }
+    exp = {}
+    ids = sorted(h)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(h[a] ^ h[b]).count("1")
+            if d <= 3:
+                exp[(a, b)] = d
+    assert exp, "fixture must contain close pairs (clones at distance 0)"
+    assert got == exp
