@@ -593,22 +593,37 @@ def pack_sequences(
     are pure column arithmetic.  The prefix sum uses the same two-phase
     distributed form as ``sample_token_budget`` — per-bucket totals
     (``n_buckets`` rows) carry the global running offset, the wide
-    window is partitioned per bucket — with the bucket key a zero-padded
-    ``order_col`` prefix so (bucket, order) ordering IS the global
-    order.  No global-sort window ever materializes; the corpus text
-    never shuffles (only (id, n_tokens) rows do).
+    window is partitioned per bucket — with the bucket key
+    ``order_col DIV 10^4`` (truncating division is monotonic, so
+    (bucket, order) ordering IS the global order for ANY bigint id —
+    the earlier zero-padded string prefix silently truncated ids beyond
+    12 digits, r8 advisor fix).  ``order_col`` must therefore be an
+    integral column; raises TypeError otherwise.  No global-sort window
+    ever materializes; the corpus text never shuffles (only
+    (id, n_tokens) rows do).
 
     Returns one row per sequence: (seq_id, n_segments, n_tokens — always
     ``seq_len`` except the final sequence — and ``segments``, the
     ordered "doc_id:start-end" comma list in within-sequence token
     coordinates, end exclusive).
     """
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[order_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise TypeError(
+            f"pack_sequences requires an integral order column; "
+            f"{order_col!r} is {df.schema[order_col].dataType.simpleString()}"
+            " (the (bucket, order) == global-order invariant relies on "
+            "monotonic integer division)"
+        )
     n_tok = F.size(TF.tokens(text_col)).cast("bigint")
     base = df.select(
         F.col(order_col).alias("_id"),
         n_tok.alias("_nt"),
-        F.substring(F.lpad(F.col(order_col).cast("string"), 12, "0"), 1, 8)
-        .alias("_bucket"),
+        F.expr(f"CAST(`{order_col}` AS BIGINT) DIV 10000").alias("_bucket"),
     )
     offsets = (
         base.groupBy("_bucket")
@@ -719,7 +734,13 @@ def domain_reweight_mw(
     Scale posture: the corpus is scanned ONCE for the per-domain moments
     (map-side combined sum of quality_u); iterations run on the
     domain-sized frame (a broadcast-sized dim at any corpus scale), so
-    adding iterations costs nothing corpus-shaped.  Returns per domain:
+    adding iterations costs nothing corpus-shaped.  Each iteration's
+    frame is eagerly localCheckpoint-ed before its total is derived —
+    the per-iteration crossJoin(tot) otherwise embeds the prior lineage
+    twice, doubling the plan (and re-planning the corpus subtree
+    2^iterations times) as iteration count grows (r8 advisor fix); the
+    checkpoint pins "scanned once" structurally instead of relying on
+    AQE exchange reuse.  Returns per domain:
     n_docs, mloss_u, and the weight after each iteration (w1..wN,
     scaled 1e6; normalize by SUM(wN) downstream — kept unnormalized so
     the surface stays integer-exact).
@@ -744,6 +765,9 @@ def domain_reweight_mw(
     ).withColumn("w", F.lit(1_000_000).cast("bigint"))
     w_cols = []
     for t in range(1, iterations + 1):
+        # domain-sized frame: eager lineage cut — one corpus scan total,
+        # O(1) plan growth per iteration regardless of iteration count
+        cur = cur.localCheckpoint(eager=True)
         tot = cur.agg(
             F.sum(F.col("w") * F.col("mloss_u")).alias("_wl"),
             F.sum("w").alias("_wsum"),

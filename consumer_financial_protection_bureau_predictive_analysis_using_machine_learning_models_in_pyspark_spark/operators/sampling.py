@@ -211,6 +211,11 @@ def weighted_mixture_sample(
     a bounded domain dim (broadcast), the sample a map-side filter.
     Returns kept rows with ``keep_frac``, ``group_total`` and the
     group's ``mix_weight`` attached.
+
+    The weight table must COVER every group present in ``df`` with a
+    non-NULL weight: a partial table would silently drop the uncovered
+    groups and skew the mixture (r7 advisor flag), so coverage is
+    checked eagerly on the group-sized counts dim and raises instead.
     """
     from pyspark.sql import Window
 
@@ -218,7 +223,22 @@ def weighted_mixture_sample(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    counts = counts.persist()  # group-sized dim; reused by the check + plan
     wtab = weights.select(group_col, F.col(weight_col).alias("_w"))
+    uncovered = [
+        r[0]
+        for r in counts.join(wtab.filter(F.col("_w").isNotNull()),
+                             group_col, "left_anti")
+        .select(group_col)
+        .limit(5)
+        .collect()
+    ]
+    if uncovered:
+        raise ValueError(
+            f"weighted_mixture_sample: weight table has no (non-NULL) "
+            f"weight for group(s) {uncovered} present in df — a partial "
+            f"weight table would silently skew the mixture"
+        )
     joined = (
         counts.join(wtab, group_col)
         .withColumn("_n_tot", F.sum("_n_g").over(everything).cast("bigint"))

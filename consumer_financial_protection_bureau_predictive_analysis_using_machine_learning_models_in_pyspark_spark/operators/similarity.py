@@ -1051,16 +1051,39 @@ def pq_codebook(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Sampled product-quantization codebook: the per-subspace centroid
-    sets are the subvectors of the first ``k`` corpus vectors (a
+    sets are the subvectors of the ``k`` lowest-id corpus vectors (a
     deterministic sampled codebook — the cheap, fully replayable PQ
     baseline; a KMeans codebook slots into the same (sub, cid, cvec)
     contract when training offline).  ``m`` subspaces of ``dim/m`` dims;
     m*k rows total — broadcast-sized by construction.
+
+    The first-k selection is by ORDERED id (TakeOrdered — map-side
+    top-k, no global sort), not a literal ``id < k`` filter, so corpora
+    whose ids are sparse or don't start at 0 still yield exactly k
+    centroids per subspace (r7 advisor flag); raises if the corpus has
+    fewer than k vectors rather than silently degrading the codes.
+    ``cid`` is the dense 0..k-1 rank in id order — identical to the raw
+    id on dense-id corpora, so existing oracles are unchanged.
     Returns (sub, cid, cvec)."""
+    from pyspark.sql import Window
+
     subdim = dim // m
+    firstk = (
+        corpus.select(F.col(id_col).alias("_oid"), F.col(vec_col).alias("_v"))
+        .orderBy("_oid")
+        .limit(k)
+        .withColumn(
+            "cid",
+            F.row_number().over(Window.orderBy("_oid")) - F.lit(1),
+        )
+    )
+    n = firstk.count()  # k rows at most — trivial action
+    if n < k:
+        raise ValueError(
+            f"pq_codebook needs at least k={k} corpus vectors, got {n}"
+        )
     return (
-        corpus.filter(F.col(id_col) < k)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_v"))
+        firstk.select("cid", "_v")
         .select(
             "cid",
             F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),

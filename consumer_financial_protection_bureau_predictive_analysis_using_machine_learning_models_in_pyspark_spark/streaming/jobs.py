@@ -550,6 +550,27 @@ def run_streaming_semantic_dedup(
     q.awaitTermination()
 
 
+def mv_versions(spark, state_dir: str) -> list[int]:
+    """Version directories (``v{batch_id}``) under ``state_dir``, resolved
+    through the Hadoop FileSystem API so MV state may live on ANY
+    Hadoop-supported filesystem (HDFS, object stores), not only the
+    driver-local disk — ``os.listdir`` on a remote path silently returns
+    nothing, and an empty version list would make a replayed batch
+    DOUBLE-FOLD instead of rewriting idempotently (r8 advisor fix).
+    Shared by every versioned-MV loop and ``read_mv_state``."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
 def run_streaming_mv_merge(
     stream: DataFrame,
     state_dir: str,
@@ -573,15 +594,6 @@ def run_streaming_mv_merge(
     MV is read-heavy.  (On a lake format the same hook becomes MERGE
     INTO; version listing here is a local-FS stand-in for its log.)
     availableNow; blocks until drained."""
-    import os
-
-    def _versions() -> list[int]:
-        if not os.path.isdir(state_dir):
-            return []
-        return sorted(
-            int(d[1:]) for d in os.listdir(state_dir)
-            if d.startswith("v") and d[1:].isdigit()
-        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -590,7 +602,7 @@ def run_streaming_mv_merge(
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
             F.max("ts").alias("max_ts"),
         )
-        prev = [v for v in _versions() if v < batch_id]
+        prev = [v for v in mv_versions(spark, state_dir) if v < batch_id]
         if prev:
             state = spark.read.parquet(f"{state_dir}/v{prev[-1]}")
             merged = (
@@ -622,13 +634,12 @@ def run_streaming_mv_merge(
 
 def read_mv_state(spark, state_dir: str) -> DataFrame:
     """The current MV view: the highest version ``run_streaming_mv_merge``
-    wrote — a single key-sized read, no merge-on-read."""
-    import os
-
-    versions = sorted(
-        int(d[1:]) for d in os.listdir(state_dir)
-        if d.startswith("v") and d[1:].isdigit()
-    )
+    wrote — a single key-sized read, no merge-on-read.  Versions resolve
+    through the Hadoop FileSystem API (``mv_versions``) so the state dir
+    may be any Hadoop-supported path."""
+    versions = mv_versions(spark, state_dir)
+    if not versions:
+        raise FileNotFoundError(f"no MV versions under {state_dir}")
     return spark.read.parquet(f"{state_dir}/v{versions[-1]}")
 
 
@@ -730,15 +741,6 @@ def run_streaming_join_mv(
     is broadcast-sized by contract (it is a dimension); state is
     attribute-sized — never fact-sized.  availableNow; blocks until
     drained."""
-    import os
-
-    def _versions() -> list[int]:
-        if not os.path.isdir(state_dir):
-            return []
-        return sorted(
-            int(d[1:]) for d in os.listdir(state_dir)
-            if d.startswith("v") and d[1:].isdigit()
-        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -752,7 +754,7 @@ def run_streaming_join_mv(
                 F.max("ts").alias("max_ts"),
             )
         )
-        prev = [v for v in _versions() if v < batch_id]
+        prev = [v for v in mv_versions(spark, state_dir) if v < batch_id]
         if prev:
             state = spark.read.parquet(f"{state_dir}/v{prev[-1]}")
             merged = (
@@ -803,15 +805,6 @@ def run_streaming_checksum_mv(
     instead of double-folding; readers take the highest version
     (``read_mv_state``).  State is month-sized.  availableNow; blocks
     until drained."""
-    import os
-
-    def _versions() -> list[int]:
-        if not os.path.isdir(state_dir):
-            return []
-        return sorted(
-            int(d[1:]) for d in os.listdir(state_dir)
-            if d.startswith("v") and d[1:].isdigit()
-        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.metrics import partition_checksum
@@ -830,7 +823,7 @@ def run_streaming_checksum_mv(
         partial = partition_checksum(
             batch_df, F.date_format("ts", "yyyy-MM"), key, mod=mod
         ).withColumnRenamed("part", "month")
-        prev = [x for x in _versions() if x < batch_id]
+        prev = [x for x in mv_versions(spark, state_dir) if x < batch_id]
         if prev:
             state = spark.read.parquet(f"{state_dir}/v{prev[-1]}")
             merged = (
