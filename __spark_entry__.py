@@ -33,231 +33,214 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS run covers the first 50 queries() entries
 # (observed r1: exactly the first 50 registrations got rows).  The catalog
-# is larger than that, so entries are emitted in a curated priority order:
-# every operator FAMILY is represented inside the 50-entry window, and the
-# overflow slots hold near-twin queries whose operators are already covered
-# by an in-window sibling (each overflow entry names its covering twin).
-#
-# ROTATION (r6): CORRECTNESS_r05.json landed with 38/39 oracled rows green
-# (the unigram FAIL is restructured this round), so this window is derived
-# from the authoritative ever-checked set across r1-r5: all 36 entries that
-# have never received a driver row come first-class, plus three re-checks
-# and the two entries newly promoted from rows-only to oracled.
+# is larger than that, so entries are emitted in a rotation order that is
+# now GENERATED, not hand-curated (VERDICT r7 item 7): never-checked
+# entries first (catalog order — new registrations land here), then
+# everything else ordered by the round of its newest driver row
+# (oldest-first), ties broken by registration order.  Regenerate with
+#     python tools/gen_priority.py
+# and tests/test_priority_window.py pins committed == generated.
 _PRIORITY = [
-    # ---- r7 driver window (first 50): the two r6 hash-FAIL re-checks
-    # (q12 oracle BIGINT casts; canonical-best integer quality surface),
-    # the r6 erroring media row (scalar surface), the three entries that
-    # have never had a driver row, the five entries whose hash surface
-    # moved to the engine-stable integer quality_u in the r7 ROUND audit,
-    # the thirteen NEW r7 entries (sequence packing, MW reweight + its
-    # apply step, PQ-ADC + full IVF-PQ serving, epoch shuffle,
-    # calibration + threshold sweep, hierarchical sweep-line, partition
-    # checksums + streaming MV twin + two-phase reconcile + the
-    # watermark late-data audit), and 26 oldest-first rotations (eight
-    # r1-vintage entries were displaced by the late additions and lead
-    # the r8 overflow).  Derived from CORRECTNESS_r01-r06.
-    "q12_shipping_delay_class",          # re-check: oracle SUM counts now CAST AS BIGINT (r6 FAIL was HUGEINT->float64 on the hash surface)
-    "dedup_canonical_best",              # re-check: rank+surface moved to integer micro-unit quality_u (r6 FAIL was float-ROUND build sensitivity)
-    "media_resize_images",               # re-check: catalog surface now n_pixels+checksum scalars (r6 row errored hashing the raw tensor)
-    "docs_bpe_vocab",                    # first driver row (oracled r6 post-window; BPE train->encode->vocab lifecycle)
-    "ann_semantic_canonical_fast",       # first driver row (rows-only: BLAS production twin; equality with exact sibling pinned in pytest)
-    "stream_join_mv",                    # first driver row (rows-only: join-MV with mid-stream dim rewrite; batch-equality pinned)
-    "docs_quality_score",                # re-check: per-doc surface moved to integer micro-units (r7 ROUND-audit hardening)
-    "docs_quality_zscore",               # re-check: hash surface now integer moments sum_qu/sum_qu2 (r7 ROUND-audit hardening)
-    "docs_quality_deciles",              # re-check: NTILE rank key + stats now quality_u (r7 ROUND-audit hardening)
-    "docs_quality_deciles_approx",       # re-check (rows-only): sketch twin follows quality_u surface
-    "docs_corpus_datasheet",             # re-check: quality mass now exact BIGINT sum_quality_u (r7 ROUND-audit hardening)
-    "complaints_frequency_encode",       # rotated in r7 (last driver row r1, oldest-first)
-    "complaints_confusion_pivot",        # rotated in r7 (last driver row r1, oldest-first)
-    "events_value_quantiles",            # rotated in r7 (last driver row r1, oldest-first)
-    "ann_lsh_topk",                      # rotated in r7 (last driver row r1, oldest-first)
-    "dedup_components",                  # rotated in r7 (last driver row r1, oldest-first)
-    "ml_timely_svm",                     # rotated in r7 (last driver row r1, oldest-first)
-    "ml_response_rf",                    # rotated in r7 (last driver row r1, oldest-first)
-    "complaints_rebalance_8class",       # rotated in r7 (last driver row r1, oldest-first)
-    "ann_cosine_topk_fast",              # rotated in r7 (last driver row r1, oldest-first)
-    "dedup_jaccard_blocked",             # rotated in r7 (last driver row r1, oldest-first)
-    "complaints_class_distribution",     # rotated in r7 (last driver row r1, oldest-first)
-    "docs_token_stats",                  # rotated in r7 (last driver row r1, oldest-first)
-    "complaints_oversample_timely",      # rotated in r7 (last driver row r1, oldest-first)
-    "complaints_train_test_split",       # rotated in r7 (last driver row r1, oldest-first)
-    "complaints_date_parts",             # rotated in r7 (last driver row r1, oldest-first)
-    "complaints_per_class_metrics",      # rotated in r7 (last driver row r1, oldest-first)
-    "dedup_canonical_docs",              # rotated in r7 (last driver row r1, oldest-first)
-    "ml_timely_gbt",                     # rotated in r7 (last driver row r1, oldest-first)
-    "q6_forecast_revenue",               # rotated in r7 (last driver row r1, oldest-first)
-    "sql_nation_revenue",                # rotated in r7 (last driver row r1, oldest-first)
-    "complaints_confusion_counts",       # rotated in r7 (last driver row r1, oldest-first)
-    "customers_in_both_statuses",        # rotated in r7 (last driver row r1, oldest-first)
-    "customers_only_finished",           # rotated in r7 (last driver row r1, oldest-first)
-    "union_order_sample_frames",         # rotated in r7 (last driver row r1, oldest-first)
-    "lineitem_cube",                     # rotated in r7 (last driver row r1, oldest-first)
-    "orders_rollup_by_date",             # rotated in r7 (last driver row r1, oldest-first)
-    "stream_late_data_audit",            # NEW r7 (rows-only): exact watermark-drop accounting across restarts
-    "events_peak_concurrency",           # NEW r7 (oracled): hierarchical sweep-line == naive global sweep
-    "orders_partition_checksums",        # NEW r7 (oracled): order-independent replica-audit checksums
-    "stream_checksum_mv",                # NEW r7 (rows-only): incremental checksum MV; batch-equality + replay pinned
-    "orders_replica_reconcile",          # NEW r7 (oracled): two-phase checksum reconcile + pruned drill-down
-    "docs_epoch_shuffle",                # NEW r7 (oracled): multi-epoch md5 shuffle manifest, no global sort
-    "ml_timely_lr_calibration",          # NEW r7 (rows-only): reliability/ECE table; invariants pinned
-    "ml_timely_lr_threshold_sweep",      # NEW r7 (rows-only): one-pass PR curve; equals naive filters (pinned)
-    "docs_reweighted_sample",            # NEW r7 (oracled): optimize->apply mixture composition
-    "ann_ivfpq_topk",                    # NEW r7 (rows-only): full IVF-PQ serving; consistency+recall pinned
-    "ann_pq_adc_topk",                   # NEW r7 (oracled): PQ-ADC serving structure, decimal-exact end-to-end
-    "docs_pack_sequences",               # NEW r7 (oracled): split-aware sequence packing, boundary map
-    "docs_domain_reweight",              # NEW r7 (oracled): integer-exact multiplicative-weights mixture
-    # ---- window boundary (50) ----  overflow: operator covered by an
-    "dedup_cluster_size_stats",          # NEW r7 (oracled, registered post-window): components histogram; covered in-window by dedup_components; leads r8
-    "media_phash_dedup",                 # NEW r7 (rows-only, registered post-window): perceptual-hash image dedup; clone-recall pinned; covered in-window by media_resize_images; leads r8
-    "media_phash_near_pairs",            # NEW r7 (rows-only, registered post-window): hamming-banded phash pairs == brute force (pinned); twin of media_phash_dedup; leads r8
-    "events_props_extract",              # displaced by the r7 additions; last row r1, leads r8 rotation
-    "orders_running_total",              # displaced by the r7 additions; last row r1, leads r8 rotation
-    "topk_companies_per_state",          # displaced by the r7 additions; last row r1, leads r8 rotation
-    "events_hourly_agg",                 # displaced by the r7 additions; last row r1, leads r8 rotation
-    "events_ordinal",                    # displaced by the r7 additions; last row r1, leads r8 rotation
-    "docs_language_id",                  # displaced by the r7 additions; last row r1, leads r8 rotation
-    "docs_fingerprints",                 # displaced by the r7 additions; last row r1, leads r8 rotation
-    "dedup_simhash",                     # displaced by the r7 additions; last row r1, leads r8 rotation
-    "q4_order_priority",                 # displaced by the r7 additions; last row r2, next rotation
-    "q22_sales_opportunity",             # displaced by the r7 additions; last row r2, next rotation
-    "q11_important_parts",               # displaced by the r7 additions; last row r2, next rotation
-    "q15_top_supplier",                  # displaced by the r7 additions; last row r2, next rotation
-    "q16_supplier_part_count",           # displaced by the r7 additions; last row r2, next rotation
-    # in-window sibling or recently driver-green (comments name the
-    # covering twin / last green round)
-    "complaints_clean",                  # reference-parity core anchor
-    "complaints_flagship",               # reference-parity core anchor
-    "star_constraint_audit",             # re-check: NULL-as-violation audit semantics landed r6
-    "q1_pricing_summary",                # relational anchor
-    "q14_promo_effect",                  # first driver row (conditional ratio)
-    "q18_large_volume_customers",        # gate anchor: broadcast runtime-gated
-    "q19_disjunctive_revenue",           # first driver row (disjunctive pushdown)
-    "orders_merge_upsert",               # first driver row (CDC merge)
-    "orders_snapshot_diff",              # first driver row (CDC snapshot diff; null-safe key join r6)
-    "orders_price_psi",                  # first driver row (drift: PSI)
-    "orders_price_ks",                   # first driver row (drift: binned KS)
-    "orders_status_priority_chi2",       # first driver row (drift: chi-square)
-    "lineitem_numeric_corr",             # first driver row (profiling: correlation matrix)
-    "lineitem_zorder_export",            # first driver row (rows-only: z-clustered write + manifest)
-    "orc_roundtrip_part",                # first driver row (ORC source/sink + partition pruning)
-    "supplier_strong_components",        # first driver row (components, recursive-CTE oracle)
-    "part_copurchase_triangles",         # first driver row (graph: triangles)
-    "part_association_rules",            # first driver row (association rules)
-    "part_similar_items",                # first driver row (item-item recommender)
-    "docs_training_export",              # NEWLY ORACLED r6: end-to-end filter->dedup->sample->pack composition
-    "events_user_paths",                 # first driver row (lag-window paths)
-    "events_top_session_paths",          # first driver row (session path mining)
-    "events_purchase_attribution",       # first driver row (first/last-touch attribution)
-    "events_compact_latest",             # first driver row (keyed compaction)
-    "events_multires_rollup",            # first driver row (multi-resolution rollup)
-    "docs_bpe_encode",                   # NEWLY ORACLED r6: BPE inference (train->encode lifecycle)
-    "docs_unigram_logprob",              # re-check: transcendental-free integer-moment oracle (r6)
-    "docs_repetition_stats",             # first driver row (n-gram repetition)
-    "docs_pii_redact",                   # first driver row (regex redaction)
-    "docs_vocab_coverage",               # first driver row (top-V type coverage)
-    "docs_weighted_topk_sample",         # first driver row (exactly-k A-ES sample)
-    "docs_shard_export",                 # first driver row (hash-sharded export)
-    "dedup_minhash_lsh",                 # dedup anchor
-    "dedup_minhash_fast",                # first driver row (rows-only: xxhash64 twin, pair-equality pinned)
-    "dedup_components_star",             # first driver row (large/small-star components)
-    "ann_semantic_dedup_incremental_lsh", # NEWLY ORACLED r6: LSH twin of the IVF incremental triage
-    "ann_semantic_canonical",            # NEWLY ORACLED r6: hyperplane pairs + recursive-CTE components
-    "ann_int8_rerank_topk",              # NEWLY ORACLED r6: deterministic int8 quantization in SQL
-    "ann_semantic_dedup",                # first driver row (rows-only: IVF-cell pair scoring)
-    "media_meta_stats",                  # multimodal anchor
-    "media_decode_features",             # first driver row (rows-only: mapInPandas decode plumbing)
-    "stream_windowed_counts",            # streaming anchor
-    "stream_quality_gate",               # first driver row (foreachBatch accept/quarantine gate)
-    "stream_mv_maintenance",             # first driver row (rows-only: streaming MV merge loop)
-    "ml_lda_topics",                     # first driver row (rows-only: online-LDA twin)
-    "ml_timely_lr_lift",                 # first driver row (rows-only: lift/gains on scored frame)
-    "ml_timely_lr_lift_approx",          # first driver row (rows-only: approx-decile twin)
-    "complaints_json_clean",             # driver-green r5 window; family anchor in-window
-    "supplier_copurchase_pagerank",      # r6 window debut (graph family, unrolled-SQL oracle)
-    "q3_top_unshipped_orders",           # driver-green r5 window; family anchor in-window
-    "q17_small_quantity_revenue",        # driver-green r5 window; family anchor in-window
-    "lineitem_unpivot",                  # driver-green r5 window; family anchor in-window
-    "orders_scd2",                       # driver-green r5 window; family anchor in-window
-    "orders_mv_merge",                   # r6 window debut
-    "lineitem_zorder_layout",            # r6 window debut
-    "lineitem_skipping_stats",           # r6 window debut
-    "events_value_outliers_mad",         # r5 window debut (r4 breadth pack)
-    "events_value_outliers_mad_approx",  # r6 window debut (rows-only: sketch twin)
-    "events_active_users_approx",        # r5 window debut (rows-only: HLL sketch)
-    "docs_temperature_mix",              # r5 window debut
-    "docs_pack_manifest",                # r5 window debut
-    "docs_bm25_rank",                    # r5 window debut
-    "docs_hybrid_rrf",                   # r5 window debut
-    "docs_bigram_pmi",                   # r6 window debut
-    "orders_profile",                    # r6 window debut
-    "orders_profile_approx",             # r6 window debut (rows-only: HLL twin)
-    "csv_roundtrip_customer",            # r6 window debut
-    "dedup_incremental_bloom",           # r6 window debut (shares dedup_incremental oracle)
-    "dedup_incremental_minhash",         # r6 window debut
-    "dedup_incremental_minhash_prebuilt", # r6 window debut (same oracle, prebuilt index)
-    "ann_ivf_prebuilt_topk",             # r5 window debut (rows-only: MLlib vectors)
-    "ann_semantic_dedup_incremental",    # r6 window debut (rows-only: incremental ingest)
-    "ann_recall_eval",                   # r6 window debut (oracled recall@5)
-    "docs_bpe_merges",                   # r6 window debut (tokenizer family, unrolled-SQL oracle)
-    "stream_session_stats",              # driver-green r5 window; family anchor in-window
-    "stream_static_enrich",              # r5 window debut
-    "stream_semantic_dedup",             # r6 window debut (rows-only: foreachBatch loop)
-    "ml_timely_lr",                      # driver-green r5 window; family anchor in-window
-    "ml_response_dt",                    # driver-green r5 window; family anchor in-window
-    "complaints_binary_metrics",         # rotated out r6b (green r1-r4); metrics family: complaints_flagship in-window
-    "q2_min_cost_supplier",              # rotated out r6b (green r4); join ladder: q3/q17/q18 in-window
-    "er_fuzzy_part_match",               # rotated out r6b (driver-green r4); blocked-join verify: dedup_minhash_lsh in-window
-    "sink_roundtrip_orders",             # rotated out r6 (green r4); sink family: csv_roundtrip_customer in-window
-    "salted_lineitem_agg",               # rotated out r6 (green r4); salt-split agg pytest skew-spread bounds
-    "skewjoin_events_enrich",            # rotated out r6 (green r4); gated-broadcast family: q18 gate in-window
-    "events_sessionize",                 # rotated out r6 (green r4); session windows: stream_session_stats in-window
-    "events_cohort_retention",           # rotated out r6 (green r4); sequence windows: events_funnel in-window
-    "docs_tfidf_keywords",               # rotated out r6 (green r4); explode+agg+broadcast: docs_bm25_rank in-window
-    "docs_decontaminate",                # rotated out r6 (green r4); gram-membership: dedup_incremental_bloom in-window
-    "docs_chunk",                        # rotated out r6 (green r4); in-row arrays: docs_pack_manifest in-window
-    "docs_token_budget_sample",          # rotated out r6 (green r4); prefix-sum pack: docs_pack_manifest in-window
-    "docs_weighted_sample",              # rotated out r6 (green r4); hash-Bernoulli: docs_temperature_mix in-window
-    "dedup_incremental",                 # rotated out r6 (green r4); dedup_incremental_bloom shares its oracle verbatim
-    "ann_cosine_topk",                   # rotated out r6 (green r4); exact cosine: ann_recall_eval exact CTE in-window
-    "stream_dedup_events",               # rotated out r6 (green r4); stateful dedup: stream_semantic_dedup in-window
-    "stream_running_user_stats",         # rotated out r6 (rows r4); state family: stream_semantic_dedup in-window
-    "stream_click_purchase_join",        # rotated out r6 (green r4); stream joins: stream_static_enrich in-window
-    "ml_timely_lr_tuned",                # rotated out r6 (rows r4); tuner twin of in-window ml_timely_lr
-    "ml_lda_topics_em",                  # rotated out r6 (rows r4); NLP fit family: golden LDA pin in pytest
-    "complaints_monthly_trend",          # rotated out r5 (driver-green r4); F1 date parts: complaints reference core + events windows
-    "orders_status_pivot",               # rotated out r5 (green r4); reshape family: lineitem_unpivot in-window
-    "orders_rfm_segments",               # rotated out r5 (green r4); NTILE family: docs_quality_deciles in-window
-    "customer_halves_full_outer",        # rotated out r5 (green r4); FULL OUTER: docs_hybrid_rrf fuse in-window
-    "events_rolling_mean_dev",           # rotated out r5 (green r4); rolling deviation: events_value_outliers_mad in-window
-    "events_value_histogram",            # rotated out r5 (green r4); bucket fold: docs_quality_deciles_approx in-window
-    "events_active_users",               # rotated out r5 (green r4); exact twin of in-window events_active_users_approx
-    "docs_domain_mix",                   # rotated out r5 (green r4); mixture family: docs_temperature_mix in-window
-    "docs_stratified_sample",            # rotated out r5 (green r4); hash-rank sampling: docs_weighted_sample in-window
-    "docs_boilerplate_spans",            # rotated out r5 (green r4); cross-doc gram agg: docs_bm25_rank explode+agg in-window
-    "ann_ivf_topk",                      # rotated out r5 (rows r4); fit-included twin of in-window ann_ivf_prebuilt_topk
-    "stream_minute_rollup",              # rotated out r5 (rows r4); foreachBatch rollup: stream family in-window
-    "q21_waiting_suppliers",             # rotated out r4 (green r3); anti/semi family: q17 + orders_scd2 windows
-    "q5_local_supplier_volume",          # rotated out r4 (green r3); star join: q1/q2 in-window
-    "q7_volume_shipping",                # rotated out r4 (green r3); star rollup: q2 join ladder
-    "q8_market_share",                   # rotated out r4 (green r3); conditional ratio: orders_status_pivot
-    "q9_profit_by_nation",               # rotated out r4 (green r3); star rollup: q2 join ladder
-    "q10_returned_items",                # rotated out r4 (green r3); top-k join: q3 in-window
-    "q13_customer_distribution",         # rotated out r4 (green r3); outer+2-level agg: customer_halves_full_outer
-    "q20_potential_promotion",           # rotated out r4 (green r3); semi ladder: q17 de-correlation
-    "events_asof_join",                  # rotated out r4 (green r3); ordered-window family: events_rolling_mean_dev
-    "events_interval_join",              # rotated out r4 (green r3); range join: ann_range_search threshold family
-    "events_grouping_sets",              # rotated out r4 (green r3); Expand family: events_active_users stack
-    "events_heavy_hitters_cms",          # rotated out r4 (green r3); sketch family: events_value_histogram buckets
-    "events_gap_fill",                   # rotated out r4 (green r3); sequence/fill: events_rolling_mean_dev frames
-    "docs_pack_bins",                    # rotated out r4 (green r3); prefix-sum pack: docs_token_budget_sample
-    "dedup_exact",                       # rotated out r3 (green r2); fingerprint groupBy: dedup_incremental
-    "dedup_embedding_cosine",            # rotated out r3 (green r2); cosine family: ann_cosine_topk
-    "media_frame_sample",                # rotated out r3 (green r2); media family: media_meta_stats
-    "stream_sliding_counts",             # rotated out r3 (green r2); windowed-agg twin: stream_windowed_counts
-    "ml_feature_importances",            # rotated out r3 (rows r2); pytest value checks; ml family in-window
-    "docs_filter_chain",                 # rotated out r6c (green r4-r5); text filter family: repetition/pii/vocab + training_export in-window
-    "events_funnel",                     # rotated out r6c (green r1-r5); sequence windows: user_paths/session_paths in-window
-    "ann_range_search",                  # rotated out r6c (green r1-r5); decimal-dot threshold family: lsh-twin + int8 rerank in-window
+    "dedup_cluster_size_stats",  # never checked — first driver row
+    "media_phash_dedup",  # never checked — first driver row
+    "media_phash_near_pairs",  # never checked — first driver row
+    "topk_companies_per_state",  # newest driver row r1
+    "orders_running_total",  # newest driver row r1
+    "events_ordinal",  # newest driver row r1
+    "events_props_extract",  # newest driver row r1
+    "events_hourly_agg",  # newest driver row r1
+    "docs_language_id",  # newest driver row r1
+    "docs_fingerprints",  # newest driver row r1
+    "dedup_simhash",  # newest driver row r1
+    "dedup_exact",  # newest driver row r2
+    "ml_feature_importances",  # newest driver row r2
+    "media_frame_sample",  # newest driver row r2
+    "dedup_embedding_cosine",  # newest driver row r2
+    "stream_sliding_counts",  # newest driver row r2
+    "q4_order_priority",  # newest driver row r2
+    "q22_sales_opportunity",  # newest driver row r2
+    "q11_important_parts",  # newest driver row r2
+    "q15_top_supplier",  # newest driver row r2
+    "q16_supplier_part_count",  # newest driver row r2
+    "events_asof_join",  # newest driver row r3
+    "q5_local_supplier_volume",  # newest driver row r3
+    "events_interval_join",  # newest driver row r3
+    "events_heavy_hitters_cms",  # newest driver row r3
+    "docs_pack_bins",  # newest driver row r3
+    "events_grouping_sets",  # newest driver row r3
+    "q7_volume_shipping",  # newest driver row r3
+    "q8_market_share",  # newest driver row r3
+    "q10_returned_items",  # newest driver row r3
+    "q13_customer_distribution",  # newest driver row r3
+    "q9_profit_by_nation",  # newest driver row r3
+    "q20_potential_promotion",  # newest driver row r3
+    "q21_waiting_suppliers",  # newest driver row r3
+    "events_gap_fill",  # newest driver row r3
+    "complaints_binary_metrics",  # newest driver row r4
+    "events_sessionize",  # newest driver row r4
+    "ann_cosine_topk",  # newest driver row r4
+    "ann_ivf_topk",  # newest driver row r4
+    "docs_tfidf_keywords",  # newest driver row r4
+    "ml_timely_lr_tuned",  # newest driver row r4
+    "ml_lda_topics_em",  # newest driver row r4
+    "stream_dedup_events",  # newest driver row r4
+    "stream_running_user_stats",  # newest driver row r4
+    "stream_click_purchase_join",  # newest driver row r4
+    "sink_roundtrip_orders",  # newest driver row r4
+    "salted_lineitem_agg",  # newest driver row r4
+    "docs_decontaminate",  # newest driver row r4
+    "docs_chunk",  # newest driver row r4
+    "dedup_incremental",  # newest driver row r4
+    # ---- window boundary (50): overflow is staleness-ordered ----
+    "er_fuzzy_part_match",  # newest driver row r4
+    "skewjoin_events_enrich",  # newest driver row r4
+    "q2_min_cost_supplier",  # newest driver row r4
+    "events_cohort_retention",  # newest driver row r4
+    "docs_token_budget_sample",  # newest driver row r4
+    "docs_domain_mix",  # newest driver row r4
+    "orders_status_pivot",  # newest driver row r4
+    "docs_stratified_sample",  # newest driver row r4
+    "docs_boilerplate_spans",  # newest driver row r4
+    "orders_rfm_segments",  # newest driver row r4
+    "events_rolling_mean_dev",  # newest driver row r4
+    "events_value_histogram",  # newest driver row r4
+    "stream_minute_rollup",  # newest driver row r4
+    "docs_weighted_sample",  # newest driver row r4
+    "customer_halves_full_outer",  # newest driver row r4
+    "events_active_users",  # newest driver row r4
+    "complaints_monthly_trend",  # newest driver row r4
+    "q3_top_unshipped_orders",  # newest driver row r5
+    "ann_ivf_prebuilt_topk",  # newest driver row r5
+    "ann_recall_eval",  # newest driver row r5
+    "dedup_incremental_minhash",  # newest driver row r5
+    "dedup_incremental_minhash_prebuilt",  # newest driver row r5
+    "docs_bpe_merges",  # newest driver row r5
+    "ml_timely_lr",  # newest driver row r5
+    "ml_response_dt",  # newest driver row r5
+    "stream_static_enrich",  # newest driver row r5
+    "stream_session_stats",  # newest driver row r5
+    "stream_semantic_dedup",  # newest driver row r5
+    "complaints_json_clean",  # newest driver row r5
+    "csv_roundtrip_customer",  # newest driver row r5
+    "dedup_incremental_bloom",  # newest driver row r5
+    "docs_filter_chain",  # newest driver row r5
+    "q17_small_quantity_revenue",  # newest driver row r5
+    "events_funnel",  # newest driver row r5
+    "lineitem_unpivot",  # newest driver row r5
+    "ann_range_search",  # newest driver row r5
+    "orders_scd2",  # newest driver row r5
+    "events_active_users_approx",  # newest driver row r5
+    "docs_temperature_mix",  # newest driver row r5
+    "docs_pack_manifest",  # newest driver row r5
+    "docs_bm25_rank",  # newest driver row r5
+    "docs_hybrid_rrf",  # newest driver row r5
+    "events_value_outliers_mad",  # newest driver row r5
+    "events_value_outliers_mad_approx",  # newest driver row r5
+    "ann_semantic_dedup_incremental",  # newest driver row r5
+    "orders_profile",  # newest driver row r5
+    "orders_profile_approx",  # newest driver row r5
+    "orders_mv_merge",  # newest driver row r5
+    "lineitem_zorder_layout",  # newest driver row r5
+    "lineitem_skipping_stats",  # newest driver row r5
+    "docs_bigram_pmi",  # newest driver row r5
+    "supplier_copurchase_pagerank",  # newest driver row r5
+    "q1_pricing_summary",  # newest driver row r6
+    "complaints_clean",  # newest driver row r6
+    "complaints_flagship",  # newest driver row r6
+    "q18_large_volume_customers",  # newest driver row r6
+    "events_multires_rollup",  # newest driver row r6
+    "dedup_minhash_lsh",  # newest driver row r6
+    "docs_repetition_stats",  # newest driver row r6
+    "docs_pii_redact",  # newest driver row r6
+    "dedup_minhash_fast",  # newest driver row r6
+    "dedup_components_star",  # newest driver row r6
+    "ann_int8_rerank_topk",  # newest driver row r6
+    "docs_bpe_encode",  # newest driver row r6
+    "ml_lda_topics",  # newest driver row r6
+    "ml_timely_lr_lift",  # newest driver row r6
+    "ml_timely_lr_lift_approx",  # newest driver row r6
+    "media_meta_stats",  # newest driver row r6
+    "media_decode_features",  # newest driver row r6
+    "stream_windowed_counts",  # newest driver row r6
+    "stream_quality_gate",  # newest driver row r6
+    "orc_roundtrip_part",  # newest driver row r6
+    "orders_merge_upsert",  # newest driver row r6
+    "events_compact_latest",  # newest driver row r6
+    "q14_promo_effect",  # newest driver row r6
+    "q19_disjunctive_revenue",  # newest driver row r6
+    "events_user_paths",  # newest driver row r6
+    "docs_shard_export",  # newest driver row r6
+    "events_purchase_attribution",  # newest driver row r6
+    "events_top_session_paths",  # newest driver row r6
+    "docs_unigram_logprob",  # newest driver row r6
+    "docs_weighted_topk_sample",  # newest driver row r6
+    "ann_semantic_canonical",  # newest driver row r6
+    "ann_semantic_dedup",  # newest driver row r6
+    "ann_semantic_dedup_incremental_lsh",  # newest driver row r6
+    "docs_vocab_coverage",  # newest driver row r6
+    "stream_mv_maintenance",  # newest driver row r6
+    "docs_training_export",  # newest driver row r6
+    "lineitem_zorder_export",  # newest driver row r6
+    "part_copurchase_triangles",  # newest driver row r6
+    "part_association_rules",  # newest driver row r6
+    "supplier_strong_components",  # newest driver row r6
+    "part_similar_items",  # newest driver row r6
+    "star_constraint_audit",  # newest driver row r6
+    "orders_snapshot_diff",  # newest driver row r6
+    "lineitem_numeric_corr",  # newest driver row r6
+    "orders_price_psi",  # newest driver row r6
+    "orders_status_priority_chi2",  # newest driver row r6
+    "orders_price_ks",  # newest driver row r6
+    "q6_forecast_revenue",  # newest driver row r7
+    "complaints_frequency_encode",  # newest driver row r7
+    "complaints_date_parts",  # newest driver row r7
+    "complaints_class_distribution",  # newest driver row r7
+    "complaints_confusion_counts",  # newest driver row r7
+    "complaints_per_class_metrics",  # newest driver row r7
+    "complaints_confusion_pivot",  # newest driver row r7
+    "customers_in_both_statuses",  # newest driver row r7
+    "customers_only_finished",  # newest driver row r7
+    "union_order_sample_frames",  # newest driver row r7
+    "lineitem_cube",  # newest driver row r7
+    "orders_rollup_by_date",  # newest driver row r7
+    "sql_nation_revenue",  # newest driver row r7
+    "complaints_rebalance_8class",  # newest driver row r7
+    "complaints_oversample_timely",  # newest driver row r7
+    "complaints_train_test_split",  # newest driver row r7
+    "events_value_quantiles",  # newest driver row r7
+    "docs_token_stats",  # newest driver row r7
+    "docs_quality_score",  # newest driver row r7
+    "dedup_components",  # newest driver row r7
+    "dedup_canonical_docs",  # newest driver row r7
+    "dedup_jaccard_blocked",  # newest driver row r7
+    "ann_lsh_topk",  # newest driver row r7
+    "ann_cosine_topk_fast",  # newest driver row r7
+    "docs_corpus_datasheet",  # newest driver row r7
+    "docs_bpe_vocab",  # newest driver row r7
+    "ml_timely_svm",  # newest driver row r7
+    "ml_timely_gbt",  # newest driver row r7
+    "ml_response_rf",  # newest driver row r7
+    "ml_timely_lr_calibration",  # newest driver row r7
+    "ml_timely_lr_threshold_sweep",  # newest driver row r7
+    "media_resize_images",  # newest driver row r7
+    "q12_shipping_delay_class",  # newest driver row r7
+    "docs_quality_deciles",  # newest driver row r7
+    "docs_quality_deciles_approx",  # newest driver row r7
+    "ann_semantic_canonical_fast",  # newest driver row r7
+    "docs_quality_zscore",  # newest driver row r7
+    "dedup_canonical_best",  # newest driver row r7
+    "stream_join_mv",  # newest driver row r7
+    "docs_pack_sequences",  # newest driver row r7
+    "docs_domain_reweight",  # newest driver row r7
+    "ann_pq_adc_topk",  # newest driver row r7
+    "docs_reweighted_sample",  # newest driver row r7
+    "ann_ivfpq_topk",  # newest driver row r7
+    "docs_epoch_shuffle",  # newest driver row r7
+    "events_peak_concurrency",  # newest driver row r7
+    "orders_partition_checksums",  # newest driver row r7
+    "stream_checksum_mv",  # newest driver row r7
+    "orders_replica_reconcile",  # newest driver row r7
+    "stream_late_data_audit",  # newest driver row r7
 ]
 
 
