@@ -44,6 +44,7 @@ _PRIORITY = [
     "dedup_cluster_size_stats",  # never checked — first driver row
     "media_phash_dedup",  # never checked — first driver row
     "media_phash_near_pairs",  # never checked — first driver row
+    "docs_hashed_features",  # never checked — first driver row
     "topk_companies_per_state",  # newest driver row r1
     "orders_running_total",  # newest driver row r1
     "events_ordinal",  # newest driver row r1
@@ -90,8 +91,8 @@ _PRIORITY = [
     "salted_lineitem_agg",  # newest driver row r4
     "docs_decontaminate",  # newest driver row r4
     "docs_chunk",  # newest driver row r4
-    "dedup_incremental",  # newest driver row r4
     # ---- window boundary (50): overflow is staleness-ordered ----
+    "dedup_incremental",  # newest driver row r4
     "er_fuzzy_part_match",  # newest driver row r4
     "skewjoin_events_enrich",  # newest driver row r4
     "q2_min_cost_supplier",  # newest driver row r4

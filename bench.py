@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "dedup_components_star",
     "ann_lsh_topk",
     "media_frame_sample",
+    # -- r8 additions
+    "docs_hashed_features",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

@@ -942,3 +942,44 @@ def bpe_encode_stats(
             F.sum("_n_sub").cast("bigint").alias("n_subwords"),
         )
     )
+
+
+def hashed_term_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 1024,
+    max_bytes: int = 32,
+) -> DataFrame:
+    """Per-feature-bucket statistics of ml.HashingTF-compatible hashed
+    term features: ``(feature_ix, n_docs, n_tokens)``.
+
+    ``feature_ix`` is exactly ``HashingTF(numFeatures).indexOf(term)``
+    (standard murmur3_x86_32, seed 42 — NOT ``F.hash``'s lenient-tail
+    variant; see functions/hashing.py), computed as a native unrolled
+    column expression, so the hashed-features transformer the reference
+    family uses (pyspark.ml TF featurization,
+    complaints_narrative_LDA.py:70-80's CountVectorizer sibling) is
+    DuckDB-oracle-checkable end-to-end.
+
+    Tokens longer than ``max_bytes`` UTF-8 bytes are filtered on both
+    engine and oracle sides (natural-language tokens; the cap bounds the
+    unrolled hash rounds).  Scale: explode → hash → one partial-agg
+    shuffle on feature_ix (≤ num_features reduce groups); everything
+    stays in whole-stage codegen — zero Python transfer.
+    """
+    from ..functions.hashing import with_hashingtf_index
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(TF.tokens(text_col)).alias("term"),
+    ).filter((F.col("term") != "") & (F.octet_length("term") <= max_bytes))
+    hashed = with_hashingtf_index(toks, "term", "feature_ix", num_features, max_bytes)
+    return (
+        hashed.groupBy("feature_ix")
+        .agg(
+            F.countDistinct("_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("feature_ix")
+    )

@@ -20,6 +20,7 @@ from . import breadth3  # noqa: F401
 from . import breadth4  # noqa: F401
 from . import breadth6  # noqa: F401
 from . import breadth7  # noqa: F401
+from . import breadth8  # noqa: F401
 from . import graph_queries  # noqa: F401
 from . import quality_queries  # noqa: F401
 
