@@ -140,32 +140,43 @@ DECODE_SCHEMA = StructType(
 )
 
 
-def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
+def decode_features(
+    media: DataFrame, strict: bool = False, codec: str = "stub"
+) -> DataFrame:
     """Arrow-batched decode → per-blob features via ``mapInPandas``.
 
-    The real path would open the blob with PIL/librosa/av inside the batch
-    loop.  Those codecs are absent here, so: strict=True raises
-    ``NotImplementedError`` (the production posture when a codec is missing —
-    fail loudly, don't fake data); strict=False computes DETERMINISTIC byte
-    statistics standing in for decoded features, keeping schema/batch
-    plumbing real and testable.
+    ``codec="stub"`` computes DETERMINISTIC byte statistics standing in
+    for decoded features, keeping schema/batch plumbing real and
+    testable; with ``strict=True`` it raises ``NotImplementedError``
+    when no codec is importable (the production posture — fail loudly,
+    don't fake data).
+
+    ``codec="pil"`` (VERDICT r7 item 5): REAL image decode — the same
+    three output columns computed over the DECODED 8-bit grayscale
+    pixels instead of the raw blob bytes (``n_bytes`` stays the encoded
+    blob length; ``byte_mean``/``byte_mod_sum`` fold pixel values).
+    Raises when PIL is absent.  Pinned (skip-marked without PIL) in
+    tests/test_multimodal_pil.py against committed pure-zlib PNGs.
 
     Scale: repartition upstream by ``octet_length(content)`` buckets if blob
     sizes are wildly skewed; each task's Arrow batch is bounded by
     ``spark.sql.execution.arrow.maxRecordsPerBatch``.
     """
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"codec must be 'stub' or 'pil', got {codec!r}")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:  # real codec path, absent in this container
-            import PIL.Image  # noqa: F401
+            import PIL.Image as PILImage
 
             have_codec = True
         except ImportError:
             have_codec = False
-        if strict and not have_codec:
+        if (strict or codec == "pil") and not have_codec:
             raise NotImplementedError(
                 "media decode requires PIL/librosa/av; install codecs or "
-                "run with strict=False for byte-statistics fallback"
+                "run with codec='stub', strict=False for the byte-statistics "
+                "fallback"
             )
         import numpy as np
 
@@ -176,6 +187,15 @@ def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 n = len(b)
                 if n == 0:
                     return (0, 0.0, 0)
+                if codec == "pil":
+                    import io
+
+                    px = np.asarray(
+                        PILImage.open(io.BytesIO(b)).convert("L"), dtype=np.uint8
+                    )
+                    s = int(px.sum(dtype=np.int64))
+                    npx = int(px.size)
+                    return (n, round(s / npx, 6) if npx else 0.0, s % 997)
                 s = int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64))
                 return (n, round(s / n, 6), s % 997)
 
@@ -214,26 +234,62 @@ RESIZE_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
-    """Image resize stage (mapInPandas).  Codec stubbed: emits a
-    deterministic (width×height) grid derived from the byte stream — the
-    tensor SHAPE contract (row-major float array, len == w*h) is what
-    downstream training pipelines consume, and is what tests pin."""
+def resize_images(
+    media: DataFrame, width: int = 8, height: int = 8, codec: str = "stub"
+) -> DataFrame:
+    """Image resize stage (mapInPandas).
+
+    ``codec="stub"`` (default): emits a deterministic (width×height)
+    grid derived from the byte stream — the tensor SHAPE contract
+    (row-major float array, len == w*h) is what downstream training
+    pipelines consume, and is what tests pin.
+
+    ``codec="pil"`` (VERDICT r7 item 5): REAL decode — opens each blob
+    with PIL, converts to 8-bit grayscale, resizes with NEAREST
+    resampling (the one resampling mode that is bit-deterministic across
+    PIL versions), and emits the same schema (pixels normalized /255).
+    Raises ``NotImplementedError`` when PIL is absent — fail loudly,
+    never silently fall back to fake data.  Pinned (skip-marked when PIL
+    is missing) in tests/test_multimodal_pil.py against committed PNG
+    fixtures whose bytes are generated with pure zlib.
+    """
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"codec must be 'stub' or 'pil', got {codec!r}")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         npix = width * height
-        for pdf in it:
+        if codec == "pil":
+            try:
+                import PIL.Image as PILImage
+            except ImportError as e:
+                raise NotImplementedError(
+                    "resize_images(codec='pil') requires PIL; install Pillow"
+                    " or use codec='stub' for the plumbing-only path"
+                ) from e
+            import io
+
+            def real_resize(b: bytes) -> list[float]:
+                img = PILImage.open(io.BytesIO(b)).convert("L")
+                img = img.resize((width, height), PILImage.Resampling.NEAREST)
+                return [p / 255.0 for p in img.getdata()]
+
+            resize = real_resize
+        else:
+
             def fake_resize(b: bytes) -> list[float]:
                 if len(b) == 0:
                     return [0.0] * npix
                 return [float(b[i % len(b)]) / 255.0 for i in range(npix)]
 
+            resize = fake_resize
+
+        for pdf in it:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "out_width": width,
                     "out_height": height,
-                    "pixels": pdf["content"].map(fake_resize),
+                    "pixels": pdf["content"].map(resize),
                 }
             )
 
