@@ -45,6 +45,8 @@ _PRIORITY = [
     "media_phash_dedup",  # never checked — first driver row
     "media_phash_near_pairs",  # never checked — first driver row
     "docs_hashed_features",  # never checked — first driver row
+    "dedup_edit_distance",  # never checked — first driver row
+    "docs_contamination_report",  # never checked — first driver row
     "topk_companies_per_state",  # newest driver row r1
     "orders_running_total",  # newest driver row r1
     "events_ordinal",  # newest driver row r1
@@ -89,9 +91,9 @@ _PRIORITY = [
     "stream_click_purchase_join",  # newest driver row r4
     "sink_roundtrip_orders",  # newest driver row r4
     "salted_lineitem_agg",  # newest driver row r4
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "docs_decontaminate",  # newest driver row r4
     "docs_chunk",  # newest driver row r4
-    # ---- window boundary (50): overflow is staleness-ordered ----
     "dedup_incremental",  # newest driver row r4
     "er_fuzzy_part_match",  # newest driver row r4
     "skewjoin_events_enrich",  # newest driver row r4

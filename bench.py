@@ -223,6 +223,8 @@ BENCH_QUERIES = [
     "media_frame_sample",
     # -- r8 additions
     "docs_hashed_features",
+    "dedup_edit_distance",
+    "docs_contamination_report",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

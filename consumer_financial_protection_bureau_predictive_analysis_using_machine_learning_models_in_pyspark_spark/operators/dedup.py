@@ -878,3 +878,54 @@ def hamming_banded_pairs(
         )
     )
     return near.unionByName(exact)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 4,
+    prefix_len: int = 12,
+    max_block: int = 256,
+) -> DataFrame:
+    """Blocked Levenshtein near-duplicate pairs: ``(id_a, id_b, dist)``
+    with ``dist <= max_dist``, candidates restricted to documents sharing
+    the first ``prefix_len`` characters of whitespace-normalized text.
+
+    Recall contract (standard blocking semantics, stated rather than
+    hidden): only pairs sharing the blocking prefix are compared, so an
+    edit inside the first ``prefix_len`` characters can hide a pair.
+    That is the right trade at 100 TB — edit distance is O(len²) per
+    pair, so candidate generation MUST be an equi-join, never all-pairs.
+
+    Skew guard: prefix blocks larger than ``max_block`` (templated
+    boilerplate prefixes — the classic blow-up on web corpora) are
+    DROPPED from pairing, bounding any block's self-join at
+    ``max_block²`` comparisons.  The block-size aggregation shuffles on
+    the same ``_blk`` key the self-join uses, so AQE reuses one exchange.
+
+    The verify step uses Spark's banded ``levenshtein(l, r, threshold)``
+    (O(len·d) instead of O(len²)); within the threshold its value equals
+    the full distance, which is what the DuckDB oracle computes.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col).alias("_id"), norm.alias("_txt")).withColumn(
+        "_blk", F.substring("_txt", 1, prefix_len)
+    )
+    ok_blocks = (
+        base.groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_block)
+        .select("_blk")
+    )
+    pruned = base.join(ok_blocks, "_blk")
+    a = pruned.select("_blk", F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"))
+    b = pruned.select("_blk", F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.length("_ta") - F.length("_tb")) <= max_dist)
+        .withColumn("dist", F.levenshtein("_ta", "_tb", max_dist))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("bigint").alias("dist"))
+    )

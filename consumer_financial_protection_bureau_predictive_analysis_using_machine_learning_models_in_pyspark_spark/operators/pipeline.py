@@ -792,3 +792,53 @@ def domain_reweight_mw(
     return cur.select(group_col, "n_docs", "mloss_u", *w_cols).orderBy(
         group_col
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-EVAL-document contamination report — the reverse direction of
+    :func:`decontaminate`: for every benchmark document, how many of its
+    word ``n``-grams appear anywhere in the training corpus.
+
+    ``(doc_id, n_grams, n_hit_grams, contamination_u)`` where
+    ``contamination_u`` is the hit ratio in half-up-rounded 1e-6
+    micro-units (the engine-stable integer surface — same idiom as
+    quality_score_exact, so the driver hash carries no IEEE double).
+
+    Scale posture: the eval side is small by definition.  Its distinct
+    gram set broadcasts; the 100 TB corpus side explodes grams and
+    filters through that broadcast WITHOUT shuffling, and only the
+    matched grams (≤ eval gram count) reach the distinct-agg.  The final
+    per-eval-doc join is broadcast again.  The corpus is read once, no
+    corpus-sized shuffle anywhere.
+    """
+    grams = TF.shingles(F.col("_toks"), n)
+    ev = benchmark.select("doc_id", TF.tokens(text_col).alias("_toks")).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    ev_gram_set = ev.select("gram").distinct()
+    corpus_grams = corpus.select(TF.tokens(text_col).alias("_toks")).select(
+        F.explode(grams).alias("gram")
+    )
+    hit_set = (
+        corpus_grams.join(F.broadcast(ev_gram_set), "gram")
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        ev.join(F.broadcast(hit_set), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hit_grams"),
+        )
+        .withColumn(
+            "contamination_u",
+            F.expr("CAST((2000000 * n_hit_grams + n_grams) DIV (2 * n_grams) AS BIGINT)"),
+        )
+    )

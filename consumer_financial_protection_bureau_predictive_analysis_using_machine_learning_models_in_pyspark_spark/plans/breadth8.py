@@ -62,3 +62,123 @@ def docs_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_features=_HTF_N,
         max_bytes=_HTF_MAXB,
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance near-dup (fuzzy text dedup beyond shingle Jaccard)
+# ---------------------------------------------------------------------------
+#
+# Corpus: documents ∪ an exact-dup slice ∪ a 2-edit perturbed slice, so the
+# operator has distance-0 AND distance-2 pairs to find (the synthetic docs
+# are otherwise all-distinct).  Deterministic and SQL-expressible on both
+# sides — same pattern as text_queries._AUG_CTE.
+
+_ED_CORPUS_CTE = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text || ' zq' AS text
+FROM documents WHERE doc_id % 7 = 0
+""".strip()
+
+_ED_MAXD = 4
+_ED_PREFIX = 12
+_ED_MAXBLK = 256
+
+
+def _ed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pert = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return d.union(exact).union(pert)
+
+
+@register(
+    "dedup_edit_distance",
+    f"""
+WITH corpus AS ({_ED_CORPUS_CTE}),
+c AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS txt
+  FROM corpus
+),
+blk AS (SELECT doc_id, txt, substring(txt, 1, {_ED_PREFIX}) AS b FROM c),
+ok AS (SELECT b FROM blk GROUP BY b HAVING COUNT(*) <= {_ED_MAXBLK}),
+p AS (SELECT blk.doc_id, blk.txt, blk.b FROM blk JOIN ok USING (b))
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       CAST(levenshtein(a.txt, b2.txt) AS BIGINT) AS dist
+FROM p a JOIN p b2 USING (b)
+WHERE a.doc_id < b2.doc_id
+  AND abs(length(a.txt) - length(b2.txt)) <= {_ED_MAXD}
+  AND levenshtein(a.txt, b2.txt) <= {_ED_MAXD}
+ORDER BY id_a, id_b
+""",
+    "dedup", "edit-distance", "blocking",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-blocked Levenshtein near-dup pairs (operators.dedup
+    .edit_distance_pairs): equi-join candidate generation with a
+    max-block skew guard, banded levenshtein(threshold) verify.  Finds
+    the injected exact (dist 0) and 2-edit perturbed pairs."""
+    from ..operators import dedup as DD
+
+    return DD.edit_distance_pairs(
+        _ed_corpus(spark, sf_dir),
+        max_dist=_ED_MAXD,
+        prefix_len=_ED_PREFIX,
+        max_block=_ED_MAXBLK,
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Eval-side contamination report (reverse of docs_decontaminate)
+# ---------------------------------------------------------------------------
+
+from .pipeline_queries import _D_GRAMS_CTE  # noqa: E402  (shared gram CTE)
+
+
+@register(
+    "docs_contamination_report",
+    f"""
+WITH {_D_GRAMS_CTE},
+ev AS (SELECT doc_id, gram FROM grams WHERE doc_id % 25 = 0),
+hits AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 <> 0),
+j AS (
+  SELECT ev.doc_id,
+         COUNT(*) AS n_grams,
+         COUNT(h.gram) AS n_hit
+  FROM ev LEFT JOIN (SELECT gram FROM hits) h USING (gram)
+  GROUP BY ev.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_hit AS BIGINT) AS n_hit_grams,
+       CAST((2000000 * n_hit + n_grams) // (2 * n_grams) AS BIGINT)
+         AS contamination_u
+FROM j
+ORDER BY doc_id
+""",
+    "pipeline", "decontamination", "eval-integrity",
+)
+def docs_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc 8-gram contamination ratio against the training
+    corpus (operators.pipeline.contamination_report; micro-unit integer
+    ratio surface).  Same %25 split as docs_decontaminate, reporting the
+    EVAL side instead of the corpus side."""
+    from pyspark.sql import functions as F
+
+    from ..operators import pipeline as PL
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return PL.contamination_report(corpus, bench, n=8).orderBy("doc_id")

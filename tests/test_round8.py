@@ -170,3 +170,88 @@ def test_pq_codebook_sparse_ids_full_codebook(spark):
     assert sorted({r.cid for r in cb}) == [0, 1, 2, 3]
     with pytest.raises(ValueError, match="at least k"):
         SIM.pq_codebook(df, m=2, k=6, dim=8)
+
+
+# ---------------------------------------------------------------------------
+# r8: blocked edit-distance near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_edit_distance_pairs_finds_exact_and_perturbed(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup -> dist 0
+        (3, base + " zq"),              # 3 appended chars -> dist 3
+        (4, "completely different text about spark shuffles and joins"),
+        (5, "THE  QUICK brown fox jumps over the lazy dog again and again"),
+        # normalization (lower + whitespace collapse) makes 5 == 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in DD.edit_distance_pairs(df, max_dist=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 5)] == 0 and pairs[(2, 5)] == 0
+    assert pairs[(1, 3)] == 3 and pairs[(2, 3)] == 3 and pairs[(3, 5)] == 3
+    assert not any(4 in p for p in pairs)
+
+
+def test_edit_distance_pairs_skew_guard_drops_big_blocks(spark):
+    """A block larger than max_block is dropped entirely (bounded
+    candidate generation), never silently sampled."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+
+    # 10 docs sharing a templated prefix (one block), max_block=5
+    rows = [(i, f"boilerplate header here unique tail {i}") for i in range(10)]
+    rows += [(100, "another doc entirely"), (101, "another doc entirely")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = DD.edit_distance_pairs(df, max_dist=4, max_block=5).collect()
+    ids = {x for r in pairs for x in (r.id_a, r.id_b)}
+    assert ids == {100, 101}, "big block must be dropped, small block kept"
+
+
+def test_edit_distance_blocking_recall_contract(spark):
+    """Documented miss: an edit INSIDE the blocking prefix hides the
+    pair — asserting the contract so a future blocking change that
+    fixes it must update this test."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+
+    rows = [(1, "abcdefghijkl same tail here"), (2, "Xbcdefghijkl same tail here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert DD.edit_distance_pairs(df, max_dist=4, prefix_len=12).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r8: eval contamination report
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_report_ratios(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        pipeline as PL,
+    )
+
+    w = "w1 w2 w3 w4 w5 w6 w7 w8"            # one 8-gram
+    corpus = spark.createDataFrame(
+        [(10, f"{w} corpus filler tokens beyond"), (11, "unrelated " * 10)],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, w), (2, "a b c d e f g h")],      # doc 1 fully contaminated
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in PL.contamination_report(corpus, bench).collect()}
+    assert out[1].n_grams == 1 and out[1].n_hit_grams == 1
+    assert out[1].contamination_u == 1_000_000
+    assert out[2].n_grams == 1 and out[2].n_hit_grams == 0
+    assert out[2].contamination_u == 0
