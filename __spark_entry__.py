@@ -44,6 +44,7 @@ _PRIORITY = [
     "dedup_cluster_size_stats",  # never checked — first driver row
     "media_phash_dedup",  # never checked — first driver row
     "media_phash_near_pairs",  # never checked — first driver row
+    "stream_phash_dedup",  # never checked — first driver row
     "docs_hashed_features",  # never checked — first driver row
     "dedup_edit_distance",  # never checked — first driver row
     "docs_contamination_report",  # never checked — first driver row
@@ -90,8 +91,8 @@ _PRIORITY = [
     "stream_running_user_stats",  # newest driver row r4
     "stream_click_purchase_join",  # newest driver row r4
     "sink_roundtrip_orders",  # newest driver row r4
-    "salted_lineitem_agg",  # newest driver row r4
     # ---- window boundary (50): overflow is staleness-ordered ----
+    "salted_lineitem_agg",  # newest driver row r4
     "docs_decontaminate",  # newest driver row r4
     "docs_chunk",  # newest driver row r4
     "dedup_incremental",  # newest driver row r4

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "docs_hashed_features",
     "dedup_edit_distance",
     "docs_contamination_report",
+    "stream_phash_dedup",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

@@ -157,22 +157,7 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall.  Rows-only (blob byte-folds aren't
     SQL-expressible — same tier as decode/resize); returns per duplicate
     group: (phash, n_copies, min_media_id, max_media_id)."""
-    docs = _t(spark, sf_dir, "documents")
-    clones = docs.filter(
-        (F.col("doc_id") % 3 == 0)
-        & (F.col("doc_id") % 10 == 0)
-        & (F.col("n_chars") >= 64)  # grid reads 64 bytes; shorter texts wrap
-    ).select(
-        (F.col("doc_id") + 999_999).alias("doc_id"),
-        F.concat("text", F.lit(" xtail")).alias("text"),
-        "lang",
-        "source",
-        (F.col("n_chars") + 6).alias("n_chars"),
-    )
-    aug = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
-        clones
-    )
-    media = MM.media_table(aug).filter(F.col("modality") == "image")
+    media = _phash_media(spark, sf_dir)
     resized = MM.resize_images(media, width=8, height=8)
     hashed = MM.phash_from_pixels(resized)
     return (
@@ -204,6 +189,19 @@ def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (id_a, id_b, hamming)."""
     from ..operators import dedup as DD
 
+    media = _phash_media(spark, sf_dir)
+    hashed = MM.phash_from_pixels(MM.resize_images(media, 8, 8))
+    return DD.hamming_banded_pairs(
+        hashed, fp_col="phash", id_col="media_id",
+        bits=63, n_bands=4, max_hamming=3,
+    ).orderBy("id_a", "id_b")
+
+
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clone-augmented image corpus shared by media_phash_dedup /
+    media_phash_near_pairs / stream_phash_dedup (kept in ONE place so the
+    streaming twin provably ingests the same frame its batch anchor
+    dedups)."""
     docs = _t(spark, sf_dir, "documents")
     clones = docs.filter(
         (F.col("doc_id") % 3 == 0)
@@ -219,9 +217,88 @@ def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
         clones
     )
-    media = MM.media_table(aug).filter(F.col("modality") == "image")
-    hashed = MM.phash_from_pixels(MM.resize_images(media, 8, 8))
-    return DD.hamming_banded_pairs(
-        hashed, fp_col="phash", id_col="media_id",
-        bits=63, n_bands=4, max_hamming=3,
-    ).orderBy("id_a", "id_b")
+    return MM.media_table(aug).filter(F.col("modality") == "image")
+
+
+_PHASH_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_phash_dedup", None,
+    "streaming", "multimodal", "phash", "dedup", "foreachBatch",
+    twin_of="media_phash_dedup",
+    twin_pin="tests/test_round8.py::test_stream_phash_equals_batch_dedup",
+)
+def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of media_phash_dedup (VERDICT r7 stretch): the
+    clone-augmented image corpus arrives as TWO parquet files (split by
+    media_id parity, mtime-ordered micro-batches); each batch is
+    resized+average-hashed and triaged against earlier batches' kept
+    phashes via storage-carried state (streaming.jobs.
+    run_streaming_phash_dedup — idempotent _batch_id partitions, the
+    same exactly-once discipline as stream_semantic_dedup).  Rows-only
+    (blob byte-folds aren't SQL-expressible); sequential equivalence
+    with the batch-mode exact-phash dedup and replay idempotency are
+    pinned in tests/test_round8.py."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs as SJ
+
+    work = _PHASH_STREAM_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_phash_")
+        try:
+            media = _phash_media(spark, sf_dir).select(
+                "media_id", "modality", "content"
+            )
+            in_dir = f"{work}/in"
+            media.filter("pmod(media_id, 2) == 0").coalesce(1).write.parquet(
+                f"{in_dir}/b0"
+            )
+            media.filter("pmod(media_id, 2) == 1").coalesce(1).write.parquet(
+                f"{in_dir}/b1"
+            )
+            flat = f"{work}/batches"
+            os.makedirs(flat)
+            for i, sub in enumerate(("b0", "b1")):
+                for f in os.listdir(f"{in_dir}/{sub}"):
+                    if f.endswith(".parquet"):
+                        dst = f"{flat}/batch_{i}.parquet"
+                        shutil.copyfile(f"{in_dir}/{sub}/{f}", dst)
+                        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        if not _PHASH_STREAM_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _PHASH_STREAM_DIRS.values()
+                ]
+            )
+        _PHASH_STREAM_DIRS[sf_dir] = work
+    flat = f"{work}/batches"
+
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    SJ.run_streaming_phash_dedup(
+        stream, f"{work}/out", f"{work}/kept", f"{work}/ckpt"
+    )
+    return (
+        spark.read.parquet(f"{work}/out")
+        .select(
+            "media_id",
+            "phash",
+            "status",
+            "canonical_id",
+            F.col("_batch_id").cast("int").alias("batch"),
+        )
+        .orderBy("batch", "media_id")
+    )

@@ -850,3 +850,95 @@ def run_streaming_checksum_mv(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_phash_dedup(
+    stream: DataFrame,
+    out_dir: str,
+    kept_dir: str,
+    checkpoint: str,
+    width: int = 8,
+    height: int = 8,
+) -> None:
+    """Streaming perceptual-hash image dedup (VERDICT r7 stretch): the
+    multimodal family's continuous-ingest twin — each micro-batch of
+    image blobs is resized (Arrow mapInPandas), average-hashed to one
+    BIGINT per image (operators.multimodal.phash_from_pixels), and
+    triaged against every phash kept by STRICTLY EARLIER batches.
+
+    Statuses per image: ``kept`` (first holder of its phash),
+    ``dup_prior`` (phash already canonical from an earlier batch;
+    ``canonical_id`` names it), ``dup_in_batch`` (another image in the
+    SAME batch holds the lower media_id for this phash).  State is
+    carried in storage exactly like ``run_streaming_semantic_dedup``:
+    ``kept_dir`` holds (phash, media_id) per ``_batch_id`` partition and
+    the ``_batch_id < batch_id`` cut + dynamic partition overwrite make
+    replay idempotent — a re-run batch never sees its own prior output
+    and rewrites identical partitions.
+
+    Scale posture: after the hash the per-batch state join carries
+    8 bytes per image; the kept-state side grows with DISTINCT images
+    only.  Sequential equivalence with the batch-mode exact-phash dedup
+    and replay idempotency are pinned in tests/test_round8.py.
+    """
+    from ..operators import multimodal as MM
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        hashed = MM.phash_from_pixels(
+            MM.resize_images(batch_df, width=width, height=height)
+        ).persist()
+        try:
+            kept_prev = (
+                spark.read.parquet(kept_dir)
+                .filter(F.col("_batch_id") < batch_id)
+                .select("phash", F.col("media_id").alias("_prior_id"))
+            )
+        except Exception:  # first batch: kept_dir doesn't exist yet
+            kept_prev = None
+        w = Window.partitionBy("phash")
+        ranked = hashed.withColumn(
+            "_rk", F.row_number().over(w.orderBy("media_id"))
+        ).withColumn("_batch_canon", F.min("media_id").over(w))
+        joined = (
+            ranked.join(kept_prev, "phash", "left")
+            if kept_prev is not None
+            else ranked.withColumn("_prior_id", F.lit(None).cast("long"))
+        )
+        st = joined.select(
+            "media_id",
+            "phash",
+            F.when(F.col("_prior_id").isNotNull(), F.lit("dup_prior"))
+            .when(F.col("_rk") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("_prior_id", "_batch_canon").alias("canonical_id"),
+        ).persist()
+        (
+            st.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+        (
+            st.filter(F.col("status") == "kept")
+            .select("phash", "media_id")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(kept_dir)
+        )
+        st.unpersist()
+        hashed.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -255,3 +255,112 @@ def test_contamination_report_ratios(spark):
     assert out[1].contamination_u == 1_000_000
     assert out[2].n_grams == 1 and out[2].n_hit_grams == 0
     assert out[2].contamination_u == 0
+
+
+# ---------------------------------------------------------------------------
+# r8: streaming phash ingest (multimodal family's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def _phash_stream_fixture(spark, tmp_path):
+    """Tiny image corpus with cross-batch and in-batch duplicates, staged
+    as two mtime-ordered parquet micro-batches."""
+    import os
+    import shutil
+
+    texts = {
+        1: "alpha " * 20,    # batch 1 (odd)
+        2: "beta " * 20,     # batch 0
+        3: "alpha " * 20,    # batch 1: in-batch dup of 1? no - cross? 1,3 same batch -> in-batch dup
+        4: "alpha " * 20,    # batch 0: arrives FIRST -> the true canonical
+        5: "gamma " * 20,    # batch 1 unique
+        6: "beta " * 20,     # batch 0: in-batch dup of 2? ids 2,6 same phash same batch
+    }
+    rows = [(i, "image", t.encode()) for i, t in texts.items()]
+    df = spark.createDataFrame(rows, "media_id long, modality string, content binary")
+    in_dir = str(tmp_path / "in")
+    df.filter("pmod(media_id,2)=0").coalesce(1).write.parquet(f"{in_dir}/b0")
+    df.filter("pmod(media_id,2)=1").coalesce(1).write.parquet(f"{in_dir}/b1")
+    flat = str(tmp_path / "batches")
+    os.makedirs(flat)
+    for i, sub in enumerate(("b0", "b1")):
+        for f in os.listdir(f"{in_dir}/{sub}"):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/batch_{i}.parquet"
+                shutil.copyfile(f"{in_dir}/{sub}/{f}", dst)
+                os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    return df, flat
+
+
+def _run_phash_stream(spark, flat, work, ckpt_name="ckpt"):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.streaming import (  # noqa: E501
+        jobs as SJ,
+    )
+
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    SJ.run_streaming_phash_dedup(
+        stream, f"{work}/out", f"{work}/kept", f"{work}/{ckpt_name}"
+    )
+    return spark.read.parquet(f"{work}/out")
+
+
+def test_stream_phash_equals_batch_dedup(spark, tmp_path):
+    """Sequential equivalence: the streaming statuses reproduce exactly
+    what a batch two-phase fold over (batch0, then batch1) derives from
+    the same phash frame."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        multimodal as MM,
+    )
+
+    df, flat = _phash_stream_fixture(spark, tmp_path)
+    out = {
+        r.media_id: r
+        for r in _run_phash_stream(spark, flat, str(tmp_path / "w1")).collect()
+    }
+
+    hashed = {
+        r.media_id: r.phash
+        for r in MM.phash_from_pixels(MM.resize_images(df, 8, 8)).collect()
+    }
+    # batch-mode expectation: fold batch 0 (even ids asc), then batch 1
+    canon: dict = {}
+    want: dict = {}
+    for batch_ids in ([2, 4, 6], [1, 3, 5]):
+        batch_canon: dict = {}
+        for mid in batch_ids:
+            ph = hashed[mid]
+            if ph in canon:
+                want[mid] = ("dup_prior", canon[ph])
+            elif ph in batch_canon:
+                want[mid] = ("dup_in_batch", batch_canon[ph])
+            else:
+                batch_canon[ph] = mid
+                want[mid] = ("kept", mid)
+        canon.update(batch_canon)
+    got = {mid: (r.status, r.canonical_id) for mid, r in out.items()}
+    assert got == want
+    # the fixture exercises all three statuses
+    assert {s for s, _ in want.values()} == {"kept", "dup_prior", "dup_in_batch"}
+
+
+def test_stream_phash_replay_idempotent(spark, tmp_path):
+    """A full re-run with a FRESH checkpoint against the SAME state dirs
+    (every batch replayed) must rewrite identical statuses — the
+    `_batch_id < batch_id` cut keeps a replayed batch from seeing its own
+    prior output."""
+    _, flat = _phash_stream_fixture(spark, tmp_path)
+    work = str(tmp_path / "w2")
+    first = sorted(
+        map(tuple, _run_phash_stream(spark, flat, work, "ckpt1")
+            .select("media_id", "phash", "status", "canonical_id", "_batch_id")
+            .collect())
+    )
+    second = sorted(
+        map(tuple, _run_phash_stream(spark, flat, work, "ckpt2")
+            .select("media_id", "phash", "status", "canonical_id", "_batch_id")
+            .collect())
+    )
+    assert first == second
