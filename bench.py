@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "dedup_edit_distance",
     "docs_contamination_report",
     "stream_phash_dedup",
+    "orders_delete_propagation",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

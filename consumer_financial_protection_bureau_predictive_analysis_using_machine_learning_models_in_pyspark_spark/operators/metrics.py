@@ -272,3 +272,20 @@ def partition_checksum(
             .alias("checksum"),
         )
     )
+
+
+def checksum_fold(key_col, mod: int = 1_000_000_007):
+    """The :func:`partition_checksum` fold as a reusable AGGREGATE
+    expression (for call sites that fold inside an existing agg instead
+    of a dedicated groupBy — e.g. pipeline.delete_propagation's
+    per-table audit rows).  NULL keys contribute nothing (SUM skips
+    NULL) — same fail-closed discipline; an all-NULL group folds to 0,
+    not NULL, so an empty deletion set reads as checksum 0."""
+    v = (
+        F.conv(F.substring(F.md5(key_col), 1, 13), 16, 10).cast("bigint")
+        % F.lit(mod)
+    )
+    return (
+        F.coalesce(F.sum(v.cast("decimal(38,0)")) % F.lit(mod), F.lit(0))
+        .cast("bigint")
+    )

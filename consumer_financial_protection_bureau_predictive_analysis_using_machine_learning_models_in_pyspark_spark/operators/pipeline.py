@@ -842,3 +842,94 @@ def contamination_report(
             F.expr("CAST((2000000 * n_hit_grams + n_grams) DIV (2 * n_grams) AS BIGINT)"),
         )
     )
+
+
+def delete_propagation(
+    customers: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    delete_keys: DataFrame,
+) -> DataFrame:
+    """Right-to-be-forgotten cascade AUDIT: given a deletion-request set
+    of customer keys, report — per table along the FK cascade
+    customer → orders → lineitem — how many rows the deletion touches,
+    how many survive, and an order/layout-independent checksum of the
+    deleted keys (metrics.partition_checksum's shared modular-md5 fold),
+    so the erasure job's effect is verifiable BEFORE and AFTER the
+    physical rewrite without exchanging row data.
+
+    Scale posture: deletion-request sets are small by definition (legal
+    requests, not table-sized) — broadcast semi/left joins; the cascade
+    to lineitem joins on the deleted ORDER keys, which stay
+    request-sized.  Each fact table is scanned once; per-table audit
+    rows are a 3-row union of 1-row aggregates.  No collect, no
+    table-sized shuffle.
+    """
+    from . import metrics as M
+
+    del_keys = F.broadcast(delete_keys.select("c_custkey").distinct())
+
+    # customer: delete where c_custkey in requests
+    cust_flag = customers.join(
+        del_keys.withColumn("_del", F.lit(1)), "c_custkey", "left"
+    )
+    cust_row = cust_flag.agg(
+        F.lit("customer").alias("table_name"),
+        F.sum(F.coalesce("_del", F.lit(0))).cast("bigint").alias("n_deleted"),
+        F.sum(F.when(F.col("_del").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        M.checksum_fold(
+            F.when(F.col("_del") == 1, F.col("c_custkey").cast("string"))
+        ).alias("del_checksum"),
+    )
+
+    del_orders_keys = (
+        orders.join(
+            del_keys.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
+            "left_semi",
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    ord_flag = orders.join(
+        F.broadcast(del_orders_keys.withColumn("_del", F.lit(1))), "o_orderkey", "left"
+    )
+    ord_row = ord_flag.agg(
+        F.lit("orders").alias("table_name"),
+        F.sum(F.coalesce("_del", F.lit(0))).cast("bigint").alias("n_deleted"),
+        F.sum(F.when(F.col("_del").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        M.checksum_fold(
+            F.when(F.col("_del") == 1, F.col("o_orderkey").cast("string"))
+        ).alias("del_checksum"),
+    )
+
+    li_flag = lineitem.join(
+        F.broadcast(
+            del_orders_keys.select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ).withColumn("_del", F.lit(1))
+        ),
+        "l_orderkey",
+        "left",
+    )
+    li_row = li_flag.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.sum(F.coalesce("_del", F.lit(0))).cast("bigint").alias("n_deleted"),
+        F.sum(F.when(F.col("_del").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        M.checksum_fold(
+            F.when(
+                F.col("_del") == 1,
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+            )
+        ).alias("del_checksum"),
+    )
+    return cust_row.union(ord_row).union(li_row)

@@ -182,3 +182,78 @@ def docs_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return PL.contamination_report(corpus, bench, n=8).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten cascade audit (pipeline ops / compliance)
+# ---------------------------------------------------------------------------
+
+_DEL_MOD = 1_000_000_007
+_DEL_PRED = "c_custkey % 97 = 0"
+
+
+def _del_ck_sql(render: str, flag: str) -> str:
+    """DuckDB mirror of metrics.checksum_fold over flagged rows."""
+    return (
+        f"CAST(COALESCE(SUM(CASE WHEN {flag} THEN"
+        f" CAST(('0x' || substr(md5({render}), 1, 13)) AS BIGINT) % {_DEL_MOD}"
+        f" END) % {_DEL_MOD}, 0) AS BIGINT)"
+    )
+
+
+@register(
+    "orders_delete_propagation",
+    f"""
+WITH delk AS (SELECT DISTINCT c_custkey FROM customer WHERE {_DEL_PRED}),
+delo AS (
+  SELECT DISTINCT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM delk)
+),
+cust AS (
+  SELECT 'customer' AS table_name,
+         CAST(SUM(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         CAST(SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         {_del_ck_sql("CAST(c.c_custkey AS VARCHAR)", "d.c_custkey IS NOT NULL")} AS del_checksum
+  FROM customer c LEFT JOIN delk d ON c.c_custkey = d.c_custkey
+),
+ords AS (
+  SELECT 'orders' AS table_name,
+         CAST(SUM(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         CAST(SUM(CASE WHEN d.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         {_del_ck_sql("CAST(o.o_orderkey AS VARCHAR)", "d.o_orderkey IS NOT NULL")} AS del_checksum
+  FROM orders o LEFT JOIN delo d ON o.o_orderkey = d.o_orderkey
+),
+li AS (
+  SELECT 'lineitem' AS table_name,
+         CAST(SUM(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         CAST(SUM(CASE WHEN d.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         {_del_ck_sql(
+            "CAST(l.l_orderkey AS VARCHAR) || '|' || CAST(l.l_linenumber AS VARCHAR)",
+            "d.o_orderkey IS NOT NULL")} AS del_checksum
+  FROM lineitem l LEFT JOIN delo d ON l.l_orderkey = d.o_orderkey
+)
+SELECT * FROM cust UNION ALL SELECT * FROM ords UNION ALL SELECT * FROM li
+ORDER BY table_name
+""",
+    "pipeline", "compliance", "delete-cascade", "checksum",
+)
+def orders_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten cascade audit (operators.pipeline
+    .delete_propagation): deletion-request customers (c_custkey%97==0)
+    cascade customer → orders → lineitem; per table, rows deleted/kept
+    plus the shared modular-md5 checksum of deleted keys
+    (metrics.checksum_fold — the ONE fold every checksum surface uses),
+    so the erasure rewrite is verifiable without exchanging row data.
+    Broadcast semi/left joins on the request-sized key sets; each fact
+    table scanned once."""
+    from pyspark.sql import functions as F
+
+    from ..operators import pipeline as PL
+
+    cust = _t(spark, sf_dir, "customer")
+    return PL.delete_propagation(
+        cust,
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey"),
+    ).orderBy("table_name")

@@ -364,3 +364,53 @@ def test_stream_phash_replay_idempotent(spark, tmp_path):
             .collect())
     )
     assert first == second
+
+
+# ---------------------------------------------------------------------------
+# r8: delete-propagation cascade audit
+# ---------------------------------------------------------------------------
+
+
+def test_delete_propagation_cascade_counts(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        pipeline as PL,
+    )
+    from pyspark.sql import functions as F
+
+    cust = spark.createDataFrame([(i,) for i in range(1, 6)], "c_custkey bigint")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], "o_orderkey bigint, o_custkey bigint"
+    )
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (12, 1), (13, 1), (13, 2)],
+        "l_orderkey bigint, l_linenumber int",
+    )
+    out = {
+        r.table_name: r
+        for r in PL.delete_propagation(
+            cust, orders, li, cust.filter(F.col("c_custkey") == 1)
+        ).collect()
+    }
+    assert (out["customer"].n_deleted, out["customer"].n_kept) == (1, 4)
+    assert (out["orders"].n_deleted, out["orders"].n_kept) == (2, 2)
+    assert (out["lineitem"].n_deleted, out["lineitem"].n_kept) == (3, 3)
+    assert out["customer"].del_checksum > 0
+
+
+def test_delete_propagation_empty_request_checksums_zero(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        pipeline as PL,
+    )
+    from pyspark.sql import functions as F
+
+    cust = spark.createDataFrame([(1,), (2,)], "c_custkey bigint")
+    orders = spark.createDataFrame([(10, 1)], "o_orderkey bigint, o_custkey bigint")
+    li = spark.createDataFrame([(10, 1)], "l_orderkey bigint, l_linenumber int")
+    out = {
+        r.table_name: r
+        for r in PL.delete_propagation(
+            cust, orders, li, cust.filter(F.lit(False))
+        ).collect()
+    }
+    for t in ("customer", "orders", "lineitem"):
+        assert out[t].n_deleted == 0 and out[t].del_checksum == 0

@@ -1,0 +1,162 @@
+"""One-decade scale soak (VERDICT r7 item 6).
+
+Builds an ~sf1 corpus by unioning N key-shifted copies of the sf0.1
+tables (key strides = per-key max+1, so every copy's join relationships
+stay internally consistent and copies never collide), then re-runs the
+strict DuckDB parity comparison for the heaviest oracled catalog
+entries at that scale.
+
+The sf0.1 sweep (r7) caught a DuckDB decimal-width overflow one decade
+above the driver's sf0.01 gate; this pushes the same class of
+width/margin bugs one more decade before they can reach a real run.
+
+Usage:
+    python tools/scale_soak.py build [N_COPIES]      # writes /tmp/sfsoak
+    python tools/scale_soak.py run  [K_HEAVIEST]     # parity-sweep top-K
+    python tools/scale_soak.py all  [N_COPIES] [K]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/sfsoak"
+
+# table -> columns shifted by copy_index * (max(col over ALL its roles)+1).
+# Strides are shared per KEY FAMILY (e.g. orderkey in orders AND lineitem)
+# so foreign keys stay consistent within each copy.
+KEY_FAMILIES = {
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
+}
+# dimension tables copied once, never scaled
+DIMS = ["region", "nation"]
+FACTS = ["customer", "supplier", "part", "orders", "lineitem", "events",
+         "documents", "embeddings"]
+
+
+def build(n_copies: int = 10) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    os.makedirs(OUT, exist_ok=True)
+    strides: dict[tuple[str, str], int] = {}
+    for fam, cols in KEY_FAMILIES.items():
+        mx = 0
+        for table, col in cols:
+            (m,) = con.execute(
+                f"SELECT max({col}) FROM read_parquet('{SRC}/{table}.parquet')"
+            ).fetchone()
+            mx = max(mx, int(m))
+        for table, col in cols:
+            strides[(table, col)] = mx + 1
+
+    for t in DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"copied dim {t}")
+
+    for t in FACTS:
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        selects = []
+        for k in range(n_copies):
+            proj = ", ".join(
+                f"({c} + {k * strides[(t, c)]}) AS {c}" if (t, c) in strides else c
+                for c in cols
+            )
+            selects.append(
+                f"SELECT {proj} FROM read_parquet('{SRC}/{t}.parquet')"
+            )
+        union = " UNION ALL ".join(selects)
+        con.execute(f"COPY ({union}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+        (n,) = con.execute(
+            f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')"
+        ).fetchone()
+        print(f"scaled {t}: {n} rows ({n_copies} copies)")
+
+
+def heaviest_oracled(k: int) -> list[str]:
+    """Top-k oracled entries by the newest committed BENCH_LOCAL timings."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog,
+    )
+
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_LOCAL_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    with open(paths[-1]) as fh:
+        timings = json.load(fh)["queries"]
+    oracled = [
+        (sec, name)
+        for name, sec in timings.items()
+        if name in catalog.CATALOG and catalog.CATALOG[name].oracle is not None
+    ]
+    return [name for _, name in sorted(oracled, reverse=True)[:k]]
+
+
+def run(k: int = 20) -> int:
+    from pyspark.sql import SparkSession
+
+    from oracle_harness import compare, duck_connection
+
+    import __spark_entry__ as E
+
+    names = heaviest_oracled(k)
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, osql = E.queries(), E.oracle_sql()
+    con = duck_connection(OUT)
+    fails = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            ok, msg = compare(qs[name](spark, OUT), con, osql[name])
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"ERROR {type(e).__name__}: {str(e)[:200]}"
+        dt = time.time() - t0
+        print(("PASS" if ok else f"FAIL {msg}"), name, f"{dt:.1f}s", flush=True)
+        fails += not ok
+    print("fails:", fails)
+    spark.stop()
+    return fails
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode == "build":
+        build(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    elif mode == "run":
+        raise SystemExit(run(int(sys.argv[2]) if len(sys.argv) > 2 else 20))
+    else:
+        build(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        raise SystemExit(run(int(sys.argv[3]) if len(sys.argv) > 3 else 20))
