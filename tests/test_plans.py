@@ -572,6 +572,15 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
     # (docs_domain_reweight's broadcasts are 1-row aggregates, which the
     # sweep's bounded-scalar rule already accepts without justification)
     "orders_merge_upsert": "upsert key list: update-batch-bounded",
+    # (d) r8 additions
+    "docs_contamination_report": (
+        "eval gram set + (hit grams ⊆ eval grams): benchmark-corpus-bounded"
+        " (same bound as docs_decontaminate, both directions)"
+    ),
+    "orders_delete_propagation": (
+        "deletion-request keys + their order keys: legal-request-bounded"
+        " (requests, never table-sized)"
+    ),
 }
 
 
@@ -664,3 +673,38 @@ def test_bench_queries_all_registered():
     spec.loader.exec_module(bench)
     missing = [n for n in bench.BENCH_QUERIES if n not in CATALOG]
     assert not missing, missing
+
+
+# ---------------------------------------------------------------------------
+# r8 plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_features_stays_jvm_side(spark):
+    """docs_hashed_features' 90-step murmur3 projection must be pure
+    column expressions (zero Python evaluation of any kind) and the only
+    wide op the ≤num_features-group aggregate — no joins at all."""
+    plan = _physical(spark, "docs_hashed_features")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+
+
+def test_edit_distance_pairs_equi_join_only(spark):
+    """dedup_edit_distance candidates must come from the block equi-join:
+    no nested-loop/cartesian anywhere (all-pairs would be O(n²·len²))."""
+    plan = _physical(spark, "dedup_edit_distance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_report_corpus_side_broadcast_only(spark):
+    """docs_contamination_report: the corpus gram stream must meet the
+    eval gram set through broadcast joins only — a corpus-side
+    SortMergeJoin would shuffle the 100 TB side."""
+    plan = _physical(spark, "docs_contamination_report")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan

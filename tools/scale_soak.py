@@ -98,8 +98,29 @@ def build(n_copies: int = 10) -> None:
         print(f"scaled {t}: {n} rows ({n_copies} copies)")
 
 
+# Entries excluded from the sf1 soak with committed reasons.  The soak
+# hunts width/margin breaks in ORACLED VALUE SURFACES; an entry whose
+# DuckDB oracle is wall-clock-superlinear at sf1 burns the soak budget
+# without adding width coverage (the ENGINE side of these is plan-audited
+# and bench-covered separately).
+SOAK_SKIP = {
+    "supplier_copurchase_pagerank": (
+        "oracle-side unrolled 3-iteration pagerank re-evaluates the"
+        " co-occurrence self-join per iteration in DuckDB: minutes at"
+        " sf0.1, >10 min at sf1 (measured r8: one 590 s soak chunk died"
+        " inside it without completing)"
+    ),
+    "supplier_strong_components": (
+        "oracle-side recursive-CTE transitive closure over the 10x"
+        " supplier co-purchase graph: >430 s at sf1 without completing"
+        " (measured r8) — same superlinear-oracle class as pagerank"
+    ),
+}
+
+
 def heaviest_oracled(k: int) -> list[str]:
-    """Top-k oracled entries by the newest committed BENCH_LOCAL timings."""
+    """Top-k oracled entries by the newest committed BENCH_LOCAL timings
+    (SOAK_SKIP entries replaced by the next-heaviest)."""
     from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
         catalog,
     )
@@ -113,12 +134,17 @@ def heaviest_oracled(k: int) -> list[str]:
     oracled = [
         (sec, name)
         for name, sec in timings.items()
-        if name in catalog.CATALOG and catalog.CATALOG[name].oracle is not None
+        if name in catalog.CATALOG
+        and catalog.CATALOG[name].oracle is not None
+        and name not in SOAK_SKIP
     ]
     return [name for _, name in sorted(oracled, reverse=True)[:k]]
 
 
-def run(k: int = 20) -> int:
+RESULTS = "/tmp/soak_results.json"
+
+
+def run(k: int = 20, resume: bool = False) -> int:
     from pyspark.sql import SparkSession
 
     from oracle_harness import compare, duck_connection
@@ -126,6 +152,11 @@ def run(k: int = 20) -> int:
     import __spark_entry__ as E
 
     names = heaviest_oracled(k)
+    done: dict[str, dict] = {}
+    if resume and os.path.exists(RESULTS):
+        with open(RESULTS) as fh:
+            done = json.load(fh)
+        names = [n for n in names if n not in done]
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.ui.showConsoleProgress", "false")
@@ -136,6 +167,10 @@ def run(k: int = 20) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = E.queries(), E.oracle_sql()
     con = duck_connection(OUT)
+    # big closures spill: keep DuckDB's temp out of the repo cwd (a 17 GB
+    # .tmp/ appeared under /root/repo during the strong-components soak)
+    os.makedirs("/tmp/duckspill", exist_ok=True)
+    con.execute("PRAGMA temp_directory='/tmp/duckspill'")
     fails = 0
     for name in names:
         t0 = time.time()
@@ -145,6 +180,9 @@ def run(k: int = 20) -> int:
             ok, msg = False, f"ERROR {type(e).__name__}: {str(e)[:200]}"
         dt = time.time() - t0
         print(("PASS" if ok else f"FAIL {msg}"), name, f"{dt:.1f}s", flush=True)
+        done[name] = {"ok": ok, "msg": None if ok else msg, "sec": round(dt, 1)}
+        with open(RESULTS, "w") as fh:
+            json.dump(done, fh, indent=1)
         fails += not ok
     print("fails:", fails)
     spark.stop()
@@ -157,6 +195,10 @@ if __name__ == "__main__":
         build(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     elif mode == "run":
         raise SystemExit(run(int(sys.argv[2]) if len(sys.argv) > 2 else 20))
+    elif mode == "resume":
+        raise SystemExit(
+            run(int(sys.argv[2]) if len(sys.argv) > 2 else 20, resume=True)
+        )
     else:
         build(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         raise SystemExit(run(int(sys.argv[3]) if len(sys.argv) > 3 else 20))
