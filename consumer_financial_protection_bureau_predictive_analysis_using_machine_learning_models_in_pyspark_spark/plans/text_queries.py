@@ -435,13 +435,28 @@ def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index self-join: probe slice
     (doc_id % 10 = 0) vs all, blocked by lang, shared-shingle join, pairs
     with jaccard ≥ 0.2.  The inverted index bounds work to pairs that share
-    at least one shingle — no quadratic cross join."""
+    at least one shingle — no quadratic cross join.
+
+    r8 rewrite (was the slowest batch query at 10.3 s/sf0.1):
+    distinctness is established IN-ROW (array_distinct over the hashed
+    shingle array BEFORE the explode — the shingle_hashes idiom), so the
+    cross-row ``distinct()`` shuffle is gone and per-doc sizes are a
+    plain count; the shingle frame is persisted because it feeds sizes,
+    probes AND the inverted-index side (three consumers re-tokenized the
+    corpus three times before)."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
-    toks = TF.tokens("text")
-    sh = docs.select(
-        "doc_id", "lang", F.explode(TF.shingles(toks, 3)).alias("s")
-    ).select("doc_id", "lang", TF.token_hash("s").alias("h")).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.countDistinct("h").alias("n"))
+    # named tokens column first: the CollapseProject barrier keeps the
+    # split from being inlined into every element_at (shingle_hashes note)
+    hashed = F.array_distinct(F.transform(TF.shingles(F.col("_toks"), 3), TF.token_hash))
+    sh = (
+        docs.select("doc_id", "lang", TF.tokens("text").alias("_toks"))
+        .select("doc_id", "lang", F.explode(hashed).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # h is distinct within each doc by construction -> plain count
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     probes = sh.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("doc_a"), "lang", "h"
     )
