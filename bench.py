@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "docs_contamination_report",
     "stream_phash_dedup",
     "orders_delete_propagation",
+    "lineitem_hilbert_layout",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

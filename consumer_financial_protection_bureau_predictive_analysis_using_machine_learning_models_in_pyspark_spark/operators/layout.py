@@ -73,6 +73,49 @@ def zorder_values(
     )
 
 
+def hilbert_values(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bits: int = 8,
+) -> DataFrame:
+    """Hilbert twin of :func:`zorder_values`: same min-max binning into
+    ``bits``-bit cells (``_bx``/``_by`` kept for extent reporting), but
+    the layout key ``zval`` is the HILBERT index of the cell
+    (functions.spacefill.with_hilbert — native unrolled integer SQL).
+
+    Why offer both: Morton's bit-interleave takes long diagonal jumps
+    between quadrants, so a range bucket can straddle two distant
+    squares; the Hilbert walk is unit-step adjacent everywhere, giving
+    strictly tighter per-bucket bounding boxes at the same bit depth —
+    tests/test_round8.py pins the measured bbox-area win on lineitem.
+    Same scale shape: 1-row broadcast of the min/max scalars, per-row
+    integer math, no shuffle.
+    """
+    from ..functions.spacefill import with_hilbert
+
+    mm = df.agg(
+        F.min(col_x).alias("_minx"),
+        F.max(col_x).alias("_maxx"),
+        F.min(col_y).alias("_miny"),
+        F.max(col_y).alias("_maxy"),
+    )
+    n_bins = 1 << bits
+    out = df.crossJoin(F.broadcast(mm))
+    bx = F.expr(
+        f"least({n_bins - 1}, (({col_x} - _minx) * {n_bins}) div (_maxx - _minx + 1))"
+    ).cast("bigint")
+    by = F.expr(
+        f"least({n_bins - 1}, (({col_y} - _miny) * {n_bins}) div (_maxy - _miny + 1))"
+    ).cast("bigint")
+    out = (
+        out.withColumn("_bx", bx)
+        .withColumn("_by", by)
+        .drop("_minx", "_maxx", "_miny", "_maxy")
+    )
+    return with_hilbert(out, "_bx", "_by", "zval", bits=bits)
+
+
 def zorder_extent_report(
     zdf: DataFrame, bits: int = 8, n_buckets: int = 32
 ) -> DataFrame:

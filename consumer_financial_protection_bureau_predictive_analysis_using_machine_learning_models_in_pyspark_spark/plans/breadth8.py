@@ -11,6 +11,7 @@ oracle-checked.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions import hashing as HH
 from ..operators import text as TX
@@ -257,3 +258,72 @@ def orders_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem"),
         cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey"),
     ).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering audit (layout family: the locality step past
+# Z-order)
+# ---------------------------------------------------------------------------
+
+from ..functions import spacefill as SFC  # noqa: E402
+
+_HB_BITS = 8
+_HB_BUCKETS = 32
+
+
+def _hb_bins_sql() -> str:
+    n = 1 << _HB_BITS
+    return f"""
+SELECT LEAST({n - 1}, ((l_partkey - minx) * {n}) // (maxx - minx + 1)) AS bx,
+       LEAST({n - 1}, ((l_suppkey - miny) * {n}) // (maxy - miny + 1)) AS by
+FROM lineitem CROSS JOIN (
+  SELECT MIN(l_partkey) AS minx, MAX(l_partkey) AS maxx,
+         MIN(l_suppkey) AS miny, MAX(l_suppkey) AS maxy
+  FROM lineitem
+) mm
+""".strip()
+
+
+@register(
+    "lineitem_hilbert_layout",
+    f"""
+SELECT CAST((hval * {_HB_BUCKETS}) // {1 << (2 * _HB_BITS)} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(bx) AS min_x_bin, MAX(bx) AS max_x_bin,
+       MIN(by) AS min_y_bin, MAX(by) AS max_y_bin
+FROM {SFC.hilbert_duckdb_subquery(_hb_bins_sql(), ["bx", "by"], "bx", "by",
+                                  "hval", _HB_BITS)} q
+GROUP BY bucket
+ORDER BY bucket
+""",
+    "layout", "hilbert", "clustering",
+)
+def lineitem_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering audit (operators.layout.hilbert_values):
+    the zorder_layout twin one locality step up — the Hilbert walk is
+    unit-step adjacent everywhere (no Morton quadrant jumps), so each of
+    the 32 range buckets covers a tighter bounding box of BOTH key
+    ranges at the same 8-bit depth (measured bbox-area win pinned in
+    tests/test_round8.py).  The curve index is generated integer SQL
+    (functions/spacefill.py) — one step program rendered for Spark AND
+    the DuckDB oracle, per the murmur3 discipline."""
+    from ..operators import layout as LY
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    h = LY.hilbert_values(li, "l_partkey", "l_suppkey", bits=_HB_BITS)
+    return (
+        h.withColumnRenamed("zval", "hval")
+        .withColumn(
+            "bucket",
+            F.expr(f"(hval * {_HB_BUCKETS}) div {1 << (2 * _HB_BITS)}").cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("_bx").alias("min_x_bin"),
+            F.max("_bx").alias("max_x_bin"),
+            F.min("_by").alias("min_y_bin"),
+            F.max("_by").alias("max_y_bin"),
+        )
+        .orderBy("bucket")
+    )

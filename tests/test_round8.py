@@ -414,3 +414,71 @@ def test_delete_propagation_empty_request_checksums_zero(spark):
     }
     for t in ("customer", "orders", "lineitem"):
         assert out[t].n_deleted == 0 and out[t].del_checksum == 0
+
+
+# ---------------------------------------------------------------------------
+# r8: Hilbert-curve layout
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_reference_bijective_and_unit_adjacent():
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.functions import (  # noqa: E501
+        spacefill as SFC,
+    )
+
+    for bits in (2, 3, 4):
+        n = 1 << bits
+        pts = {}
+        for x in range(n):
+            for y in range(n):
+                pts[SFC.hilbert_xy2d_py(x, y, bits)] = (x, y)
+        assert len(pts) == n * n, f"not bijective at bits={bits}"
+        for i in range(n * n - 1):
+            (x0, y0), (x1, y1) = pts[i], pts[i + 1]
+            assert abs(x0 - x1) + abs(y0 - y1) == 1, f"jump at d={i}, bits={bits}"
+
+
+def test_hilbert_spark_and_duckdb_match_reference(spark):
+    import random
+
+    import duckdb
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.functions import (  # noqa: E501
+        spacefill as SFC,
+    )
+
+    rng = random.Random(8)
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "bx bigint, by bigint")
+    for r in SFC.with_hilbert(df, "bx", "by", "h", bits=8).collect():
+        assert r.h == SFC.hilbert_xy2d_py(r.bx, r.by, 8)
+    con = duckdb.connect()
+    con.execute("create table t(bx bigint, by bigint)")
+    con.executemany("insert into t values (?,?)", rows)
+    sub = SFC.hilbert_duckdb_subquery(
+        "select bx, by from t", ["bx", "by"], "bx", "by", "h", bits=8
+    )
+    for bx, by, h in con.execute(f"select bx, by, h from {sub} q").fetchall():
+        assert h == SFC.hilbert_xy2d_py(bx, by, 8)
+
+
+def test_hilbert_buckets_tighter_than_zorder(spark):
+    """The layout payoff, measured: summed per-bucket bounding-box area
+    under Hilbert bucketing must beat (be strictly smaller than) Morton
+    bucketing on the same lineitem keys, bits, and bucket count."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        CATALOG,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def total_area(name):
+        rows = CATALOG[name].fn(spark, sf).collect()
+        return sum(
+            (r.max_x_bin - r.min_x_bin + 1) * (r.max_y_bin - r.min_y_bin + 1)
+            for r in rows
+        )
+
+    hz = total_area("lineitem_hilbert_layout")
+    zz = total_area("lineitem_zorder_layout")
+    assert hz < zz, f"hilbert bbox area {hz} not tighter than zorder {zz}"
