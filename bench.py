@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "stream_phash_dedup",
     "orders_delete_propagation",
     "lineitem_hilbert_layout",
+    "docs_bigram_condprob",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

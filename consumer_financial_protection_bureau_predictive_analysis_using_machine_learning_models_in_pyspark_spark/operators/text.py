@@ -983,3 +983,66 @@ def hashed_term_features(
         )
         .orderBy("feature_ix")
     )
+
+
+def bigram_condprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram LM fit score — the quality-filter proxy a
+    CCNet-style pipeline computes with a KenLM n-gram model, expressed
+    engine-exactly: for every bigram (w1, w2) in the doc, the corpus
+    conditional probability P(w2|w1) = c(w1,w2)/c(w1·) in half-up 1e-6
+    micro-units, summed per doc (pure int64 — no ln on the hash surface,
+    per the r7 ROUND-audit discipline; a doc of corpus-typical
+    transitions scores high, boilerplate/garbage scores low).
+
+    Returns (doc_id, n_bigrams, sum_condprob_u, avg_condprob_u).
+
+    Shape: bigrams built IN-ROW (transform over the token array — no
+    positional self-join); ONE explode feeds both the corpus bigram
+    counts and the per-doc rows (the frame is persisted — two
+    consumers); c(w1·) is the bigram-left marginal (sums to the bigram
+    total, so probabilities normalize exactly).  The count dims join
+    back BROADCAST (bigram vocabulary is sublinear in corpus size).
+    At 100 TB: two keyed aggs over the exploded bigrams + broadcast
+    joins; the corpus text is read once.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = (
+        df.select(F.col(id_col).alias("_id"), TF.tokens(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2),"
+                    " i -> struct(_toks[i] AS t1, _toks[i + 1] AS t2))"
+                )
+            ).alias("_p"),
+        )
+        .select("_id", "_p.t1", "_p.t2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c_bi = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
+    c_left = c_bi.groupBy("t1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        pairs.join(F.broadcast(c_bi), ["t1", "t2"])
+        .join(F.broadcast(c_left), "t1")
+        .withColumn(
+            "_pu", F.expr("CAST((2000000 * c12 + c1) DIV (2 * c1) AS BIGINT)")
+        )
+    )
+    return (
+        scored.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("_pu").cast("bigint").alias("sum_condprob_u"),
+        )
+        .withColumn(
+            "avg_condprob_u",
+            F.expr("CAST((2 * sum_condprob_u + n_bigrams) DIV (2 * n_bigrams) AS BIGINT)"),
+        )
+    )

@@ -327,3 +327,52 @@ def lineitem_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM fit score (quality-filter proxy; integer micro-unit surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_bigram_condprob",
+    f"""
+WITH tok AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         toks[i] AS t1, toks[i + 1] AS t2
+  FROM tok CROSS JOIN unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+),
+cbi AS (SELECT t1, t2, COUNT(*) AS c12 FROM pairs GROUP BY t1, t2),
+cleft AS (SELECT t1, SUM(c12) AS c1 FROM cbi GROUP BY t1),
+scored AS (
+  SELECT p.doc_id,
+         CAST((2000000 * b.c12 + l.c1) // (2 * l.c1) AS BIGINT) AS pu
+  FROM pairs p JOIN cbi b USING (t1, t2) JOIN cleft l USING (t1)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(pu) AS BIGINT) AS sum_condprob_u
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, sum_condprob_u,
+       CAST((2 * sum_condprob_u + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+         AS avg_condprob_u
+FROM agg
+ORDER BY doc_id
+""",
+    "text", "lm-scoring", "quality",
+)
+def docs_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram LM fit score (operators.text.bigram_condprob_score):
+    the CCNet/KenLM-style quality-filter proxy on the engine-stable
+    integer micro-unit surface — corpus P(w2|w1) summed per doc, no
+    transcendental anywhere on the hashed surface.  Extends the LM
+    family (unigram_logprob → bigram conditional) one order up."""
+    from ..operators import text as TX
+
+    return TX.bigram_condprob_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")

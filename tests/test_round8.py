@@ -482,3 +482,32 @@ def test_hilbert_buckets_tighter_than_zorder(spark):
     hz = total_area("lineitem_hilbert_layout")
     zz = total_area("lineitem_zorder_layout")
     assert hz < zz, f"hilbert bbox area {hz} not tighter than zorder {zz}"
+
+
+# ---------------------------------------------------------------------------
+# r8: bigram conditional-probability LM score
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_condprob_hand_computed(spark):
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        text as TX,
+    )
+
+    # corpus bigrams: (a b) x2 [docs 1, 2], (b c) x1, (a c) x1
+    # left marginals: c(a .) = 3, c(b .) = 1
+    docs = [(1, "a b c"), (2, "a b"), (3, "a c")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in TX.bigram_condprob_score(df).collect()}
+
+    def pu(c12, c1):
+        return (2_000_000 * c12 + c1) // (2 * c1)
+
+    # doc 1: (a b): 2/3, (b c): 1/1
+    assert out[1].n_bigrams == 2
+    assert out[1].sum_condprob_u == pu(2, 3) + pu(1, 1)
+    assert out[1].avg_condprob_u == (2 * out[1].sum_condprob_u + 2) // 4
+    # doc 2: (a b): 2/3
+    assert out[2].sum_condprob_u == pu(2, 3)
+    # doc 3: (a c): 1/3
+    assert out[3].sum_condprob_u == pu(1, 3)
