@@ -57,6 +57,25 @@ AUDIT = {
         "edge-linear shuffle + node-keyed aggregate reading the "
         "persisted share frame (InMemoryTableScan), not the raw scan."
     ),
+    "docs_hashed_features": (
+        "The 60-step murmur3 projection is pure column expressions inside "
+        "one codegen stage (no Python eval of any kind, no join anywhere); "
+        "the only wide op is the partial-agg exchange with <= num_features "
+        "reduce groups, so the shuffle is constant-size regardless of "
+        "corpus scale."
+    ),
+    "dedup_edit_distance": (
+        "Candidates come ONLY from the prefix-block equi-join (no "
+        "nested-loop/cartesian anywhere); the block-size skew guard "
+        "aggregates on the same _blk key the self-join uses, and the "
+        "banded levenshtein(threshold) verify runs on candidate pairs "
+        "only."
+    ),
+    "lineitem_hilbert_layout": (
+        "The min/max scalars are a 1-row broadcast; the ~50-step Hilbert "
+        "state machine is per-row integer math in one codegen stage; the "
+        "only exchange is the 32-bucket extent aggregate."
+    ),
     "events_top_session_paths": (
         "Exactly one user_id exchange feeds both window passes; the "
         "ordered path is built in-row (array_sort over structs) so no "
