@@ -581,6 +581,10 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
         "deletion-request keys + their order keys: legal-request-bounded"
         " (requests, never table-sized)"
     ),
+    "docs_bigram_condprob": (
+        "bigram/left-marginal count dims: vocab-bounded (same bound as"
+        " docs_bigram_pmi's unigram count frames)"
+    ),
 }
 
 

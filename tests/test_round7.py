@@ -136,6 +136,7 @@ def test_twin_registry_integrity():
         "ann_ivf_prebuilt_topk",
         "ann_semantic_dedup_incremental",
         "ml_lda_topics",
+        "stream_phash_dedup",  # r8: streaming twin of media_phash_dedup
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():
