@@ -255,8 +255,13 @@ def with_murmur3(
     """
     steps, final = _murmur3_program(in_col, f"__m3_{out_col}", _SparkDialect(), max_bytes)
     items = [f"{expr} AS {name}" for name, expr in steps]
+    # NULL terms pass the guard and hash to NULL (the nb=NULL chain
+    # propagates) — matching the DuckDB rendering; without the IS NULL
+    # arm, assert_true(NULL) would kill the job with a bogus max_bytes
+    # message (r8 review finding).
     guard = (
-        f"coalesce(cast(assert_true(octet_length({in_col}) <= {max_bytes}, "
+        f"coalesce(cast(assert_true({in_col} IS NULL OR "
+        f"octet_length({in_col}) <= {max_bytes}, "
         f"concat('murmur3 term exceeds max_bytes={max_bytes}: ', {in_col})) as bigint), "
         f"{final})"
     )
@@ -291,6 +296,37 @@ def with_hashingtf_index(
 # caller).
 
 
+def steps_to_nested_subqueries(
+    inner_sql: str,
+    carry_cols: list[str],
+    input_cols: list[str],
+    steps: list[tuple[str, str]],
+    final: str,
+    out_name: str,
+    alias_prefix: str,
+) -> str:
+    """Render a ``(name, expr)`` step program over ``inner_sql`` as one
+    nested-subquery-per-step chain — the ONE wrapping implementation
+    every generated step program shares (murmur3, Hilbert, future
+    programs; r8 review finding: the liveness loop was copy-pasted).
+
+    Each level carries ``carry_cols`` ∪ ``input_cols`` ∪ any earlier
+    step name still referenced by a later expr (a conservative substring
+    scan).  Returns a parenthesized subquery selecting
+    ``carry_cols + [final AS out_name]``.
+    """
+    q = f"({inner_sql})"
+    for i, (name, expr) in enumerate(steps):
+        later = " ".join(e for _, e in steps[i + 1 :])
+        live = [c for c in carry_cols if c not in input_cols] + list(input_cols)
+        for prev_name, _ in steps[:i]:
+            if prev_name in later or prev_name == final:
+                live.append(prev_name)
+        q = f"(select {', '.join(live)}, {expr} as {name} from {q} as {alias_prefix}{i})"
+    outer = ", ".join(list(carry_cols) + [f"{final} as {out_name}"])
+    return f"(select {outer} from {q} as {alias_prefix}f)"
+
+
 def murmur3_duckdb_subquery(
     inner_sql: str,
     carry_cols: list[str],
@@ -308,20 +344,9 @@ def murmur3_duckdb_subquery(
     guard with a WHERE filter on both sides).
     """
     steps, final = _murmur3_program(term_col, f"__m3_{out_name}", _DuckDBDialect(), max_bytes)
-    carry = list(carry_cols)
-    q = f"({inner_sql})"
-    for i, (name, expr) in enumerate(steps):
-        # live = carry cols + term + any earlier alias referenced later
-        later = " ".join(e for _, e in steps[i + 1 :])
-        live = [c for c in carry if c != term_col]
-        live.append(term_col)
-        for prev_name, _ in steps[:i]:
-            if prev_name in later or prev_name == final:
-                live.append(prev_name)
-        cols = ", ".join(live)
-        q = f"(select {cols}, {expr} as {name} from {q} as __m3q{i})"
-    outer = ", ".join(carry + [f"{final} as {out_name}"])
-    return f"(select {outer} from {q} as __m3qf)"
+    return steps_to_nested_subqueries(
+        inner_sql, list(carry_cols), [term_col], steps, final, out_name, "__m3q"
+    )
 
 
 def hashingtf_index_duckdb_subquery(

@@ -135,19 +135,14 @@ def hilbert_duckdb_subquery(
     """Wrap ``inner_sql`` (exposing ``carry_cols`` + integer bin columns
     ``x_col``/``y_col``) in nested subqueries computing the Hilbert
     index into ``out_name``.  Returns a parenthesized subquery selecting
-    ``carry_cols + [out_name]`` (same structure as
-    hashing.murmur3_duckdb_subquery — nested because DuckDB inlines
-    lateral aliases)."""
+    ``carry_cols + [out_name]`` (nested because DuckDB inlines lateral
+    aliases; the wrapping is hashing.steps_to_nested_subqueries — one
+    shared implementation for every step program)."""
+    from .hashing import steps_to_nested_subqueries
+
     steps, final = _hilbert_program(
         x_col, y_col, f"__hb_{out_name}", _DuckDBDialect(), bits
     )
-    q = f"({inner_sql})"
-    for i, (name, expr) in enumerate(steps):
-        later = " ".join(e for _, e in steps[i + 1 :])
-        live = list(carry_cols) + [x_col, y_col]
-        for prev_name, _ in steps[:i]:
-            if prev_name in later or prev_name == final:
-                live.append(prev_name)
-        q = f"(select {', '.join(live)}, {expr} as {name} from {q} as __hbq{i})"
-    outer = ", ".join(list(carry_cols) + [f"{final} as {out_name}"])
-    return f"(select {outer} from {q} as __hbqf)"
+    return steps_to_nested_subqueries(
+        inner_sql, list(carry_cols), [x_col, y_col], steps, final, out_name, "__hbq"
+    )

@@ -848,9 +848,13 @@ def hamming_banded_pairs(
     including hamming-0 pairs for duplicated fingerprints (unchanged
     contract — pinned banded ≡ brute-force).
     """
+    # distinct on (id, fp): a duplicated input row (upstream union
+    # without dedup) would otherwise emit the same output pair once per
+    # copy through both the expansion join and the exact self-join
+    # (r8 review finding)
     items = fps.select(
         F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp")
-    )
+    ).distinct()
     fp_pairs = hamming_fp_pairs(
         items, fp_col="_fp", bits=bits, n_bands=n_bands, max_hamming=max_hamming
     )

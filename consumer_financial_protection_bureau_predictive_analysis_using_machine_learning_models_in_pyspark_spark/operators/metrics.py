@@ -258,18 +258,14 @@ def partition_checksum(
     Returns (<partition_col as 'part'>, n_rows BIGINT, checksum BIGINT);
     callers alias 'part' to their grain name.
     """
-    v = (
-        F.conv(F.substring(F.md5(key_col), 1, 13), 16, 10).cast("bigint")
-        % F.lit(mod)
-    )
+    # the fold itself is checksum_fold — the ONE definition both this
+    # grouped form and in-agg call sites (delete_propagation) share
     return (
-        df.select(partition_col.alias("part"), v.alias("_v"))
+        df.select(partition_col.alias("part"), key_col.alias("_k"))
         .groupBy("part")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            (F.sum(F.col("_v").cast("decimal(38,0)")) % F.lit(mod))
-            .cast("bigint")
-            .alias("checksum"),
+            checksum_fold(F.col("_k"), mod).alias("checksum"),
         )
     )
 

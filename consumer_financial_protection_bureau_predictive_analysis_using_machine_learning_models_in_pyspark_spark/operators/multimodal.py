@@ -268,9 +268,14 @@ def resize_images(
                 ) from e
             import io
 
+            # Pillow >= 9.1 moved the resampling enums; getattr keeps the
+            # fail-loud contract on 8.x instead of an executor-deep
+            # AttributeError (r8 review finding)
+            nearest = getattr(PILImage, "Resampling", PILImage).NEAREST
+
             def real_resize(b: bytes) -> list[float]:
                 img = PILImage.open(io.BytesIO(b)).convert("L")
-                img = img.resize((width, height), PILImage.Resampling.NEAREST)
+                img = img.resize((width, height), nearest)
                 return [p / 255.0 for p in img.getdata()]
 
             resize = real_resize

@@ -830,16 +830,32 @@ def contamination_report(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    return (
+    per_doc = (
         ev.join(F.broadcast(hit_set), "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hit_grams"),
         )
+    )
+    # EVERY benchmark doc gets a row — docs too short to form a single
+    # n-gram report (0, 0, 0) instead of silently vanishing from the
+    # audit (r8 review finding: the explode dropped them)
+    return (
+        benchmark.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("bigint").alias("n_hit_grams"),
+        )
         .withColumn(
             "contamination_u",
-            F.expr("CAST((2000000 * n_hit_grams + n_grams) DIV (2 * n_grams) AS BIGINT)"),
+            F.expr(
+                "CAST(CASE WHEN n_grams = 0 THEN 0"
+                " ELSE (2000000 * n_hit_grams + n_grams) DIV (2 * n_grams)"
+                " END AS BIGINT)"
+            ),
         )
     )
 

@@ -214,8 +214,11 @@ def weighted_mixture_sample(
 
     The weight table must COVER every group present in ``df`` with a
     non-NULL weight: a partial table would silently drop the uncovered
-    groups and skew the mixture (r7 advisor flag), so coverage is
-    checked eagerly on the group-sized counts dim and raises instead.
+    groups and skew the mixture (r7 advisor flag).  Coverage is enforced
+    IN-PLAN — a left join plus ``assert_true`` that names the first
+    uncovered group at execution time — so composing the plan stays lazy
+    and free (the r8 review flagged the earlier eager collect+persist:
+    every caller paid a full count job at plan-construction time).
     """
     from pyspark.sql import Window
 
@@ -223,24 +226,21 @@ def weighted_mixture_sample(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
-    counts = counts.persist()  # group-sized dim; reused by the check + plan
     wtab = weights.select(group_col, F.col(weight_col).alias("_w"))
-    uncovered = [
-        r[0]
-        for r in counts.join(wtab.filter(F.col("_w").isNotNull()),
-                             group_col, "left_anti")
-        .select(group_col)
-        .limit(5)
-        .collect()
-    ]
-    if uncovered:
-        raise ValueError(
-            f"weighted_mixture_sample: weight table has no (non-NULL) "
-            f"weight for group(s) {uncovered} present in df — a partial "
-            f"weight table would silently skew the mixture"
-        )
+    covered = counts.join(wtab, group_col, "left")
+    guard = F.assert_true(
+        F.col("_w").isNotNull(),
+        F.concat(
+            F.lit("weighted_mixture_sample: weight table has no (non-NULL) "
+                  "weight for group '"),
+            F.col(group_col).cast("string"),
+            F.lit("' present in df — a partial weight table would silently "
+                  "skew the mixture"),
+        ),
+    )
+    w_type = dict(covered.dtypes)["_w"]
     joined = (
-        counts.join(wtab, group_col)
+        covered.withColumn("_w", F.coalesce(guard.cast(w_type), F.col("_w")))
         .withColumn("_n_tot", F.sum("_n_g").over(everything).cast("bigint"))
         .withColumn("_w_tot", F.sum("_w").over(everything).cast("bigint"))
     )

@@ -1008,6 +1008,13 @@ def bigram_condprob_score(
     back BROADCAST (bigram vocabulary is sublinear in corpus size).
     At 100 TB: two keyed aggs over the exploded bigrams + broadcast
     joins; the corpus text is read once.
+
+    Cache lifecycle: the persist is session-scoped and DEDUPED by
+    logical plan (Spark's CacheManager reuses one entry across repeated
+    calls on the same input — it never accumulates copies); in a
+    long-lived session the caller owns releasing it
+    (``spark.catalog.clearCache()`` or unpersisting the returned
+    frame's source) once the result is materialized.
     """
     from pyspark.storagelevel import StorageLevel
 

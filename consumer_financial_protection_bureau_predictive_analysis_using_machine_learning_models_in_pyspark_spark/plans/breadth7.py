@@ -211,9 +211,16 @@ def pq_artifacts_release(sf_dir: str | None = None) -> int:
     f"""
 WITH j AS (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS j),
 cb AS (
-  SELECT s.s AS s, vec_id AS cid, embedding
-  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) s
-  WHERE vec_id < {_PQ_K}
+  -- mirror pq_codebook's ordered-first-k selection (cid = dense rank in
+  -- id order), NOT a literal vec_id < k filter: identical on the
+  -- dense-from-0 fixtures, and stays correct on sparse/offset id
+  -- corpora — the exact case the engine side was fixed for (r8 review
+  -- finding: the oracle had kept the old literal-filter semantics)
+  SELECT s.s AS s, fk.cid, fk.embedding
+  FROM (
+    SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+  ) fk CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) s
 ),
 cdot AS (
   SELECT e.vec_id, c.s, c.cid,

@@ -158,13 +158,15 @@ j AS (
   FROM ev LEFT JOIN (SELECT gram FROM hits) h USING (gram)
   GROUP BY ev.doc_id
 )
-SELECT doc_id,
-       CAST(n_grams AS BIGINT) AS n_grams,
-       CAST(n_hit AS BIGINT) AS n_hit_grams,
-       CAST((2000000 * n_hit + n_grams) // (2 * n_grams) AS BIGINT)
-         AS contamination_u
-FROM j
-ORDER BY doc_id
+SELECT b.doc_id,
+       CAST(COALESCE(j.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(j.n_hit, 0) AS BIGINT) AS n_hit_grams,
+       CAST(CASE WHEN COALESCE(j.n_grams, 0) = 0 THEN 0
+                 ELSE (2000000 * j.n_hit + j.n_grams) // (2 * j.n_grams)
+            END AS BIGINT) AS contamination_u
+FROM (SELECT doc_id FROM documents WHERE doc_id % 25 = 0) b
+LEFT JOIN j ON b.doc_id = j.doc_id
+ORDER BY b.doc_id
 """,
     "pipeline", "decontamination", "eval-integrity",
 )

@@ -443,7 +443,10 @@ def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-row ``distinct()`` shuffle is gone and per-doc sizes are a
     plain count; the shingle frame is persisted because it feeds sizes,
     probes AND the inverted-index side (three consumers re-tokenized the
-    corpus three times before)."""
+    corpus three times before).  The persist is deduped by logical plan
+    (one cache entry per sf_dir across repeated calls, never
+    accumulating); long-lived sessions release it via clearCache /
+    unpersist after materializing."""
     from pyspark.storagelevel import StorageLevel
 
     docs = _t(spark, sf_dir, "documents")

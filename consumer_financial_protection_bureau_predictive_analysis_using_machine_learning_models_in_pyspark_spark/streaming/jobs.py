@@ -495,14 +495,17 @@ def run_streaming_semantic_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         base = index.assigned
-        try:
+        if hadoop_path_exists(spark, kept_dir):
+            # read failures propagate; only true absence means first batch
+            # (the bare-except form silently reset state on ANY error —
+            # r8 review finding, fixed here and in the phash twin)
             kept_prev = (
                 spark.read.parquet(kept_dir)
                 .filter(F.col("_batch_id") < batch_id)
                 .select("neighbor_id", "vec", "cell")
             )
             assigned = base.union(kept_prev)
-        except Exception:  # first batch: no kept_dir yet
+        else:  # first batch: no kept_dir yet
             assigned = base
         idx = SIM.IvfIndex(assigned, index.centroids, index.n_assign)
         st = SIM.semantic_dedup_incremental(
@@ -548,6 +551,20 @@ def run_streaming_semantic_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def hadoop_path_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — the ONLY
+    acceptable 'is this the first batch?' test for storage-carried
+    streaming state.  A bare ``except Exception`` around the state read
+    would treat ANY transient read failure (permissions, corrupt footer,
+    FS hiccup) as 'no prior state' and silently rebuild dedup state from
+    scratch, double-keeping every previously-canonical key (r8 review
+    finding); a real read error must propagate and fail the batch."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def mv_versions(spark, state_dir: str) -> list[int]:
@@ -890,13 +907,15 @@ def run_streaming_phash_dedup(
         hashed = MM.phash_from_pixels(
             MM.resize_images(batch_df, width=width, height=height)
         ).persist()
-        try:
+        if hadoop_path_exists(spark, kept_dir):
+            # a read failure past this point PROPAGATES — treating it as
+            # "first batch" would silently reset the dedup state
             kept_prev = (
                 spark.read.parquet(kept_dir)
                 .filter(F.col("_batch_id") < batch_id)
                 .select("phash", F.col("media_id").alias("_prior_id"))
             )
-        except Exception:  # first batch: kept_dir doesn't exist yet
+        else:  # first batch: kept_dir doesn't exist yet
             kept_prev = None
         w = Window.partitionBy("phash")
         ranked = hashed.withColumn(

@@ -138,3 +138,22 @@ def test_oversize_token_fails_loudly(spark):
     df = spark.createDataFrame([("y" * 33,)], "term string")
     with pytest.raises(Exception, match="max_bytes"):
         H.with_murmur3(df, "term", "h").collect()
+
+
+def test_null_terms_hash_to_null_on_both_engines(spark):
+    """NULL input: the guard must NOT fire (no bogus max_bytes error) and
+    both renderings yield NULL (r8 review finding)."""
+    import duckdb
+
+    df = spark.createDataFrame([("abc",), (None,)], "term string")
+    rows = {r.term: r.h for r in H.with_murmur3(df, "term", "h").collect()}
+    assert rows["abc"] == H.murmur3_py(b"abc")
+    assert rows[None] is None
+
+    con = duckdb.connect()
+    con.execute("create table t(term varchar)")
+    con.execute("insert into t values ('abc'), (NULL)")
+    sub = H.murmur3_duckdb_subquery("select term from t", ["term"], "term", "h")
+    got = dict(con.execute(f"select term, h from {sub} q").fetchall())
+    assert got["abc"] == H.murmur3_py(b"abc")
+    assert got[None] is None

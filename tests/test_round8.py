@@ -152,7 +152,10 @@ def test_weighted_mixture_sample_rejects_partial_weights(spark):
         [(1, "a"), (2, "a"), (3, "b")], "doc_id bigint, source string"
     )
     w = spark.createDataFrame([("a", 1_000_000)], "source string, w bigint")
-    with pytest.raises(ValueError, match="no \\(non-NULL\\) weight"):
+    # coverage is now enforced in-plan (assert_true) — raises at
+    # EXECUTION with the first uncovered group named, keeping plan
+    # composition lazy
+    with pytest.raises(Exception, match="no \\(non-NULL\\) weight"):
         SA.weighted_mixture_sample(df, w).collect()
 
 
@@ -247,14 +250,17 @@ def test_contamination_report_ratios(spark):
         "doc_id bigint, text string",
     )
     bench = spark.createDataFrame(
-        [(1, w), (2, "a b c d e f g h")],      # doc 1 fully contaminated
-        "doc_id bigint, text string",
+        [(1, w), (2, "a b c d e f g h"), (3, "too short")],
+        "doc_id bigint, text string",      # doc 1 fully contaminated
     )
     out = {r.doc_id: r for r in PL.contamination_report(corpus, bench).collect()}
     assert out[1].n_grams == 1 and out[1].n_hit_grams == 1
     assert out[1].contamination_u == 1_000_000
     assert out[2].n_grams == 1 and out[2].n_hit_grams == 0
     assert out[2].contamination_u == 0
+    # gram-less eval docs still get an audit row (0, 0, 0) — they must
+    # never silently vanish from the report (r8 review finding)
+    assert (out[3].n_grams, out[3].n_hit_grams, out[3].contamination_u) == (0, 0, 0)
 
 
 # ---------------------------------------------------------------------------
