@@ -51,6 +51,7 @@ _PRIORITY = [
     "orders_delete_propagation",  # never checked — first driver row
     "lineitem_hilbert_layout",  # never checked — first driver row
     "docs_bigram_condprob",  # never checked — first driver row
+    "dedup_containment",  # never checked — first driver row
     "topk_companies_per_state",  # newest driver row r1
     "orders_running_total",  # newest driver row r1
     "events_ordinal",  # newest driver row r1
@@ -90,8 +91,8 @@ _PRIORITY = [
     "docs_tfidf_keywords",  # newest driver row r4
     "ml_timely_lr_tuned",  # newest driver row r4
     "ml_lda_topics_em",  # newest driver row r4
-    "stream_dedup_events",  # newest driver row r4
     # ---- window boundary (50): overflow is staleness-ordered ----
+    "stream_dedup_events",  # newest driver row r4
     "stream_running_user_stats",  # newest driver row r4
     "stream_click_purchase_join",  # newest driver row r4
     "sink_roundtrip_orders",  # newest driver row r4

@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "orders_delete_propagation",
     "lineitem_hilbert_layout",
     "docs_bigram_condprob",
+    "dedup_containment",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

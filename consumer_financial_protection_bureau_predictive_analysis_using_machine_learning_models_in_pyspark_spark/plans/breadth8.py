@@ -378,3 +378,118 @@ def docs_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as TX
 
     return TX.bigram_condprob_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (asymmetric near-dup: doc contained in a superset doc)
+# ---------------------------------------------------------------------------
+#
+# Jaccard misses the concatenation/expansion case: a doc glued into a
+# bigger doc scores low symmetric overlap but containment(sub ⊆ sup) =
+# |A∩B|/|A| ≈ 1.  Corpus: documents ∪ a superset slice (text + appended
+# tokens, id +3,000,000) so there are true containment-1.0 pairs to find.
+
+_CT_MIN_U = 900_000  # containment ≥ 0.9 in 1e-6 micro-units
+
+_CT_CORPUS_CTE = """
+SELECT doc_id, lang, text FROM documents
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id, lang,
+       text || ' zq yw xv ut' AS text
+FROM documents WHERE doc_id % 13 = 0
+""".strip()
+
+
+@register(
+    "dedup_containment",
+    f"""
+WITH corpus AS ({_CT_CORPUS_CTE}),
+tok AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))) AS s
+  FROM tok WHERE len(toks) >= 3
+),
+hashed AS (
+  SELECT DISTINCT doc_id, lang,
+         CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 2147483647 AS h
+  FROM sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_sub, b.doc_id AS id_sup, COUNT(*) AS n_inter
+  FROM hashed a
+  JOIN hashed b ON a.lang = b.lang AND a.h = b.h AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_sub, i.id_sup,
+       CAST(sa.n AS BIGINT) AS n_sub_shingles,
+       CAST(i.n_inter AS BIGINT) AS n_shared,
+       CAST((2000000 * i.n_inter + sa.n) // (2 * sa.n) AS BIGINT)
+         AS containment_u
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_sub
+WHERE (2000000 * i.n_inter + sa.n) // (2 * sa.n) >= {_CT_MIN_U}
+ORDER BY id_sub, id_sup
+""",
+    "dedup", "containment", "asymmetric",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment: directional pairs
+    (id_sub, id_sup) where ≥ 90% of the sub-doc's distinct 3-gram
+    shingles appear in the sup-doc — catching
+    concatenation/expansion duplicates whose SYMMETRIC Jaccard falls
+    below any useful threshold.  Micro-unit integer ratio surface.
+
+    Same scale shape as dedup_jaccard_blocked (whose r8 rewrite this
+    reuses): in-row-distinct shingle hashes (no cross-row distinct
+    shuffle), persisted once for the sizes AND both sides of the
+    lang-blocked inverted-index join; candidates are pairs sharing at
+    least one shingle — never an all-pairs product."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions import textfns as TF
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sup = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        "lang",
+        F.concat("text", F.lit(" zq yw xv ut")).alias("text"),
+    )
+    corpus = docs.union(sup)
+    hashed_arr = F.array_distinct(
+        F.transform(TF.shingles(F.col("_toks"), 3), TF.token_hash)
+    )
+    sh = (
+        corpus.select("doc_id", "lang", TF.tokens("text").alias("_toks"))
+        .select("doc_id", "lang", F.explode(hashed_arr).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_sub"), "lang", "h")
+    b = sh.select(F.col("doc_id").alias("id_sup"), "lang", "h")
+    inter = (
+        a.join(b, ["lang", "h"])
+        .filter(F.col("id_sub") != F.col("id_sup"))
+        .groupBy("id_sub", "id_sup")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_sub"), "id_sub")
+        .withColumn(
+            "containment_u",
+            F.expr("CAST((2000000 * n_inter + n) DIV (2 * n) AS BIGINT)"),
+        )
+        .filter(F.col("containment_u") >= _CT_MIN_U)
+        .select(
+            "id_sub",
+            "id_sup",
+            F.col("n").cast("bigint").alias("n_sub_shingles"),
+            F.col("n_inter").cast("bigint").alias("n_shared"),
+            "containment_u",
+        )
+        .orderBy("id_sub", "id_sup")
+    )

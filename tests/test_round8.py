@@ -517,3 +517,35 @@ def test_bigram_condprob_hand_computed(spark):
     assert out[2].sum_condprob_u == pu(2, 3)
     # doc 3: (a c): 1/3
     assert out[3].sum_condprob_u == pu(1, 3)
+
+
+# ---------------------------------------------------------------------------
+# r8: asymmetric shingle containment
+# ---------------------------------------------------------------------------
+
+
+def test_containment_finds_superset_jaccard_misses(spark):
+    """A doc glued into a much bigger doc: containment(sub→sup) = 1.0
+    while symmetric Jaccard is far below threshold — the case this entry
+    exists for."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        CATALOG,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = CATALOG["dedup_containment"].fn(spark, sf).collect()
+    assert rows, "expected containment pairs on the superset-augmented corpus"
+    # every injected superset pair (sub=d, sup=d+3e6) must be found at 1.0
+    injected = {
+        (r.id_sub, r.id_sup): r.containment_u
+        for r in rows
+        if r.id_sup == r.id_sub + 3_000_000
+    }
+    assert injected, "injected superset pairs missing"
+    assert all(v == 1_000_000 for v in injected.values())
+    # directionality: the reverse (sup contained in sub) must NOT be 1.0
+    reverse = {(r.id_sub, r.id_sup) for r in rows}
+    for (sub, sup) in injected:
+        if (sup, sub) in reverse:
+            row = next(r for r in rows if (r.id_sub, r.id_sup) == (sup, sub))
+            assert row.containment_u < 1_000_000
