@@ -41,57 +41,6 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/gen_priority.py
 # and tests/test_priority_window.py pins committed == generated.
 _PRIORITY = [
-    "dedup_cluster_size_stats",  # never checked — first driver row
-    "media_phash_dedup",  # never checked — first driver row
-    "media_phash_near_pairs",  # never checked — first driver row
-    "stream_phash_dedup",  # never checked — first driver row
-    "docs_hashed_features",  # never checked — first driver row
-    "dedup_edit_distance",  # never checked — first driver row
-    "docs_contamination_report",  # never checked — first driver row
-    "orders_delete_propagation",  # never checked — first driver row
-    "lineitem_hilbert_layout",  # never checked — first driver row
-    "docs_bigram_condprob",  # never checked — first driver row
-    "dedup_containment",  # never checked — first driver row
-    "topk_companies_per_state",  # newest driver row r1
-    "orders_running_total",  # newest driver row r1
-    "events_ordinal",  # newest driver row r1
-    "events_props_extract",  # newest driver row r1
-    "events_hourly_agg",  # newest driver row r1
-    "docs_language_id",  # newest driver row r1
-    "docs_fingerprints",  # newest driver row r1
-    "dedup_simhash",  # newest driver row r1
-    "dedup_exact",  # newest driver row r2
-    "ml_feature_importances",  # newest driver row r2
-    "media_frame_sample",  # newest driver row r2
-    "dedup_embedding_cosine",  # newest driver row r2
-    "stream_sliding_counts",  # newest driver row r2
-    "q4_order_priority",  # newest driver row r2
-    "q22_sales_opportunity",  # newest driver row r2
-    "q11_important_parts",  # newest driver row r2
-    "q15_top_supplier",  # newest driver row r2
-    "q16_supplier_part_count",  # newest driver row r2
-    "events_asof_join",  # newest driver row r3
-    "q5_local_supplier_volume",  # newest driver row r3
-    "events_interval_join",  # newest driver row r3
-    "events_heavy_hitters_cms",  # newest driver row r3
-    "docs_pack_bins",  # newest driver row r3
-    "events_grouping_sets",  # newest driver row r3
-    "q7_volume_shipping",  # newest driver row r3
-    "q8_market_share",  # newest driver row r3
-    "q10_returned_items",  # newest driver row r3
-    "q13_customer_distribution",  # newest driver row r3
-    "q9_profit_by_nation",  # newest driver row r3
-    "q20_potential_promotion",  # newest driver row r3
-    "q21_waiting_suppliers",  # newest driver row r3
-    "events_gap_fill",  # newest driver row r3
-    "complaints_binary_metrics",  # newest driver row r4
-    "events_sessionize",  # newest driver row r4
-    "ann_cosine_topk",  # newest driver row r4
-    "ann_ivf_topk",  # newest driver row r4
-    "docs_tfidf_keywords",  # newest driver row r4
-    "ml_timely_lr_tuned",  # newest driver row r4
-    "ml_lda_topics_em",  # newest driver row r4
-    # ---- window boundary (50): overflow is staleness-ordered ----
     "stream_dedup_events",  # newest driver row r4
     "stream_running_user_stats",  # newest driver row r4
     "stream_click_purchase_join",  # newest driver row r4
@@ -142,6 +91,7 @@ _PRIORITY = [
     "docs_pack_manifest",  # newest driver row r5
     "docs_bm25_rank",  # newest driver row r5
     "docs_hybrid_rrf",  # newest driver row r5
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "events_value_outliers_mad",  # newest driver row r5
     "events_value_outliers_mad_approx",  # newest driver row r5
     "ann_semantic_dedup_incremental",  # newest driver row r5
@@ -249,6 +199,56 @@ _PRIORITY = [
     "stream_checksum_mv",  # newest driver row r7
     "orders_replica_reconcile",  # newest driver row r7
     "stream_late_data_audit",  # newest driver row r7
+    "complaints_binary_metrics",  # newest driver row r8
+    "topk_companies_per_state",  # newest driver row r8
+    "orders_running_total",  # newest driver row r8
+    "events_ordinal",  # newest driver row r8
+    "events_props_extract",  # newest driver row r8
+    "events_hourly_agg",  # newest driver row r8
+    "events_sessionize",  # newest driver row r8
+    "events_asof_join",  # newest driver row r8
+    "q5_local_supplier_volume",  # newest driver row r8
+    "events_interval_join",  # newest driver row r8
+    "events_heavy_hitters_cms",  # newest driver row r8
+    "docs_language_id",  # newest driver row r8
+    "docs_fingerprints",  # newest driver row r8
+    "dedup_exact",  # newest driver row r8
+    "dedup_cluster_size_stats",  # newest driver row r8
+    "dedup_simhash",  # newest driver row r8
+    "ann_cosine_topk",  # newest driver row r8
+    "ann_ivf_topk",  # newest driver row r8
+    "docs_tfidf_keywords",  # newest driver row r8
+    "ml_feature_importances",  # newest driver row r8
+    "ml_timely_lr_tuned",  # newest driver row r8
+    "ml_lda_topics_em",  # newest driver row r8
+    "media_frame_sample",  # newest driver row r8
+    "dedup_embedding_cosine",  # newest driver row r8
+    "media_phash_dedup",  # newest driver row r8
+    "media_phash_near_pairs",  # newest driver row r8
+    "stream_phash_dedup",  # newest driver row r8
+    "docs_pack_bins",  # newest driver row r8
+    "stream_sliding_counts",  # newest driver row r8
+    "events_grouping_sets",  # newest driver row r8
+    "q4_order_priority",  # newest driver row r8
+    "q7_volume_shipping",  # newest driver row r8
+    "q8_market_share",  # newest driver row r8
+    "q10_returned_items",  # newest driver row r8
+    "q13_customer_distribution",  # newest driver row r8
+    "q22_sales_opportunity",  # newest driver row r8
+    "q9_profit_by_nation",  # newest driver row r8
+    "q11_important_parts",  # newest driver row r8
+    "q15_top_supplier",  # newest driver row r8
+    "q16_supplier_part_count",  # newest driver row r8
+    "q20_potential_promotion",  # newest driver row r8
+    "q21_waiting_suppliers",  # newest driver row r8
+    "events_gap_fill",  # newest driver row r8
+    "docs_hashed_features",  # newest driver row r8
+    "dedup_edit_distance",  # newest driver row r8
+    "docs_contamination_report",  # newest driver row r8
+    "orders_delete_propagation",  # newest driver row r8
+    "lineitem_hilbert_layout",  # newest driver row r8
+    "docs_bigram_condprob",  # newest driver row r8
+    "dedup_containment",  # newest driver row r8
 ]
 
 
