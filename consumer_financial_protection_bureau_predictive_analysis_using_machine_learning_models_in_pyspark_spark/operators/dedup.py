@@ -933,3 +933,87 @@ def edit_distance_pairs(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("bigint").alias("dist"))
     )
+
+
+# Document-frequency cap for shingle inverted-index candidate generation.
+# A shingle shared by g documents contributes g² candidate rows from its
+# bucket; on a web corpus stop-shingles ("all rights reserved") have g in
+# the millions, so an uncapped inverted-index self-join is quadratic in
+# the hottest bucket.  128 bounds any bucket's contribution at 128² rows
+# while keeping every committed fixture bit-identical (max observed df:
+# 5 at sf0.01, 14 at sf0.1).
+SHINGLE_MAX_DF = 128
+
+
+def shingle_overlap_pairs(
+    sh: DataFrame,
+    *,
+    max_df: int = SHINGLE_MAX_DF,
+    probe_filter=None,
+    directional: bool = False,
+    block_col: str = "lang",
+) -> DataFrame:
+    """Exact shingle-intersection counts for candidate pairs from a
+    df-capped inverted index: ``(id_a, id_b, n_inter)``.
+
+    ``sh`` is a ``(doc_id, <block_col>, h)`` frame with h DISTINCT within
+    each document (the ``shingle_hashes`` contract).  Candidate pairs are
+    generated ONLY from "cold" shingles — those whose document frequency
+    within their block is ≤ ``max_df`` — so a hot shingle shared by g
+    documents contributes 0 join rows instead of g².  Intersection counts
+    stay EXACT for every emitted pair: hot-shingle overlaps are added
+    back by joining the (tiny, by construction) hot occurrence lists
+    against the surviving candidates only.
+
+    Recall contract (stated, same policy as ``edit_distance_pairs``'
+    ``max_block``): a pair whose ENTIRE shared shingle set is hot — every
+    common shingle appears in > ``max_df`` documents — is never generated
+    as a candidate and is missed.  Such pairs share only corpus-level
+    boilerplate, which is the right trade at 100 TB: the alternative is a
+    quadratic bucket.
+
+    Shuffle posture: the df aggregation and the cold self-join both key
+    on ``(block, h)``, so AQE reuses one exchange; the hot augment joins
+    key on doc ids and touch only candidate pairs × hot-per-doc rows.
+
+    ``probe_filter`` (optional Column over ``doc_id``) restricts the
+    probe side; ``directional=True`` emits both (a, b) and (b, a)
+    (asymmetric measures like containment), else id_a < id_b.
+    """
+    dfreq = sh.groupBy(block_col, "h").agg(F.count(F.lit(1)).alias("_df"))
+    tagged = sh.join(dfreq, [block_col, "h"])
+    cold = tagged.filter(F.col("_df") <= max_df).select("doc_id", block_col, "h")
+    hot = tagged.filter(F.col("_df") > max_df).select("doc_id", "h")
+    a_src = cold if probe_filter is None else cold.filter(probe_filter)
+    a = a_src.select(F.col("doc_id").alias("id_a"), block_col, "h")
+    b = cold.select(F.col("doc_id").alias("id_b"), block_col, "h")
+    cond = (
+        F.col("id_a") != F.col("id_b")
+        if directional
+        else F.col("id_a") < F.col("id_b")
+    )
+    cand = (
+        a.join(b, [block_col, "h"])
+        .filter(cond)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_n_cold"))
+    )
+    ha = hot.select(F.col("doc_id").alias("id_a"), "h")
+    hb = hot.select(F.col("doc_id").alias("id_b"), "h")
+    hot_inter = (
+        cand.select("id_a", "id_b")
+        .join(ha, "id_a")
+        .join(hb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_n_hot"))
+    )
+    return (
+        cand.join(hot_inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_n_cold") + F.coalesce(F.col("_n_hot"), F.lit(0))).alias(
+                "n_inter"
+            ),
+        )
+    )

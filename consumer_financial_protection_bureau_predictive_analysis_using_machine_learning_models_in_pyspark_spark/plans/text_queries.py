@@ -413,13 +413,37 @@ sh AS (
 hashed AS (
   SELECT doc_id, lang, {_D_HASH.format(x='s')} AS h FROM sh
 ),
-sizes AS (SELECT doc_id, COUNT(DISTINCT h) AS n FROM hashed GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM (SELECT DISTINCT doc_id, lang, h FROM hashed WHERE doc_id % 10 = 0) a
-  JOIN (SELECT DISTINCT doc_id, lang, h FROM hashed) b
-    ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
+hd AS (SELECT DISTINCT doc_id, lang, h FROM hashed),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+dfh AS (SELECT lang, h, COUNT(*) AS df FROM hd GROUP BY lang, h),
+cold AS (
+  SELECT hd.doc_id, hd.lang, hd.h FROM hd
+  JOIN dfh ON dfh.lang = hd.lang AND dfh.h = hd.h
+  WHERE dfh.df <= {DD.SHINGLE_MAX_DF}
+),
+hot AS (
+  SELECT hd.doc_id, hd.h FROM hd
+  JOIN dfh ON dfh.lang = hd.lang AND dfh.h = hd.h
+  WHERE dfh.df > {DD.SHINGLE_MAX_DF}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_cold
+  FROM cold a
+  JOIN cold b ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 10 = 0
   GROUP BY a.doc_id, b.doc_id
+),
+hotx AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_hot
+  FROM cand c
+  JOIN hot ha ON ha.doc_id = c.doc_a
+  JOIN hot hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b, c.n_cold + COALESCE(x.n_hot, 0) AS n_inter
+  FROM cand c
+  LEFT JOIN hotx x ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b
 )
 SELECT p.doc_a, p.doc_b,
        ROUND(CAST(p.n_inter AS DOUBLE)
@@ -432,21 +456,24 @@ WHERE CAST(p.n_inter AS DOUBLE) / CAST(sa.n + sb.n - p.n_inter AS DOUBLE) >= 0.2
     "dedup", "jaccard",
 )
 def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard via inverted-index self-join: probe slice
-    (doc_id % 10 = 0) vs all, blocked by lang, shared-shingle join, pairs
-    with jaccard ≥ 0.2.  The inverted index bounds work to pairs that share
-    at least one shingle — no quadratic cross join.
+    """Exact n-gram Jaccard via df-capped inverted-index self-join: probe
+    slice (doc_id % 10 = 0) vs all, blocked by lang, shared-shingle join,
+    pairs with jaccard ≥ 0.2.
 
-    r8 rewrite (was the slowest batch query at 10.3 s/sf0.1):
-    distinctness is established IN-ROW (array_distinct over the hashed
-    shingle array BEFORE the explode — the shingle_hashes idiom), so the
-    cross-row ``distinct()`` shuffle is gone and per-doc sizes are a
-    plain count; the shingle frame is persisted because it feeds sizes,
-    probes AND the inverted-index side (three consumers re-tokenized the
-    corpus three times before).  The persist is deduped by logical plan
-    (one cache entry per sf_dir across repeated calls, never
-    accumulating); long-lived sessions release it via clearCache /
-    unpersist after materializing."""
+    r9 rewrite (VERDICT r8 "What's wrong" #1): candidate generation now
+    runs through ``DD.shingle_overlap_pairs`` — shingles whose document
+    frequency exceeds ``DD.SHINGLE_MAX_DF`` are excluded from the
+    inverted-index join (a hot shingle shared by g docs contributed g²
+    candidate rows before), with hot overlaps added back for surviving
+    candidates so every emitted jaccard value is still EXACT.  Recall
+    contract: a pair sharing ONLY hot (> max_df) shingles is missed —
+    stated, same policy as edit_distance_pairs' max_block.  The oracle
+    SQL mirrors the cap CTE-for-CTE.
+
+    r8 notes that still hold: distinctness is established IN-ROW
+    (array_distinct over hashed shingles BEFORE the explode), so per-doc
+    sizes are a plain count; the shingle frame is persisted because it
+    feeds sizes AND both join sides (persist deduped by logical plan)."""
     from pyspark.storagelevel import StorageLevel
 
     docs = _t(spark, sf_dir, "documents")
@@ -460,15 +487,12 @@ def dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # h is distinct within each doc by construction -> plain count
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    probes = sh.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("doc_a"), "lang", "h"
-    )
-    others = sh.select(F.col("doc_id").alias("doc_b"), "lang", "h")
-    pairs = (
-        probes.join(others, ["lang", "h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    pairs = DD.shingle_overlap_pairs(
+        sh, probe_filter=F.col("doc_id") % 10 == 0
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "n_inter",
     )
     jac = (
         pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
