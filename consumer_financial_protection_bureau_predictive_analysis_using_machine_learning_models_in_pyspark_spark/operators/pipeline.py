@@ -949,3 +949,140 @@ def delete_propagation(
         ).alias("del_checksum"),
     )
     return cust_row.union(ord_row).union(li_row)
+
+
+def positional_gram_hashes(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, pos, h): hash of the k-token gram starting at
+    1-indexed token position ``pos`` — the positional twin of
+    ``dedup.shingle_hashes`` (which distinct-collapses and so cannot
+    locate spans).  Pure array expressions, no UDF; docs shorter than
+    ``k`` tokens emit no gram rows."""
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+        lambda j: F.concat_ws(
+            " ", *[F.element_at(F.col("_toks"), j + i) for i in range(k)]
+        ),
+    )
+    # sequence(1, size-(k-1)) runs DESCENDING for short docs (step -1 when
+    # start > stop) — guard exactly as textfns.shingles does.
+    guarded = F.when(F.size("_toks") >= k, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        docs.select(id_col, TF.tokens(text_col).alias("_toks"))
+        .select(
+            id_col,
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            F.posexplode(guarded).alias("_i", "_gram"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_i") + 1).cast("bigint").alias("pos"),
+            TF.token_hash("_gram").alias("h"),
+        )
+    )
+
+
+def substring_spans(
+    docs: DataFrame,
+    k: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-span EXCISION (the substring-level dedup
+    that doc-level Jaccard/containment both miss when the duplicated span
+    is a minority of each doc — Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", approximated at k-gram granularity):
+    maximal per-doc token spans every k-gram of which appears in
+    ≥ ``min_docs`` DISTINCT documents, merged over overlapping/adjacent
+    gram windows.  Returns the per-doc cut list
+    ``(doc_id, tok_start, tok_end, span_tokens)`` — 1-indexed inclusive
+    token bounds, ordered consumers sort downstream.
+
+    Shape (all linear — this operator has NO pair join, so hot grams are
+    harmless, unlike the shingle inverted-index dedups): positional
+    k-gram hashes → gram document-frequency aggregate (distinct-doc
+    count, shuffle carries (h, doc) pairs only) → semi-join repeated
+    grams back to positions → per-doc gaps-and-islands merge (two
+    window passes partitioned by doc).  At 100 TB every stage is a
+    hash-partitioned shuffle on gram hash or doc id; nothing is
+    quadratic in gram popularity.
+
+    The positional gram frame feeds the df aggregate AND the coverage
+    probe; persisted MEMORY_AND_DISK so tokenize+gram CPU runs once
+    (CacheManager dedupes repeated catalog calls by logical plan).
+    """
+    from pyspark import StorageLevel
+
+    grams = positional_gram_hashes(docs, k, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    repeated = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_d"))
+        .filter(F.col("_d") >= min_docs)
+        .select("h")
+    )
+    covered = grams.join(repeated, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = covered.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("tok_start"),
+            (F.max("pos") + (k - 1)).alias("tok_end"),
+        )
+        .select(
+            id_col,
+            "tok_start",
+            "tok_end",
+            (F.col("tok_end") - F.col("tok_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def substring_clean_stats(
+    docs: DataFrame,
+    k: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc cleaned lengths after cross-doc repeated-span excision:
+    ``(doc_id, n_tokens, n_spans, cut_tokens, clean_tokens)`` for EVERY
+    document (zero-span docs included via left join).  Spans are merged
+    before summing, so overlapping gram windows never double-cut."""
+    spans = substring_spans(docs, k, min_docs, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_tokens").cast("bigint").alias("cut_tokens"),
+    )
+    base = docs.select(
+        id_col, F.size(TF.tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("cut_tokens", F.lit(0)).cast("bigint").alias("cut_tokens"),
+            (
+                F.col("n_tokens")
+                - F.coalesce("cut_tokens", F.lit(0))
+            ).cast("bigint").alias("clean_tokens"),
+        )
+    )
