@@ -230,6 +230,9 @@ BENCH_QUERIES = [
     "lineitem_hilbert_layout",
     "docs_bigram_condprob",
     "dedup_containment",
+    # -- r9 additions
+    "docs_substring_dedup",
+    "docs_substring_clean_stats",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",
@@ -286,6 +289,124 @@ BENCH_EXCLUDED = {
 }
 
 
+# Isolated drift panel (VERDICT r8 "What's wrong" #2): the full bench's
+# wall numbers drift ~1.3× round-over-round with session load (199 queries
+# share one JVM), so a genuine 1.3–1.9× single-query regression is
+# indistinguishable from box load there.  This fixed panel — the twin
+# anchor pairs plus every ≥1.5× r8/r7 mover — is re-run SERIALLY in a
+# fresh session at round close (``python bench.py --panel``), 3 runs per
+# query, medians recorded in the same BENCH_LOCAL artifact under
+# ``panel``.  Panel members also get a tighter 1.3× remeasure bar in the
+# full bench run (vs 2× default).
+PANEL_QUERIES = [
+    # twin anchor pairs (exact anchor + production twin)
+    "ann_cosine_topk",
+    "ann_cosine_topk_fast",
+    "dedup_minhash_lsh",
+    "dedup_minhash_fast",
+    "ann_semantic_canonical",
+    "ann_semantic_canonical_fast",
+    "dedup_incremental",
+    "dedup_incremental_bloom",
+    # r8/r7 ≥1.5× movers — reproduce-or-clear
+    "docs_domain_reweight",
+    "stream_static_enrich",
+    "stream_windowed_counts",
+    "docs_training_export",
+    "docs_stratified_sample",
+    "docs_boilerplate_spans",
+    "docs_pack_manifest",
+    "q1_pricing_summary",
+    "ann_semantic_dedup",
+    "lineitem_unpivot",
+    "docs_bm25_rank",
+    "ann_semantic_dedup_incremental",
+    "orders_rfm_segments",
+    "docs_weighted_topk_sample",
+]
+
+
+def _prime_session(spark, sf_dir: str, cpus: str) -> None:
+    """One-time JVM/daemon/offline-index warmup shared by bench + panel."""
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.range(64).repartition(int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        text_queries as _tq,
+    )
+
+    _tq.ivf_index_for(spark, sf_dir)
+    _tq.ivf_index_for(spark, sf_dir, n_assign=3)
+    _tq.ivf_index_for(spark, sf_dir, n_assign=3, where="pmod(vec_id, 5) != 0")
+    _tq.minhash_index_for(spark, sf_dir)
+
+
+def run_panel() -> None:
+    """Round-close isolated drift panel: fresh session, serial, 3 runs per
+    panel query, per-query median.  Merges a ``panel`` section into the
+    round's BENCH_LOCAL artifact and prints it as one JSON line.  Against
+    the PREVIOUS round's full-bench numbers, a panel median > 1.3× prev is
+    a REPRODUCED regression (flagged); anything the full bench showed
+    slower but whose isolated median is back within 1.3× is recorded as
+    cleared-as-load."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.session import (  # noqa: E501
+        get_session,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        CATALOG,
+    )
+
+    spark = get_session(master=f"local[{cpus}]", app_name="bench-panel")
+    spark.sparkContext.setLogLevel("ERROR")
+    _prime_session(spark, sf_dir, cpus)
+
+    panel: dict[str, dict] = {}
+    for name in PANEL_QUERIES:
+        spec = CATALOG[name]
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        med = sorted(runs)[1]
+        panel[name] = {"runs": runs, "median": med}
+        print(f"# panel {name}: median {med:.3f}s {runs}", file=sys.stderr)
+    spark.stop()
+
+    prev_payloads = _prior_round_queries(limit=1)
+    prev = prev_payloads[0] if prev_payloads else {}
+    reproduced, cleared = {}, {}
+    for name, rec in panel.items():
+        if name in prev and prev[name] >= 0.25:
+            if rec["median"] > 1.3 * prev[name]:
+                reproduced[name] = [prev[name], rec["median"]]
+            else:
+                cleared[name] = [prev[name], rec["median"]]
+    section = {
+        "queries": panel,
+        "reproduced_regressions": reproduced,
+        "cleared_as_load": cleared,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, f"BENCH_LOCAL_r{_round_number():02d}.json")
+    payload = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            payload = json.load(f)
+    payload["panel"] = section
+    try:
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"# panel artifact write failed: {e}", file=sys.stderr)
+    print(json.dumps({"panel": section}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -300,30 +421,13 @@ def main() -> None:
     spark = get_session(master=f"local[{cpus}]", app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so q1 doesn't pay one-time session cost,
-    # and spawn the Python worker pool (daemon fork + numpy/pandas import)
-    # so the first mapInPandas query measures steady-state throughput
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    spark.range(64).repartition(int(cpus)).mapInPandas(
-        lambda it: it, schema="id long"
-    ).count()
-    # prime the prebuilt-IVF index: its build (quantizer fit + cell
-    # assignment) is an OFFLINE lifecycle — the steady-state serving cost
-    # is what ann_ivf_prebuilt_topk measures, and ann_ivf_topk right above
-    # it keeps the fit-included number honest for comparison
-    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
-        text_queries as _tq,
-    )
-
-    _tq.ivf_index_for(spark, sf_dir)
-    _tq.ivf_index_for(spark, sf_dir, n_assign=3)  # ann_semantic_dedup's index
-    # the incremental-ingest entry serves from the 80%-corpus index — the
-    # same offline-build lifecycle as the two above
-    _tq.ivf_index_for(spark, sf_dir, n_assign=3, where="pmod(vec_id, 5) != 0")
-    # corpus MinHash index for the prebuilt near-dup triage twin
-    # (dedup_incremental_minhash right above it stays fit-included — the
-    # honest comparator, same convention as ann_ivf_topk)
-    _tq.minhash_index_for(spark, sf_dir)
+    # warm the JVM + parquet footers so q1 doesn't pay one-time session
+    # cost, spawn the Python worker pool, and build the offline serving
+    # indexes (prebuilt-IVF / corpus MinHash): their build is an OFFLINE
+    # lifecycle — the steady-state serving cost is what the *_prebuilt
+    # entries measure, and their fit-included anchors right above them
+    # keep the comparison honest
+    _prime_session(spark, sf_dir, cpus)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -449,6 +553,10 @@ def _regressions_vs_previous_round(
         if name not in prev or prev[name] < floor_sec:
             continue
         bar = 1.5 if name in repeat_movers else factor
+        # panel members carry the isolated-drift contract: remeasure at
+        # 1.3× instead of waiting for a 2× excursion (VERDICT r8 item 3)
+        if name in PANEL_QUERIES:
+            bar = min(bar, 1.3)
         if cur > bar * prev[name]:
             out[name] = (prev[name], cur)
     return out
@@ -496,4 +604,7 @@ def _prior_round_queries(limit: int = 2) -> list[dict[str, float]]:
 
 
 if __name__ == "__main__":
-    main()
+    if "--panel" in sys.argv:
+        run_panel()
+    else:
+        main()

@@ -41,3 +41,18 @@ def test_exclusions_have_reasons():
         assert isinstance(reason, str) and len(reason) > 40, (
             f"exclusion {name!r} needs a substantive committed reason"
         )
+
+
+def test_panel_members_valid():
+    """Isolated drift panel (VERDICT r8 item 3): members must be real
+    catalog entries, unique, and benched (a panel-only query would have
+    no full-bench number to compare drift against)."""
+    import bench
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        catalog,
+    )
+
+    panel = bench.PANEL_QUERIES
+    assert len(panel) == len(set(panel)), "duplicate panel entries"
+    assert set(panel) <= set(catalog.CATALOG)
+    assert set(panel) <= set(bench.BENCH_QUERIES)
