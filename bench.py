@@ -233,6 +233,8 @@ BENCH_QUERIES = [
     # -- r9 additions
     "docs_substring_dedup",
     "docs_substring_clean_stats",
+    "dedup_incremental_containment",
+    "dedup_incremental_containment_prebuilt",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

@@ -1017,3 +1017,113 @@ def shingle_overlap_pairs(
             ),
         )
     )
+
+
+def incremental_containment(
+    spark: SparkSession,
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    *,
+    corpus_hashes: DataFrame | None = None,
+    max_df: int = SHINGLE_MAX_DF,
+    min_u: int = 900_000,
+) -> DataFrame:
+    """Asymmetric-containment incremental triage — the containment member
+    of the incremental family (exact: ``pipeline.incremental_dedup``;
+    MinHash: ``incremental_dedup_minhash``; embeddings:
+    ``similarity.semantic_dedup_incremental``): each new-batch document is
+    scored by how much of it is ALREADY in the corpus —
+    |batch_shingles ∩ corpus_doc_shingles| / |batch_shingles| — catching
+    the clip/quote/re-post ingest case (a batch doc that is a slice or
+    lightly-padded copy of an existing doc) whose symmetric Jaccard with
+    the longer source falls below any useful threshold.
+
+    Returns one row per batch doc:
+    ``(doc_id, status, sup_id, containment_u)`` — status
+    ``contained_in_corpus`` when the best covering corpus doc reaches
+    ``min_u`` (micro-units, half-up), else ``kept``; ``sup_id`` is the
+    best-containment corpus doc (ties → smallest id, NULL when the batch
+    doc shares no cold shingle with any corpus doc), ``containment_u``
+    that best value (0 when no candidate).
+
+    Scale posture: candidates come ONLY from corpus-df-capped ("cold",
+    df ≤ ``max_df``) shingles — the index side's document frequency is
+    known offline, so a corpus stop-shingle in g docs contributes 0
+    probe rows instead of g × batch-occurrences — while hot overlaps are
+    added back exactly for surviving candidates (same cap/add-back shape
+    as ``shingle_overlap_pairs``).  Recall contract: a batch doc whose
+    ENTIRE shared shingle set is corpus-hot is never generated as a
+    candidate and is kept.  Pass ``corpus_hashes`` (a persisted
+    ``shingle_hashes`` frame, e.g. ``plans.text_queries
+    .minhash_index_for``'s hash leg) to amortize the corpus
+    tokenize+shingle across ingest batches; the corpus never reshuffles
+    on doc id — both joins key on the shingle hash, and the verify
+    touches only candidate pairs.
+    """
+    from pyspark import StorageLevel
+
+    par = spark.sparkContext.defaultParallelism
+    if corpus_hashes is not None:
+        c_hashes = corpus_hashes
+    else:
+        c_hashes = shingle_hashes(
+            corpus.repartition(par, "doc_id"), text_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    b_hashes = shingle_hashes(batch, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    b_sizes = b_hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+
+    c_df = c_hashes.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    c_tagged = c_hashes.join(c_df, "h")
+    cold = c_tagged.filter(F.col("_df") <= max_df).select(
+        F.col("doc_id").alias("sup_id"), "h"
+    )
+    hot = c_tagged.filter(F.col("_df") > max_df).select(
+        F.col("doc_id").alias("sup_id"), "h"
+    )
+    cand = (
+        b_hashes.join(cold, "h")
+        .groupBy("doc_id", "sup_id")
+        .agg(F.count(F.lit(1)).alias("_n_cold"))
+    )
+    hot_inter = (
+        cand.select("doc_id", "sup_id")
+        .join(b_hashes, "doc_id")
+        .join(hot, ["sup_id", "h"])
+        .groupBy("doc_id", "sup_id")
+        .agg(F.count(F.lit(1)).alias("_n_hot"))
+    )
+    scored = (
+        cand.join(hot_inter, ["doc_id", "sup_id"], "left")
+        .join(b_sizes, "doc_id")
+        .select(
+            "doc_id",
+            "sup_id",
+            F.expr(
+                "CAST((2000000 * (_n_cold + COALESCE(_n_hot, 0)) + _n)"
+                " DIV (2 * _n) AS BIGINT)"
+            ).alias("containment_u"),
+        )
+    )
+    # best covering corpus doc per batch doc: max containment, ties to
+    # the smallest sup_id (lexicographic struct max over (u, -sup_id))
+    best = scored.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("containment_u").alias("u"),
+                (-F.col("sup_id")).alias("negsup"),
+            )
+        ).alias("_b")
+    )
+    return batch.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("_b.u") >= min_u, F.lit("contained_in_corpus"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        (-F.col("_b.negsup")).cast("bigint").alias("sup_id"),
+        F.coalesce(F.col("_b.u"), F.lit(0)).cast("bigint").alias(
+            "containment_u"
+        ),
+    )

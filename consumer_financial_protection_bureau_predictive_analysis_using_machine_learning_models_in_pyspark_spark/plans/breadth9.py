@@ -10,8 +10,10 @@ of each document.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.textfns import HASH_P as P
+from ..operators import dedup as DD
 from ..operators import pipeline as PL
 from .catalog import _t, register
 
@@ -114,4 +116,180 @@ def docs_substring_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean_tokens).  Merged spans never double-count overlapping grams."""
     return PL.substring_clean_stats(
         _t(spark, sf_dir, "documents"), k=_SS_K
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental containment triage (VERDICT r8 item 7): the batch-vs-corpus
+# lifecycle twin of dedup_containment — new-batch docs scored by how much
+# of them is already in the corpus, candidates only from the corpus-df-
+# capped shingle index.
+# ---------------------------------------------------------------------------
+
+_CT_SHINGLE_SQL = """
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % {p} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                  j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])) AS s
+    FROM {src} WHERE len(toks) >= 3
+  )
+""".strip()
+
+_INCR_CT_SQL = f"""
+WITH doc_toks AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           toks[1:greatest(CAST(ceil(len(toks) / 2.0) AS BIGINT), 1)],
+           ' ') AS text
+  FROM doc_toks WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zq yw xv ut' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         'unique novel content '
+           || CAST(doc_id AS VARCHAR) || 'a ' || CAST(doc_id AS VARCHAR) || 'b '
+           || CAST(doc_id AS VARCHAR) || 'c ' || CAST(doc_id AS VARCHAR) || 'd '
+           || CAST(doc_id AS VARCHAR) || 'e ' || CAST(doc_id AS VARCHAR) || 'f '
+           || CAST(doc_id AS VARCHAR) || 'g ' || CAST(doc_id AS VARCHAR) || 'h'
+           AS text
+  FROM documents WHERE doc_id % 20 = 5
+),
+bt AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM batch
+),
+ch AS ({_CT_SHINGLE_SQL.format(p=P, src="doc_toks")}),
+bh AS ({_CT_SHINGLE_SQL.format(p=P, src="bt")}),
+bsz AS (SELECT doc_id, COUNT(*) AS n FROM bh GROUP BY doc_id),
+cdf AS (SELECT h, COUNT(*) AS df FROM ch GROUP BY h),
+cold AS (
+  SELECT ch.doc_id AS sup_id, ch.h FROM ch
+  JOIN cdf ON cdf.h = ch.h WHERE cdf.df <= {{max_df}}
+),
+hot AS (
+  SELECT ch.doc_id AS sup_id, ch.h FROM ch
+  JOIN cdf ON cdf.h = ch.h WHERE cdf.df > {{max_df}}
+),
+cand AS (
+  SELECT b.doc_id, c.sup_id, COUNT(*) AS n_cold
+  FROM bh b JOIN cold c ON c.h = b.h
+  GROUP BY b.doc_id, c.sup_id
+),
+hotx AS (
+  SELECT c.doc_id, c.sup_id, COUNT(*) AS n_hot
+  FROM cand c
+  JOIN bh b ON b.doc_id = c.doc_id
+  JOIN hot h2 ON h2.sup_id = c.sup_id AND h2.h = b.h
+  GROUP BY c.doc_id, c.sup_id
+),
+scored AS (
+  SELECT c.doc_id, c.sup_id,
+         (2000000 * (c.n_cold + COALESCE(x.n_hot, 0)) + s.n) // (2 * s.n) AS u
+  FROM cand c
+  LEFT JOIN hotx x ON x.doc_id = c.doc_id AND x.sup_id = c.sup_id
+  JOIN bsz s ON s.doc_id = c.doc_id
+),
+best AS (SELECT doc_id, MAX(u) AS u FROM scored GROUP BY doc_id),
+bestsup AS (
+  SELECT s.doc_id, b.u, MIN(s.sup_id) AS sup_id
+  FROM scored s JOIN best b ON b.doc_id = s.doc_id AND s.u = b.u
+  GROUP BY s.doc_id, b.u
+)
+SELECT b.doc_id,
+       CASE WHEN bs.u >= 900000 THEN 'contained_in_corpus'
+            ELSE 'kept' END AS status,
+       CAST(bs.sup_id AS BIGINT) AS sup_id,
+       CAST(COALESCE(bs.u, 0) AS BIGINT) AS containment_u
+FROM batch b LEFT JOIN bestsup bs ON bs.doc_id = b.doc_id
+ORDER BY b.doc_id
+""".strip()
+
+
+def _incr_ct_frames(spark: SparkSession, sf_dir: str):
+    """Corpus = documents; batch = a half-slice of every 7th doc
+    (containment exactly 1.0 wherever the half has ≥ 1 shingle), a
+    4-token-tail-padded copy of every 10th doc (contained iff the source
+    has ≥ ~36 distinct shingles — deterministic per doc), and a
+    synthetic-novel slice (kept)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    half_len = F.greatest(
+        F.ceil(F.size(toks) / 2).cast("int"), F.lit(1)
+    )
+    half = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, F.lit(1), half_len), " ").alias("text"),
+    )
+    tail = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zq yw xv ut")).alias("text"),
+    )
+    did = F.col("doc_id").cast("string")
+    novel_txt = F.concat(
+        F.lit("unique novel content "),
+        did, F.lit("a "), did, F.lit("b "), did, F.lit("c "),
+        did, F.lit("d "), did, F.lit("e "), did, F.lit("f "),
+        did, F.lit("g "), did, F.lit("h"),
+    )
+    nov = docs.filter(F.col("doc_id") % 20 == 5).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        novel_txt.alias("text"),
+    )
+    return docs, half.union(tail).union(nov)
+
+
+@register(
+    "dedup_incremental_containment",
+    _INCR_CT_SQL.format(max_df=DD.SHINGLE_MAX_DF),
+    "pipeline", "dedup", "incremental", "containment",
+)
+def dedup_incremental_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Asymmetric-containment incremental triage
+    (operators.dedup.incremental_containment): new-batch docs scored by
+    |batch ∩ corpus-doc| / |batch| against candidate corpus docs from the
+    corpus-df-capped shingle index — the clip/quote/re-post ingest case
+    doc-level Jaccard misses.  Batch: half-slices (containment 1.0),
+    tail-padded copies (contained iff long enough — deterministic), and
+    synthetic novels (kept).  Fit-included BY DESIGN (corpus shingles
+    built in-query — the honest comparator); the steady-state serving
+    path is the prebuilt twin below.  Recall contract: a batch doc whose
+    entire shared shingle set is corpus-hot (df > max_df) is kept —
+    stated, same policy as dedup_containment; the oracle mirrors the cap
+    CTE-for-CTE."""
+    docs, batch = _incr_ct_frames(spark, sf_dir)
+    return DD.incremental_containment(spark, docs, batch).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental_containment_prebuilt",
+    _INCR_CT_SQL.format(max_df=DD.SHINGLE_MAX_DF),
+    "pipeline", "dedup", "incremental", "containment", "prebuilt",
+    twin_of="dedup_incremental_containment",
+    twin_pin="tests/test_round9.py::test_incremental_containment_prebuilt_twin",
+)
+def dedup_incremental_containment_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The steady-state serving twin: corpus shingle hashes come from the
+    persisted per-sf_dir index (``minhash_index_for``'s hash leg — ONE
+    offline corpus index serves both the MinHash and containment
+    incremental paths), so each ingest batch pays only its own shingling
+    + the capped probe.  Same statuses, same oracle as the fit-included
+    form."""
+    from .text_queries import minhash_index_for
+
+    docs, batch = _incr_ct_frames(spark, sf_dir)
+    hashes, _ = minhash_index_for(spark, sf_dir)
+    return DD.incremental_containment(
+        spark, docs, batch, corpus_hashes=hashes
     ).orderBy("doc_id")

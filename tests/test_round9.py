@@ -157,3 +157,78 @@ def test_substring_dedup_short_docs_empty(spark):
     assert PL.substring_spans(docs, k=10).count() == 0
     stats = {r.doc_id: r.clean_tokens for r in PL.substring_clean_stats(docs, k=10).collect()}
     assert stats == {1: 3, 2: 3}
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_containment (VERDICT r8 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_containment_semantics(spark):
+    """Half-slice → contained at exactly 1.0; novel doc → kept with no
+    candidate; sub-threshold overlap → kept but best candidate reported."""
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(f"c{i}" for i in range(40))),
+            (2, " ".join(f"d{i}" for i in range(40))),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # first 20 tokens of doc 1: every shingle appears in doc 1
+            (100, " ".join(f"c{i}" for i in range(20))),
+            # novel: shares nothing
+            (101, " ".join(f"z{i}" for i in range(20))),
+            # 10 tokens of doc 2 + 10 novel: containment ≈ 8/17 < 0.9
+            (102, " ".join(f"d{i}" for i in range(10))
+                  + " " + " ".join(f"y{i}" for i in range(10))),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.status, r.sup_id, r.containment_u)
+        for r in DD.incremental_containment(spark, corpus, batch).collect()
+    }
+    assert got[100] == ("contained_in_corpus", 1, 1_000_000)
+    assert got[101] == ("kept", None, 0)
+    status, sup, u = got[102]
+    assert (status, sup) == ("kept", 2) and 0 < u < 900_000
+
+
+def test_incremental_containment_hot_cap_recall_contract(spark):
+    """A batch doc whose ENTIRE shared shingle set is corpus-hot
+    (df > max_df) is never a candidate — kept, sup NULL; a batch doc with
+    one cold shared shingle survives and its hot overlaps are added back
+    EXACTLY."""
+    boiler = " ".join(f"b{i}" for i in range(5))  # 3 shingles, hot below
+    corpus_rows = [(i, boiler) for i in range(200)]  # df=200 > max_df=128
+    corpus_rows.append((500, boiler + " q1 q2 q3"))  # adds cold shingles
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    batch = spark.createDataFrame(
+        [
+            (1000, boiler),                 # only hot shingles → kept
+            (1001, boiler + " q1 q2 q3"),   # cold tail → exact hit on 500
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.status, r.sup_id, r.containment_u)
+        for r in DD.incremental_containment(spark, corpus, batch).collect()
+    }
+    assert got[1000] == ("kept", None, 0)
+    # doc 1001 == doc 500 verbatim: all shingles shared (hot added back)
+    assert got[1001] == ("contained_in_corpus", 500, 1_000_000)
+
+
+def test_incremental_containment_prebuilt_twin(spark):
+    """Twin pin: the prebuilt-index serving path returns EXACTLY the
+    fit-included form's rows at sf0.001."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.catalog import (  # noqa: E501
+        CATALOG,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fit = CATALOG["dedup_incremental_containment"].fn(spark, sf)
+    pre = CATALOG["dedup_incremental_containment_prebuilt"].fn(spark, sf)
+    assert sorted(map(tuple, fit.collect())) == sorted(map(tuple, pre.collect()))
