@@ -118,9 +118,23 @@ SOAK_SKIP = {
 }
 
 
-def heaviest_oracled(k: int) -> list[str]:
+def already_soaked() -> set[str]:
+    """Names with a committed sf1 soak row in ANY prior round's
+    SOAK_SF1_r*.json — the cumulative rotation ledger (SURVEY §5): each
+    round soaks the next-heaviest K entries that have never had an sf1
+    row, so every oracled entry gets one within a few rounds."""
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(REPO, "SOAK_SF1_r*.json")):
+        with open(p) as fh:
+            seen.update(json.load(fh))
+    return seen
+
+
+def heaviest_oracled(k: int, rotate: bool = True) -> list[str]:
     """Top-k oracled entries by the newest committed BENCH_LOCAL timings
-    (SOAK_SKIP entries replaced by the next-heaviest)."""
+    (SOAK_SKIP entries replaced by the next-heaviest; with ``rotate``,
+    entries already covered by a committed soak ledger are skipped so the
+    window advances each round)."""
     from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
         catalog,
     )
@@ -131,12 +145,14 @@ def heaviest_oracled(k: int) -> list[str]:
     )
     with open(paths[-1]) as fh:
         timings = json.load(fh)["queries"]
+    covered = already_soaked() if rotate else set()
     oracled = [
         (sec, name)
         for name, sec in timings.items()
         if name in catalog.CATALOG
         and catalog.CATALOG[name].oracle is not None
         and name not in SOAK_SKIP
+        and name not in covered
     ]
     return [name for _, name in sorted(oracled, reverse=True)[:k]]
 
