@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "docs_substring_clean_stats",
     "dedup_incremental_containment",
     "dedup_incremental_containment_prebuilt",
+    "media_text_pair_filter",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

@@ -340,3 +340,181 @@ def phash_from_pixels(
         lambda acc, b: acc * F.lit(2) + b.cast("bigint"),
     )
     return resized.select(F.col(id_col), phash.alias("phash"))
+
+
+# ---------------------------------------------------------------------------
+# Image-text pair consistency filter (r9 stretch): the CLIP-score analogue —
+# score each (image, caption) pair with a similarity between an image-tower
+# and a text-tower embedding, drop pairs below a floor.  The ENCODERS are
+# deterministic stand-ins (no vision/text model ships in this container):
+# both towers produce a hashed char-trigram histogram, the image tower over
+# a LOSSY decode of the blob (utf-8 decode + 60%-prefix truncation — so
+# matched pairs score high but not 1.0, and the filter has a real ROC).
+# The Spark-side plumbing is the real thing: the image tower consumes the
+# BINARY content column through Arrow-batched mapInPandas exactly like
+# decode_features; scoring is an exact integer cos² in micro-units, so the
+# whole pipeline is DuckDB-oracle-checkable (unusual for a multimodal op).
+# ---------------------------------------------------------------------------
+
+CLIP_DIMS = 32
+CLIP_PREFIX_FRAC = 0.6
+CLIP_FLOOR_U = 860_000  # cos² ≥ 0.86 in 1e-6 micro-units keeps a pair
+
+CLIP_HIST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dim", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def text_tower_hist(
+    docs: DataFrame,
+    dims: int = CLIP_DIMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, dim, cnt): hashed char-trigram histogram — the text-tower
+    encoder stand-in.  Pure native column expressions (one codegen stage up
+    to the groupBy); the shuffle carries at most ``dims`` rows per doc."""
+    from ..functions import textfns as TF
+
+    tg = F.when(
+        F.length(text_col) >= 3,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - 2),"
+            f" j -> substring({text_col}, j, 3))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tg).alias("_g"))
+        .select(
+            "doc_id", F.pmod(TF.token_hash("_g"), F.lit(dims)).alias("dim")
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def image_tower_hist(
+    media: DataFrame,
+    dims: int = CLIP_DIMS,
+    prefix_frac: float = CLIP_PREFIX_FRAC,
+    strict: bool = False,
+) -> DataFrame:
+    """(media_id, dim, cnt): the image-tower encoder stand-in — Arrow-batched
+    ``mapInPandas`` over the BINARY content column (the same plumbing a real
+    vision encoder would ride), emitting the histogram LONG-FORM so no
+    dims-wide row ever materializes.  The "decode" is utf-8 + a
+    ``prefix_frac`` character truncation (deterministic lossy stand-in);
+    ``strict=True`` raises NotImplementedError when no real codec is
+    importable — the production posture, same gate as decode_features.
+
+    The trigram hash is the md5 token_hash (functions.textfns.token_hash)
+    recomputed in Python byte-for-byte, so the towers agree with each other
+    and with the DuckDB oracle."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError:
+                raise NotImplementedError(
+                    "image tower requires a real vision codec/encoder; "
+                    "run strict=False for the deterministic stand-in"
+                )
+        import hashlib
+        import math
+        from collections import Counter
+
+        from ..functions.textfns import HASH_P
+
+        for pdf in it:
+            ids: list[int] = []
+            dms: list[int] = []
+            cns: list[int] = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                s = bytes(blob).decode("utf-8", errors="ignore")
+                pref = s[: math.ceil(prefix_frac * len(s))]
+                c = Counter(
+                    int(
+                        hashlib.md5(
+                            pref[i : i + 3].encode("utf-8")
+                        ).hexdigest()[:14],
+                        16,
+                    )
+                    % HASH_P
+                    % dims
+                    for i in range(len(pref) - 2)
+                )
+                for d, n in c.items():
+                    ids.append(mid)
+                    dms.append(d)
+                    cns.append(n)
+            yield pd.DataFrame(
+                {"media_id": ids, "dim": dms, "cnt": cns}, dtype="int64"
+            )
+
+    sc = media.sparkSession.sparkContext
+    return (
+        media.select("media_id", "content")
+        .repartition(sc.defaultParallelism, "media_id")
+        .mapInPandas(_batches, schema=CLIP_HIST_SCHEMA)
+    )
+
+
+def pair_consistency_filter(
+    pairs: DataFrame,
+    text_hist: DataFrame,
+    image_hist: DataFrame,
+    floor_u: int = CLIP_FLOOR_U,
+) -> DataFrame:
+    """Score (media_id, text_id) pairs with exact integer cos² micro-units
+    between the two tower histograms and flag keeps:
+
+    ``score_u = floor(1e6 · dot² / (Σt² · Σi²))``, ``keep = score_u ≥ floor_u``.
+
+    All arithmetic is wide-decimal (DECIMAL(38,0) here, HUGEINT in the
+    oracle) — 1e6·dot² reaches ~1e20 on 10k-char docs, past int64.  Pairs
+    whose towers share no dimension (or have no trigrams at all) score 0.
+    Shape: the dot product is an equi-join on (doc, dim) histogram rows —
+    each pair touches at most ``dims`` rows per side, so cost is linear in
+    pairs; extra output columns on ``pairs`` (fixture ground-truth flags,
+    pair ids) pass through untouched."""
+    tn = text_hist.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("_tn2")
+    )
+    im = image_hist.groupBy("media_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("_in2")
+    )
+    th = text_hist.select(
+        F.col("doc_id").alias("text_id"), "dim", F.col("cnt").alias("_tc")
+    )
+    ih = image_hist.select("media_id", "dim", F.col("cnt").alias("_ic"))
+    dots = (
+        pairs.select("media_id", "text_id")
+        .join(th, "text_id")
+        .join(ih, ["media_id", "dim"])
+        .groupBy("media_id", "text_id")
+        .agg(F.sum(F.col("_tc") * F.col("_ic")).alias("_dot"))
+    )
+    score = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0))"
+        " * CAST(_dot AS DECIMAL(19,0)) * CAST(_dot AS DECIMAL(19,0)))"
+        " DIV (CAST(_tn2 AS DECIMAL(19,0)) * CAST(_in2 AS DECIMAL(19,0)))"
+        " AS BIGINT)"
+    )
+    return (
+        pairs.join(dots, ["media_id", "text_id"], "left")
+        .join(tn.withColumnRenamed("doc_id", "text_id"), "text_id", "left")
+        .join(im, "media_id", "left")
+        .withColumn(
+            "score_u",
+            F.coalesce(
+                F.when(F.col("_dot").isNotNull(), score), F.lit(0)
+            ).cast("bigint"),
+        )
+        .withColumn("keep", F.col("score_u") >= floor_u)
+        .drop("_dot", "_tn2", "_in2")
+    )

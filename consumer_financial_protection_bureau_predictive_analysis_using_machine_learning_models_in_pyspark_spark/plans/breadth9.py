@@ -293,3 +293,111 @@ def dedup_incremental_containment_prebuilt(
     return DD.incremental_containment(
         spark, docs, batch, corpus_hashes=hashes
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Image-text pair consistency filter (r9 stretch): CLIP-score analogue over
+# the media fixture — deterministic tower encoders, exact integer cos²
+# scoring, so the whole multimodal pipeline is value-oracled.
+# ---------------------------------------------------------------------------
+
+_MT_DIMS = 32
+_MT_TOWER_SQL = """
+  SELECT {id_col}, CAST('0x' || substr(md5(substr({txt}, CAST(j AS INT), 3)),
+         1, 14) AS BIGINT) % {p} % {dims} AS dim
+  FROM {src}, LATERAL unnest(range(1, length({txt}) - 1)) AS u(j)
+  WHERE length({txt}) >= 3
+""".strip()
+
+_MT_SQL = f"""
+WITH img AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+),
+pairs0 AS (
+  SELECT media_id,
+         CASE WHEN (media_id // 3) % 5 = 0 THEN media_id + 3
+              ELSE media_id END AS text_id,
+         ((media_id // 3) % 5 = 0) AS injected
+  FROM img
+),
+pairs AS (
+  SELECT p.media_id, p.text_id, p.injected
+  FROM pairs0 p JOIN documents d ON d.doc_id = p.text_id
+),
+tg AS (
+{_MT_TOWER_SQL.format(id_col="doc_id", txt="text", src="documents", p=P, dims=_MT_DIMS)}
+),
+thist AS (SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS cnt FROM tg GROUP BY 1, 2),
+ipref AS (
+  SELECT media_id,
+         substr(text, 1, CAST(ceil(0.6 * length(text)) AS INT)) AS pref
+  FROM img
+),
+ig AS (
+{_MT_TOWER_SQL.format(id_col="media_id", txt="pref", src="ipref", p=P, dims=_MT_DIMS)}
+),
+ihist AS (SELECT media_id, dim, CAST(COUNT(*) AS BIGINT) AS cnt FROM ig GROUP BY 1, 2),
+tn AS (SELECT doc_id, SUM(CAST(cnt AS HUGEINT) * cnt) AS n2 FROM thist GROUP BY 1),
+inn AS (SELECT media_id, SUM(CAST(cnt AS HUGEINT) * cnt) AS n2 FROM ihist GROUP BY 1),
+dots AS (
+  SELECT p.media_id, p.text_id, SUM(CAST(t.cnt AS HUGEINT) * i.cnt) AS dot
+  FROM pairs p
+  JOIN thist t ON t.doc_id = p.text_id
+  JOIN ihist i ON i.media_id = p.media_id AND i.dim = t.dim
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.media_id, p.text_id, p.injected,
+         CAST(COALESCE((1000000 * d.dot * d.dot) // (tn.n2 * inn.n2), 0)
+              AS BIGINT) AS score_u
+  FROM pairs p
+  LEFT JOIN dots d ON d.media_id = p.media_id AND d.text_id = p.text_id
+  LEFT JOIN tn ON tn.doc_id = p.text_id
+  LEFT JOIN inn ON inn.media_id = p.media_id
+)
+SELECT media_id, text_id, injected, score_u, score_u >= 860000 AS keep
+FROM scored
+ORDER BY media_id
+""".strip()
+
+
+@register(
+    "media_text_pair_filter",
+    _MT_SQL,
+    "multimodal", "filter", "clip", "similarity",
+)
+def media_text_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair consistency filter (the CLIP-score analogue every
+    multimodal training pipeline runs before contrastive pretraining):
+    score each (image, caption) pair with a tower-embedding similarity and
+    keep pairs above a floor (operators.multimodal.pair_consistency_filter).
+    Fixture: every image-modality media blob paired with its own doc's text
+    (matched) except every 5th image, which is paired with the NEXT image
+    doc's text (injected mismatch, ground-truth flag emitted).  The image
+    tower consumes the BINARY content column through Arrow-batched
+    mapInPandas (real multimodal plumbing; the encoder is a deterministic
+    stand-in — see operators/multimodal.py); scoring is exact integer cos²
+    micro-units in wide decimals, so the entry is value-oracled end-to-end.
+    Separation is real, not degenerate: matched pairs score ≈0.78-0.99,
+    mismatched ≈0.51-0.91 — the floor trades precision/recall, pinned in
+    tests/test_round9.py."""
+    from ..operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_table(docs).filter(F.col("modality") == "image")
+    pairs = media.select(
+        "media_id",
+        F.expr(
+            "CASE WHEN (media_id DIV 3) % 5 = 0 THEN media_id + 3"
+            " ELSE media_id END"
+        ).alias("text_id"),
+        F.expr("(media_id DIV 3) % 5 = 0").alias("injected"),
+    ).join(
+        docs.select(F.col("doc_id").alias("text_id")), "text_id"
+    )
+    scored = MM.pair_consistency_filter(
+        pairs, MM.text_tower_hist(docs), MM.image_tower_hist(media)
+    )
+    return scored.select(
+        "media_id", "text_id", "injected", "score_u", "keep"
+    ).orderBy("media_id")

@@ -232,3 +232,90 @@ def test_incremental_containment_prebuilt_twin(spark):
     fit = CATALOG["dedup_incremental_containment"].fn(spark, sf)
     pre = CATALOG["dedup_incremental_containment_prebuilt"].fn(spark, sf)
     assert sorted(map(tuple, fit.collect())) == sorted(map(tuple, pre.collect()))
+
+
+# ---------------------------------------------------------------------------
+# media_text_pair_filter (r9 stretch): CLIP-analogue consistency filter
+# ---------------------------------------------------------------------------
+
+
+def test_pair_filter_injected_mismatch_confusion(spark):
+    """Pinned filter quality on the injected-mismatch fixture at sf0.001
+    (floor cos² ≥ 0.86): the filter is a real classifier with a real ROC —
+    not degenerate in either direction."""
+    from collections import Counter
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.catalog import (  # noqa: E501
+        CATALOG,
+    )
+
+    rows = CATALOG["media_text_pair_filter"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    c = Counter((r.injected, r.keep) for r in rows)
+    # (injected, kept): drop decisions vs ground truth, exact
+    assert c[(True, False)] == 27   # true drops
+    assert c[(False, False)] == 8   # false drops
+    assert c[(True, True)] == 7     # missed mismatches
+    assert c[(False, True)] == 125  # true keeps
+    tp, fp, fn = c[(True, False)], c[(False, False)], c[(True, True)]
+    assert abs(tp / (tp + fp) - 0.771429) < 1e-4  # drop precision
+    assert abs(tp / (tp + fn) - 0.794118) < 1e-4  # drop recall
+
+
+def test_pair_filter_edges(spark):
+    """Identical matched pair at prefix_frac=1.0 scores exactly 1.0;
+    disjoint-alphabet pairs can still collide in 32 dims, so score < floor
+    but ≥ 0; a sub-3-char text has no trigrams and scores 0."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        multimodal as MM,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (3, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+            (6, "ZZZZ QQQQ VVVV KKKK ZZZZ QQQQ VVVV KKKK", "en", "s", 39),
+            (9, "ab", "en", "s", 2),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    media = MM.media_table(docs).filter(F.col("modality") == "image")
+    pairs = spark.createDataFrame(
+        [(3, 3), (6, 3), (9, 3)], "media_id bigint, text_id bigint"
+    )
+    thist = MM.text_tower_hist(docs)
+    ihist = MM.image_tower_hist(media, prefix_frac=1.0)
+    got = {
+        r.media_id: (r.score_u, r.keep)
+        for r in MM.pair_consistency_filter(pairs, thist, ihist).collect()
+    }
+    assert got[3] == (1_000_000, True)       # lossless matched pair
+    assert got[9] == (0, False)              # no trigrams on the image side
+    score6, keep6 = got[6]
+    assert not keep6 and 0 <= score6 < 860_000
+
+
+def test_image_tower_strict_gate(spark):
+    """strict=True must fail loudly when no real codec/encoder exists
+    (same production posture as decode_features)."""
+    import pytest as _pytest
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        multimodal as MM,
+    )
+
+    try:
+        import PIL.Image  # noqa: F401
+        _pytest.skip("PIL present: strict gate would pass decode")
+    except ImportError:
+        pass
+    docs = spark.createDataFrame(
+        [(3, "abcdef", "en", "s", 6)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    media = MM.media_table(docs).filter(F.col("modality") == "image")
+    with _pytest.raises(Exception) as ei:
+        MM.image_tower_hist(media, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
