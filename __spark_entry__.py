@@ -41,6 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/gen_priority.py
 # and tests/test_priority_window.py pins committed == generated.
 _PRIORITY = [
+    "docs_substring_dedup",  # never checked — first driver row
+    "docs_substring_clean_stats",  # never checked — first driver row
+    "dedup_incremental_containment",  # never checked — first driver row
+    "dedup_incremental_containment_prebuilt",  # never checked — first driver row
+    "media_text_pair_filter",  # never checked — first driver row
     "stream_dedup_events",  # newest driver row r4
     "stream_running_user_stats",  # newest driver row r4
     "stream_click_purchase_join",  # newest driver row r4
@@ -86,12 +91,12 @@ _PRIORITY = [
     "lineitem_unpivot",  # newest driver row r5
     "ann_range_search",  # newest driver row r5
     "orders_scd2",  # newest driver row r5
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "events_active_users_approx",  # newest driver row r5
     "docs_temperature_mix",  # newest driver row r5
     "docs_pack_manifest",  # newest driver row r5
     "docs_bm25_rank",  # newest driver row r5
     "docs_hybrid_rrf",  # newest driver row r5
-    # ---- window boundary (50): overflow is staleness-ordered ----
     "events_value_outliers_mad",  # newest driver row r5
     "events_value_outliers_mad_approx",  # newest driver row r5
     "ann_semantic_dedup_incremental",  # newest driver row r5
