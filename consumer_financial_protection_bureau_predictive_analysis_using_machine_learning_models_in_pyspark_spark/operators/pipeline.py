@@ -1086,3 +1086,69 @@ def substring_clean_stats(
             ).cast("bigint").alias("clean_tokens"),
         )
     )
+
+
+def substring_excise(
+    docs: DataFrame,
+    k: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The excision itself: rebuild each document's text with every
+    cross-doc repeated span (``substring_spans``) cut out —
+    ``(doc_id, n_tokens, clean_tokens, clean_text)`` for EVERY doc.
+
+    ``clean_text`` is TOKEN-NORMALIZED (lowercased tokens re-joined with
+    single spaces — the same normalization the gram hashes saw), so
+    excision composes with the rest of the text pipeline and the oracle
+    reproduces it byte-for-byte.  A doc that is entirely repeated content
+    comes back with ``clean_text = ''``.
+
+    Shape: cut positions are the exploded span ranges (Σ span lengths ≤
+    n_tokens, so the explode is sub-linear in corpus size), removal is a
+    left-anti join on (doc, pos), and reconstitution is one doc-keyed
+    aggregate — ``array_sort(collect_list(struct(pos, tok)))`` keeps the
+    order without a global sort.  Nothing here is quadratic in gram
+    popularity (see ``substring_spans``)."""
+    spans = substring_spans(docs, k, min_docs, id_col, text_col)
+    cuts = spans.select(
+        id_col,
+        F.explode(F.sequence("tok_start", "tok_end")).alias("pos"),
+    )
+    toks = (
+        docs.select(id_col, TF.tokens(text_col).alias("_toks"))
+        .select(
+            id_col,
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            F.posexplode("_toks").alias("_i", "tok"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_i") + 1).cast("bigint").alias("pos"),
+            "tok",
+        )
+    )
+    kept = toks.join(cuts, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("clean_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        id_col, F.size(TF.tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("clean_tokens", F.lit(0)).cast("bigint").alias(
+            "clean_tokens"
+        ),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

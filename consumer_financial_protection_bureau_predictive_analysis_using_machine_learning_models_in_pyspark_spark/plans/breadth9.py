@@ -401,3 +401,46 @@ def media_text_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "media_id", "text_id", "injected", "score_u", "keep"
     ).orderBy("media_id")
+
+
+@register(
+    "docs_substring_excise",
+    f"""
+WITH {_SS_GRAMS_CTE},
+cuts AS (
+  SELECT doc_id, CAST(unnest(range(tok_start, tok_end + 1)) AS BIGINT) AS pos
+  FROM spans
+),
+toked AS (
+  SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(u.i AS BIGINT) AS pos, t.toks[CAST(u.i AS INT)] AS tok
+  FROM tok t, LATERAL unnest(range(1, len(t.toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.tok
+  FROM toked k LEFT JOIN cuts c ON c.doc_id = k.doc_id AND c.pos = k.pos
+  WHERE c.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS clean_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.clean_tokens, 0) AS BIGINT) AS clean_tokens,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM tok t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+    "pipeline", "dedup", "substring", "excise",
+)
+def docs_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The excision deliverable: every document's text rebuilt with the
+    cross-doc repeated spans cut out (operators.pipeline.substring_excise)
+    — token-normalized clean_text plus before/after token counts, for
+    every doc.  Value-oracled byte-for-byte (string_agg ORDER BY pos ≡
+    array_sort(collect_list(struct(pos, tok))))."""
+    return PL.substring_excise(
+        _t(spark, sf_dir, "documents"), k=_SS_K
+    ).orderBy("doc_id")

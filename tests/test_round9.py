@@ -319,3 +319,27 @@ def test_image_tower_strict_gate(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_substring_excise_rebuilds_clean_text(spark):
+    """Excision returns the token-normalized text minus the shared span —
+    exact string equality on the hand fixture; a doc that is ENTIRELY
+    shared content comes back empty."""
+    docs, a, b = _span_fixture(spark)
+    got = {
+        r.doc_id: (r.n_tokens, r.clean_tokens, r.clean_text)
+        for r in PL.substring_excise(docs, k=10).collect()
+    }
+    want_a = " ".join(a[:170] + a[230:])
+    want_b = " ".join(b[:170] + b[230:])
+    assert got[1] == (400, 340, want_a)
+    assert got[2] == (400, 340, want_b)
+
+    twins = spark.createDataFrame(
+        [(1, " ".join(f"x{i}" for i in range(20))),
+         (2, " ".join(f"x{i}" for i in range(20)))],
+        "doc_id bigint, text string",
+    )
+    wiped = {r.doc_id: (r.clean_tokens, r.clean_text)
+             for r in PL.substring_excise(twins, k=10).collect()}
+    assert wiped == {1: (0, ""), 2: (0, "")}
