@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "dedup_incremental_containment_prebuilt",
     "media_text_pair_filter",
     "docs_substring_excise",
+    "dedup_lsh_recall_eval",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

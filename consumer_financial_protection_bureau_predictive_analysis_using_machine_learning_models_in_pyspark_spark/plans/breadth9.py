@@ -444,3 +444,214 @@ def docs_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL.substring_excise(
         _t(spark, sf_dir, "documents"), k=_SS_K
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# LSH banding recall evaluation (dedup twin of ann_recall_eval): per-Jaccard-
+# decile recall of the banded MinHash pipeline against exact inverted-index
+# ground truth — the S-curve measurement band parameters are tuned by.
+# ---------------------------------------------------------------------------
+
+_RE_PERM_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(DD.PERMS)
+)
+
+# documents ∪ exact clones (J=1.0 mass) ∪ 0.7-truncations (J≈0.5-0.9 mass,
+# varying with doc length — fills the mid-deciles the S-curve bends across).
+_RE_CORPUS_CTE = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id,
+       array_to_string(
+         (regexp_split_to_array(lower(trim(text)), '\\s+'))
+           [1:greatest(CAST(ceil(0.7 * len(regexp_split_to_array(
+                lower(trim(text)), '\\s+'))) AS BIGINT), 1)], ' ') AS text
+FROM documents WHERE doc_id % 7 = 3
+""".strip()
+
+_RE_SQL = f"""
+WITH aug AS ({_RE_CORPUS_CTE}),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM aug
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))) AS s
+  FROM tok WHERE len(toks) >= 3
+),
+dh AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % {P} AS h
+  FROM sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dh GROUP BY doc_id),
+perms(i, a, b) AS (VALUES {_RE_PERM_VALUES}),
+sigs AS (
+  SELECT doc_id, i, MIN((a * h + b) % {P}) AS mh
+  FROM dh CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {DD.BAND_ROWS} AS band,
+         string_agg(CAST(mh AS STRING), ',' ORDER BY i) AS key
+  FROM sigs GROUP BY doc_id, i // {DD.BAND_ROWS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+linter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN dh ha ON ha.doc_id = c.id_a
+  JOIN dh hb ON hb.doc_id = c.id_b AND hb.h = ha.h
+  GROUP BY c.id_a, c.id_b
+),
+lshp AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  LEFT JOIN linter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE 3 * COALESCE(i.n_inter, 0) >= sa.n + sb.n
+),
+dfh AS (SELECT h, COUNT(*) AS df FROM dh GROUP BY h),
+coldh AS (
+  SELECT dh.doc_id, dh.h FROM dh
+  JOIN dfh ON dfh.h = dh.h WHERE dfh.df <= {{max_df}}
+),
+hoth AS (
+  SELECT dh.doc_id, dh.h FROM dh
+  JOIN dfh ON dfh.h = dh.h WHERE dfh.df > {{max_df}}
+),
+tcand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_cold
+  FROM coldh a JOIN coldh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+thotx AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_hot
+  FROM tcand c
+  JOIN hoth ha ON ha.doc_id = c.id_a
+  JOIN hoth hb ON hb.doc_id = c.id_b AND hb.h = ha.h
+  GROUP BY c.id_a, c.id_b
+),
+truth AS (
+  SELECT t.id_a, t.id_b,
+         t.n_cold + COALESCE(x.n_hot, 0) AS i, sa.n AS na, sb.n AS nb
+  FROM tcand t
+  LEFT JOIN thotx x ON x.id_a = t.id_a AND x.id_b = t.id_b
+  JOIN sizes sa ON sa.doc_id = t.id_a
+  JOIN sizes sb ON sb.doc_id = t.id_b
+  WHERE 3 * (t.n_cold + COALESCE(x.n_hot, 0)) >= sa.n + sb.n
+),
+bucketed AS (
+  SELECT (10 * t.i) // (t.na + t.nb - t.i) AS j_bucket,
+         CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t
+  LEFT JOIN lshp l ON l.id_a = t.id_a AND l.id_b = t.id_b
+)
+SELECT CAST(j_bucket AS BIGINT) AS j_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(hit) AS BIGINT) AS n_lsh_hit,
+       CAST((2000000 * SUM(hit) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+         AS recall_u
+FROM bucketed
+GROUP BY j_bucket
+ORDER BY j_bucket
+""".strip()
+
+
+def _recall_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    cut_len = F.greatest(F.ceil(F.size(toks) * 0.7).cast("int"), F.lit(1))
+    truncs = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, F.lit(1), cut_len), " ").alias("text"),
+    )
+    return docs.union(clones).union(truncs)
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    _RE_SQL.format(max_df=DD.SHINGLE_MAX_DF),
+    "dedup", "minhash", "lsh", "eval", "recall",
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation as a first-class query (the dedup twin of
+    ann_recall_eval): per-Jaccard-decile recall of the banded MinHash
+    pipeline (16 perms, 4×4 bands — the production parameters) against
+    exact ground truth from the df-capped shingle inverted index, over a
+    corpus with mass in every decile (exact clones at J=1.0, 0.7-token
+    truncations sweeping J≈0.5-0.9 with doc length).  This is the S-curve
+    measurement every banding parameter choice is tuned by — here
+    oracle-checked end-to-end because both sides are integer-exact
+    (3·|∩| ≥ |A|+|B| ⟺ J ≥ 0.5; bucket = ⌊10·|∩|/|∪|⌋; recall in half-up
+    micro-units).  Ground-truth contract: truth pairs inherit the
+    inverted index's df-cap recall contract (a pair sharing ONLY
+    corpus-hot shingles is not ground truth — stated, same policy as
+    dedup_containment); LSH-verified pairs outside truth are possible
+    only for such boilerplate twins and are ignored by the left join.
+
+    Scale: both sides are the already-bucketed production paths (band
+    equi-join / df-capped index join) — the eval itself adds two keyed
+    joins over pair lists and a 6-group aggregate."""
+    from pyspark.storagelevel import StorageLevel
+
+    aug = _recall_corpus(spark, sf_dir)
+    sh = (
+        DD.shingle_hashes(aug)
+        .withColumn("_blk", F.lit(0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    truth = (
+        DD.shingle_overlap_pairs(sh, block_col="_blk")
+        .join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(3 * F.col("n_inter") >= F.col("na") + F.col("nb"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST((10 * n_inter) DIV (na + nb - n_inter) AS BIGINT)"
+            ).alias("j_bucket"),
+        )
+    )
+    lsh = DD.minhash_dedup_pairs(spark, aug, threshold=0.5).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        truth.join(lsh, ["id_a", "id_b"], "left")
+        .groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias(
+                "n_lsh_hit"
+            ),
+        )
+        .withColumn(
+            "recall_u",
+            F.expr(
+                "CAST((2000000 * n_lsh_hit + n_truth) DIV (2 * n_truth)"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy("j_bucket")
+    )

@@ -343,3 +343,30 @@ def test_substring_excise_rebuilds_clean_text(spark):
     wiped = {r.doc_id: (r.clean_tokens, r.clean_text)
              for r in PL.substring_excise(twins, k=10).collect()}
     assert wiped == {1: (0, ""), 2: (0, "")}
+
+
+def test_lsh_recall_eval_s_curve(spark):
+    """The banding S-curve at sf0.001, pinned exactly: recall climbs
+    monotonically with the Jaccard decile, exact clones (bucket 10) are
+    NEVER missed (identical signatures always share every band), and the
+    sub-0.7 deciles show the real LSH miss rate — the eval has teeth."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.catalog import (  # noqa: E501
+        CATALOG,
+    )
+
+    rows = {
+        r.j_bucket: (r.n_truth, r.n_lsh_hit, r.recall_u)
+        for r in CATALOG["dedup_lsh_recall_eval"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows == {
+        6: (51, 28, 549020),
+        7: (33, 27, 818182),
+        8: (1, 1, 1_000_000),
+        9: (43, 43, 1_000_000),
+        10: (50, 50, 1_000_000),
+    }
+    recalls = [rows[b][2] for b in sorted(rows)]
+    assert recalls == sorted(recalls)  # monotone S-curve
+    assert rows[10][2] == 1_000_000    # exact clones never missed
