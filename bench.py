@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "media_text_pair_filter",
     "docs_substring_excise",
     "dedup_lsh_recall_eval",
+    "docs_length_buckets",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

@@ -655,3 +655,69 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_bucket")
     )
+
+
+@register(
+    "docs_length_buckets",
+    """
+WITH t AS (
+  SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT n_tokens,
+         CAST(CASE WHEN n_tokens <= 1 THEN 1
+              ELSE power(2, ceil(log2(n_tokens))) END AS BIGINT) AS bucket_cap
+  FROM t
+)
+SELECT bucket_cap,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(bucket_cap * COUNT(*) AS BIGINT) AS padded_tokens,
+       CAST((2000000 * (bucket_cap * COUNT(*) - SUM(n_tokens))
+             + bucket_cap * COUNT(*)) // (2 * bucket_cap * COUNT(*))
+            AS BIGINT) AS waste_u
+FROM b
+GROUP BY bucket_cap
+ORDER BY bucket_cap
+""",
+    "pipeline", "batching", "report",
+)
+def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batching (the
+    dynamic-batching planning table: how much compute padding to the next
+    power-of-2 sequence length wastes per bucket).  One aggregation pass;
+    waste_u = (padded - real) / padded in half-up micro-units, exact
+    integer arithmetic.  At 100 TB this is a single map-side-combinable
+    groupBy over ~log2(max_len) groups."""
+    from ..functions import textfns as TF
+
+    n_tok = F.size(TF.tokens("text")).cast("bigint")
+    cap = F.when(n_tok <= 1, F.lit(1).cast("bigint")).otherwise(
+        F.pow(F.lit(2.0), F.ceil(F.log2(n_tok))).cast("bigint")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(n_tok.alias("n_tokens"), cap.alias("bucket_cap"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .withColumn(
+            "padded_tokens",
+            (F.col("bucket_cap") * F.col("n_docs")).cast("bigint"),
+        )
+        .withColumn(
+            "waste_u",
+            F.expr(
+                "CAST((2000000 * (padded_tokens - sum_tokens) +"
+                " padded_tokens) DIV (2 * padded_tokens) AS BIGINT)"
+            ),
+        )
+        .select(
+            "bucket_cap", "n_docs", "sum_tokens", "padded_tokens", "waste_u"
+        )
+        .orderBy("bucket_cap")
+    )

@@ -370,3 +370,31 @@ def test_lsh_recall_eval_s_curve(spark):
     recalls = [rows[b][2] for b in sorted(rows)]
     assert recalls == sorted(recalls)  # monotone S-curve
     assert rows[10][2] == 1_000_000    # exact clones never missed
+
+
+def test_length_buckets_power_of_two_edges(spark):
+    """Bucket caps are exact powers of two; a doc exactly AT a power of
+    two fits its own cap (no phantom next bucket); waste is 0 for a
+    full bucket."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        breadth9 as B9,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["a"] * 64), "en", "s", 0),
+            (2, " ".join(["b"] * 64), "en", "s", 0),
+            (3, " ".join(["c"] * 65), "en", "s", 0),
+            (4, "single", "en", "s", 0),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.createOrReplaceTempView("documents")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.bucket_cap: (r.n_docs, r.sum_tokens, r.padded_tokens, r.waste_u)
+           for r in B9.docs_length_buckets(spark, d).collect()}
+    assert got[64] == (2, 128, 128, 0)          # exact fit, zero waste
+    assert got[128] == (1, 65, 128, 492188)     # 63/128 wasted, half-up
+    assert got[1] == (1, 1, 1, 0)
