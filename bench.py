@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "docs_substring_excise",
     "dedup_lsh_recall_eval",
     "docs_length_buckets",
+    "docs_substring_decontaminate",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

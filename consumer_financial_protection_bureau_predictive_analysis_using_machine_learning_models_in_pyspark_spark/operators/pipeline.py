@@ -1152,3 +1152,60 @@ def substring_excise(
         ),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def substring_spans_vs_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Span-level decontamination of an ingest batch against an existing
+    corpus: maximal token spans of each BATCH doc every k-gram of which
+    appears in ≥ 1 CORPUS document — the incremental twin of
+    ``substring_spans`` (where dedup_incremental screens whole docs and
+    docs_decontaminate screens doc-level gram overlap, this locates and
+    bounds the shared spans so the batch can be excised, not dropped).
+
+    Returns ``(doc_id, tok_start, tok_end, span_tokens)`` over batch ids.
+
+    Scale: the corpus contributes only its DISTINCT gram-hash set —
+    ``corpus_grams`` accepts a prebuilt/persisted frame (one column ``h``;
+    built from ``positional_gram_hashes`` when omitted) so the corpus
+    tokenize+gram pass amortizes across ingest batches like the other
+    prebuilt indexes; the probe is a semi-join on h (hash-partitioned,
+    linear, no pair join), and the islands merge is per-batch-doc
+    windowing.  Same gaps-and-islands semantics as substring_spans.
+    """
+    grams_b = positional_gram_hashes(batch, k, id_col, text_col)
+    if corpus_grams is None:
+        corpus_grams = positional_gram_hashes(
+            corpus, k, id_col, text_col
+        ).select("h")
+    covered = grams_b.join(
+        corpus_grams.select("h").distinct(), "h", "left_semi"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = covered.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("tok_start"),
+            (F.max("pos") + (k - 1)).alias("tok_end"),
+        )
+        .select(
+            id_col,
+            "tok_start",
+            "tok_end",
+            (F.col("tok_end") - F.col("tok_start") + 1).alias("span_tokens"),
+        )
+    )

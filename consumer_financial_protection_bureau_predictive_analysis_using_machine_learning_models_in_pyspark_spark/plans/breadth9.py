@@ -721,3 +721,132 @@ def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_cap")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental substring decontamination: span-level screening of an ingest
+# batch against the corpus gram index (the batch-vs-corpus twin of
+# docs_substring_dedup; dedup_incremental screens whole docs, this locates
+# the contaminated spans so the batch can be EXCISED, not dropped).
+# ---------------------------------------------------------------------------
+
+_SI_SQL = f"""
+WITH ctoks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+batch AS (
+  SELECT doc_id + 4000000 AS doc_id,
+         array_to_string(list_transform(range(1, 21),
+           i -> 'nv' || CAST(doc_id AS VARCHAR) || 'p' || CAST(i AS VARCHAR)),
+           ' ')
+         || ' ' || array_to_string(toks[6:25], ' ')
+         || ' ' || array_to_string(list_transform(range(1, 11),
+           i -> 'nv' || CAST(doc_id AS VARCHAR) || 's' || CAST(i AS VARCHAR)),
+           ' ') AS text
+  FROM ctoks WHERE doc_id % 9 = 4 AND len(toks) >= 30
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id,
+         array_to_string(list_transform(range(1, 31),
+           i -> 'nw' || CAST(doc_id AS VARCHAR) || 'q' || CAST(i AS VARCHAR)),
+           ' ') AS text
+  FROM documents WHERE doc_id % 9 = 1
+),
+btok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM batch
+),
+bg AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         CAST('0x' || substr(md5(array_to_string(
+              toks[pos:pos+{_SS_K}-1], ' ')), 1, 14) AS BIGINT) % {P} AS h
+  FROM (
+    SELECT doc_id, toks, CAST(unnest(range(1, len(toks) - {_SS_K} + 2))
+             AS INT) AS pos
+    FROM btok WHERE len(toks) >= {_SS_K}
+  )
+),
+cg AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(
+              toks[pos:pos+{_SS_K}-1], ' ')), 1, 14) AS BIGINT) % {P} AS h
+  FROM (
+    SELECT toks, CAST(unnest(range(1, len(toks) - {_SS_K} + 2)) AS INT) AS pos
+    FROM ctoks WHERE len(toks) >= {_SS_K}
+  )
+),
+cov AS (
+  SELECT doc_id, pos FROM bg WHERE h IN (SELECT h FROM cg)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_SS_K} THEN 1 ELSE 0 END AS new_island
+  FROM cov
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS tok_start,
+       CAST(MAX(pos) + {_SS_K} - 1 AS BIGINT) AS tok_end,
+       CAST(MAX(pos) + {_SS_K} - MIN(pos) AS BIGINT) AS span_tokens
+FROM islands
+GROUP BY doc_id, island
+ORDER BY doc_id, tok_start
+""".strip()
+
+
+def _sub_incr_frames(spark: SparkSession, sf_dir: str):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    did = F.col("doc_id").cast("string")
+
+    def novel(tag: str, n: int):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n)),
+                lambda i: F.concat(
+                    F.lit("nv" if tag in ("p", "s") else "nw"),
+                    did, F.lit(tag), i.cast("string"),
+                ),
+            ),
+            " ",
+        )
+
+    contam = docs.filter(
+        (F.col("doc_id") % 9 == 4) & (F.size(toks) >= 30)
+    ).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", novel("p", 20), F.array_join(F.slice(toks, 6, 20), " "),
+            novel("s", 10),
+        ).alias("text"),
+    )
+    pure = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        novel("q", 30).alias("text"),
+    )
+    return docs, contam.union(pure)
+
+
+@register(
+    "docs_substring_decontaminate",
+    _SI_SQL,
+    "pipeline", "dedup", "substring", "incremental", "decontamination",
+)
+def docs_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination of an ingest batch against the corpus
+    gram index (operators.pipeline.substring_spans_vs_corpus): per-batch-doc
+    cut lists of maximal spans whose every {k}-gram appears somewhere in
+    the corpus.  Fixture: batch docs embedding a 20-token corpus slice
+    between novel prefix/suffix (expected span exactly at positions
+    21..40) plus pure-novel docs (no spans) — pinned in
+    tests/test_round9.py.  The corpus contributes only its distinct
+    gram-hash set (prebuilt-index shape, probe is a semi-join on h);
+    nothing is quadratic in gram popularity."""
+    docs, batch = _sub_incr_frames(spark, sf_dir)
+    return PL.substring_spans_vs_corpus(batch, docs, k=_SS_K).orderBy(
+        "doc_id", "tok_start"
+    )

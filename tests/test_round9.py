@@ -398,3 +398,32 @@ def test_length_buckets_power_of_two_edges(spark):
     assert got[64] == (2, 128, 128, 0)          # exact fit, zero waste
     assert got[128] == (1, 65, 128, 492188)     # 63/128 wasted, half-up
     assert got[1] == (1, 1, 1, 0)
+
+
+def test_substring_decontaminate_locates_injected_slice(spark):
+    """Every contaminated batch doc's span is exactly the embedded corpus
+    slice (batch positions 21..40); pure-novel batch docs emit NO spans;
+    a batch doc sharing a sub-k run with the corpus emits none either."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        breadth9 as B9,
+    )
+
+    rows = B9.docs_substring_decontaminate(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc_id >= 4_000_000 and r.doc_id < 5_000_000
+        assert (r.tok_start, r.tok_end, r.span_tokens) == (21, 40, 20)
+
+    corpus = spark.createDataFrame(
+        [(1, " ".join(f"c{i}" for i in range(40)))],
+        "doc_id bigint, text string",
+    )
+    # 9 shared tokens < k=10: no gram is fully inside the shared run
+    batch = spark.createDataFrame(
+        [(100, " ".join(f"z{i}" for i in range(15))
+              + " " + " ".join(f"c{i}" for i in range(9)))],
+        "doc_id bigint, text string",
+    )
+    assert PL.substring_spans_vs_corpus(batch, corpus, k=10).count() == 0
