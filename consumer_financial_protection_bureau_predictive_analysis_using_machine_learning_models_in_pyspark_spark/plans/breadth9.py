@@ -239,9 +239,15 @@ def _incr_ct_frames(spark: SparkSession, sf_dir: str):
         did, F.lit("d "), did, F.lit("e "), did, F.lit("f "),
         did, F.lit("g "), did, F.lit("h"),
     )
-    nov = docs.filter(F.col("doc_id") % 20 == 5).select(
-        (F.col("doc_id") + 3_000_000).alias("doc_id"),
-        novel_txt.alias("text"),
+    # text FIRST, id shift in a separate select: aliasing doc_id and
+    # referencing it in the same select resolves the novel-token id through
+    # Spark's lateral-column-alias rule to the SHIFTED value, while the
+    # DuckDB oracle uses the source id — the strings (and so the md5
+    # collision sets) silently diverge (caught at sf0.1/sf1, r9).
+    nov = (
+        docs.filter(F.col("doc_id") % 20 == 5)
+        .select("doc_id", novel_txt.alias("text"))
+        .select((F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
     )
     return docs, half.union(tail).union(nov)
 
@@ -815,18 +821,27 @@ def _sub_incr_frames(spark: SparkSession, sf_dir: str):
             " ",
         )
 
-    contam = docs.filter(
-        (F.col("doc_id") % 9 == 4) & (F.size(toks) >= 30)
-    ).select(
-        (F.col("doc_id") + 4_000_000).alias("doc_id"),
-        F.concat_ws(
-            " ", novel("p", 20), F.array_join(F.slice(toks, 6, 20), " "),
-            novel("s", 10),
-        ).alias("text"),
+    # Two-step selects (text from the SOURCE id, then the id shift):
+    # putting both in one select resolves the lambda's doc_id through
+    # Spark's lateral-column-alias rule to the SHIFTED id while the oracle
+    # uses the source id — same novel-token divergence as _incr_ct_frames
+    # above; surfaced as junction-gram md5-collision mismatches at sf0.1.
+    contam = (
+        docs.filter((F.col("doc_id") % 9 == 4) & (F.size(toks) >= 30))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", novel("p", 20),
+                F.array_join(F.slice(toks, 6, 20), " "),
+                novel("s", 10),
+            ).alias("text"),
+        )
+        .select((F.col("doc_id") + 4_000_000).alias("doc_id"), "text")
     )
-    pure = docs.filter(F.col("doc_id") % 9 == 1).select(
-        (F.col("doc_id") + 5_000_000).alias("doc_id"),
-        novel("q", 30).alias("text"),
+    pure = (
+        docs.filter(F.col("doc_id") % 9 == 1)
+        .select("doc_id", novel("q", 30).alias("text"))
+        .select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
     )
     return docs, contam.union(pure)
 
