@@ -46,6 +46,11 @@ _PRIORITY = [
     "dedup_incremental_containment",  # never checked — first driver row
     "dedup_incremental_containment_prebuilt",  # never checked — first driver row
     "media_text_pair_filter",  # never checked — first driver row
+    "docs_substring_excise",  # never checked — first driver row
+    "dedup_lsh_recall_eval",  # never checked — first driver row
+    "docs_length_buckets",  # never checked — first driver row
+    "docs_substring_decontaminate",  # never checked — first driver row
+    "stream_substring_decontaminate",  # never checked — first driver row
     "stream_dedup_events",  # newest driver row r4
     "stream_running_user_stats",  # newest driver row r4
     "stream_click_purchase_join",  # newest driver row r4
@@ -86,12 +91,12 @@ _PRIORITY = [
     "csv_roundtrip_customer",  # newest driver row r5
     "dedup_incremental_bloom",  # newest driver row r5
     "docs_filter_chain",  # newest driver row r5
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "q17_small_quantity_revenue",  # newest driver row r5
     "events_funnel",  # newest driver row r5
     "lineitem_unpivot",  # newest driver row r5
     "ann_range_search",  # newest driver row r5
     "orders_scd2",  # newest driver row r5
-    # ---- window boundary (50): overflow is staleness-ordered ----
     "events_active_users_approx",  # newest driver row r5
     "docs_temperature_mix",  # newest driver row r5
     "docs_pack_manifest",  # newest driver row r5

@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "dedup_lsh_recall_eval",
     "docs_length_buckets",
     "docs_substring_decontaminate",
+    "stream_substring_decontaminate",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

@@ -1156,7 +1156,7 @@ def substring_excise(
 
 def substring_spans_vs_corpus(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1181,6 +1181,8 @@ def substring_spans_vs_corpus(
     """
     grams_b = positional_gram_hashes(batch, k, id_col, text_col)
     if corpus_grams is None:
+        if corpus is None:
+            raise ValueError("pass corpus or corpus_grams")
         corpus_grams = positional_gram_hashes(
             corpus, k, id_col, text_col
         ).select("h")

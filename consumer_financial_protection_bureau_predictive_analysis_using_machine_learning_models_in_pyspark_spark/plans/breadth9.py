@@ -865,3 +865,143 @@ def docs_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL.substring_spans_vs_corpus(batch, docs, k=_SS_K).orderBy(
         "doc_id", "tok_start"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of docs_substring_decontaminate — and, because the batch
+# split (doc_id % 3) and arrival order are deterministic, the FIRST
+# stateful-streaming entry whose per-batch results are fully value-oracled
+# in SQL (each batch screened against exactly the grams of earlier batches).
+# ---------------------------------------------------------------------------
+
+_STREAM_SS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS batch,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, batch, CAST(pos AS BIGINT) AS pos,
+         CAST('0x' || substr(md5(array_to_string(
+              toks[pos:pos+{_SS_K}-1], ' ')), 1, 14) AS BIGINT) % {P} AS h
+  FROM (
+    SELECT doc_id, batch, toks,
+           CAST(unnest(range(1, len(toks) - {_SS_K} + 2)) AS INT) AS pos
+    FROM tok WHERE len(toks) >= {_SS_K}
+  )
+),
+cov AS (
+  SELECT g.doc_id, g.pos FROM g
+  WHERE EXISTS (SELECT 1 FROM g g2 WHERE g2.h = g.h AND g2.batch < g.batch)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_SS_K} THEN 1 ELSE 0 END AS new_island
+  FROM cov
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SS_K} - 1 AS e
+  FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS cut_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, t.batch,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.cut_tokens, 0) AS BIGINT) AS cut_tokens
+FROM tok t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+ORDER BY t.doc_id
+""".strip()
+
+_SS_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_substring_decontaminate",
+    _STREAM_SS_SQL,
+    "streaming", "pipeline", "dedup", "substring", "foreachBatch",
+    twin_of="docs_substring_decontaminate",
+    twin_pin="tests/test_round9.py::test_stream_substring_matches_batch",
+)
+def stream_substring_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of docs_substring_decontaminate: documents arrive
+    as THREE mtime-ordered micro-batches (doc_id % 3); each batch is
+    screened against the storage-carried gram index of strictly earlier
+    batches, then its own distinct grams join the index
+    (streaming.jobs.run_streaming_substring_decontaminate — idempotent
+    _batch_id partitions, same exactly-once discipline as
+    stream_phash_dedup).  Because split and order are deterministic, this
+    is the first STATEFUL STREAMING entry whose per-batch results are
+    fully value-oracled: the SQL screens each batch against exactly the
+    grams of earlier batches.  Batch-0 docs report zero spans by design
+    (nothing ingested before them)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs as SJ
+
+    work = _SS_STREAM_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_ssdecon_")
+        try:
+            docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+            in_dir = f"{work}/in"
+            for b in range(3):
+                docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(
+                    f"{in_dir}/b{b}"
+                )
+            flat = f"{work}/batches"
+            os.makedirs(flat)
+            for i in range(3):
+                for fn in os.listdir(f"{in_dir}/b{i}"):
+                    if fn.endswith(".parquet"):
+                        dst = f"{flat}/batch_{i}.parquet"
+                        shutil.copyfile(f"{in_dir}/b{i}/{fn}", dst)
+                        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        if not _SS_STREAM_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _SS_STREAM_DIRS.values()
+                ]
+            )
+        _SS_STREAM_DIRS[sf_dir] = work
+    flat = f"{work}/batches"
+
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    SJ.run_streaming_substring_decontaminate(
+        stream, f"{work}/out", f"{work}/grams", f"{work}/ckpt", k=_SS_K
+    )
+    return (
+        spark.read.parquet(f"{work}/out")
+        .select(
+            "doc_id",
+            F.col("_batch_id").cast("bigint").alias("batch"),
+            "n_tokens",
+            "n_spans",
+            "cut_tokens",
+        )
+        .orderBy("doc_id")
+    )

@@ -961,3 +961,95 @@ def run_streaming_phash_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_substring_decontaminate(
+    stream: DataFrame,
+    out_dir: str,
+    gram_dir: str,
+    checkpoint: str,
+    k: int = 10,
+) -> None:
+    """Streaming span-level decontamination (the continuous-ingest twin of
+    docs_substring_decontaminate): each micro-batch of documents is
+    screened against the gram-hash index of every STRICTLY EARLIER batch —
+    maximal spans whose every k-gram was already ingested are located and
+    measured — then the batch's own distinct gram hashes join the index.
+
+    Output per doc per batch: ``(doc_id, n_tokens, n_spans, cut_tokens)``
+    (zero-span docs included — the loader's per-doc cut budget).  State is
+    carried in storage exactly like ``run_streaming_phash_dedup``:
+    ``gram_dir`` holds distinct gram hashes per ``_batch_id`` partition,
+    the ``_batch_id < batch_id`` cut + dynamic partition overwrite make
+    replay idempotent.  The first batch sees an empty index (no spans) —
+    by design: nothing was ingested before it.
+
+    Scale posture: the index carries ONE bigint per distinct corpus gram;
+    the probe is a semi-join on h (linear in batch grams, no pair join);
+    the islands merge windows per batch doc only.
+    """
+    from ..functions import textfns as TF
+    from ..operators import pipeline as PL
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grams = PL.positional_gram_hashes(batch_df, k).persist()
+        if hadoop_path_exists(spark, gram_dir):
+            # a read failure here PROPAGATES — treating it as "first
+            # batch" would silently reset the decontamination index
+            prior = (
+                spark.read.parquet(gram_dir)
+                .filter(F.col("_batch_id") < batch_id)
+                .select("h")
+            )
+            spans = PL.substring_spans_vs_corpus(
+                batch_df, k=k, corpus_grams=prior
+            )
+            per_doc = spans.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+                F.sum("span_tokens").cast("bigint").alias("cut_tokens"),
+            )
+        else:  # first batch: nothing ingested before it
+            per_doc = None
+        base = batch_df.select(
+            "doc_id", F.size(TF.tokens("text")).cast("bigint").alias("n_tokens")
+        )
+        joined = (
+            base.join(per_doc, "doc_id", "left")
+            if per_doc is not None
+            else base.withColumn("n_spans", F.lit(None).cast("bigint"))
+            .withColumn("cut_tokens", F.lit(None).cast("bigint"))
+        )
+        out = joined.select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("cut_tokens", F.lit(0)).cast("bigint").alias(
+                "cut_tokens"
+            ),
+        )
+        (
+            out.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+        (
+            grams.select("h")
+            .distinct()
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(gram_dir)
+        )
+        grams.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

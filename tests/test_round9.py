@@ -427,3 +427,53 @@ def test_substring_decontaminate_locates_injected_slice(spark):
         "doc_id bigint, text string",
     )
     assert PL.substring_spans_vs_corpus(batch, corpus, k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# stream_substring_decontaminate: sequential equivalence + replay idempotence
+# ---------------------------------------------------------------------------
+
+
+def test_stream_substring_matches_batch(spark):
+    """Twin pin: each streamed batch's per-doc span stats equal the batch
+    operator run against the union of strictly earlier batches; batch-0
+    docs are all zero-span; an immediate re-run (same checkpoint, no new
+    files) replays to IDENTICAL rows."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.catalog import (  # noqa: E501
+        CATALOG,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.functions import (  # noqa: E501
+        textfns as TF,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spec = CATALOG["stream_substring_decontaminate"]
+    got = {r.doc_id: (r.batch, r.n_tokens, r.n_spans, r.cut_tokens)
+           for r in spec.fn(spark, sf).collect()}
+
+    docs = readers.load_table(spark, sf, "documents").select("doc_id", "text")
+    assert len(got) == docs.count()
+    # batch 0: empty prior index
+    assert all(v[2] == 0 and v[3] == 0 for v in got.values() if v[0] == 0)
+
+    for b in (1, 2):
+        batch = docs.filter(F.col("doc_id") % 3 == b)
+        prior = docs.filter(F.col("doc_id") % 3 < b)
+        spans = PL.substring_spans_vs_corpus(batch, prior, k=10)
+        per_doc = {r.doc_id: (r.n_spans, r.cut_tokens)
+                   for r in spans.groupBy("doc_id").agg(
+                       F.count(F.lit(1)).alias("n_spans"),
+                       F.sum("span_tokens").alias("cut_tokens")).collect()}
+        n_tok = {r.doc_id: r.n for r in batch.select(
+            "doc_id", F.size(TF.tokens("text")).alias("n")).collect()}
+        for did, n in n_tok.items():
+            ns, ct = per_doc.get(did, (0, 0))
+            assert got[did] == (b, n, ns, ct), did
+
+    # replay idempotence: restart with no new input rewrites nothing new
+    again = {r.doc_id: (r.batch, r.n_tokens, r.n_spans, r.cut_tokens)
+             for r in spec.fn(spark, sf).collect()}
+    assert again == got
