@@ -137,6 +137,10 @@ def test_twin_registry_integrity():
         "ann_semantic_dedup_incremental",
         "ml_lda_topics",
         "stream_phash_dedup",  # r8: streaming twin of media_phash_dedup
+        # r9: prebuilt containment serving twin + oracled streaming
+        # span-decontamination twin
+        "dedup_incremental_containment_prebuilt",
+        "stream_substring_decontaminate",
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():
