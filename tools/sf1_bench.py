@@ -1,0 +1,118 @@
+"""One-decade wall-clock scaling measurement (r9).
+
+Runs a representative query panel on BOTH sf0.1 and the ~sf1 soak corpus
+(10 key-shifted copies, `tools/scale_soak.py build`) in one warmed session
+and records per-query walls plus the sf1/sf0.1 ratio.  On local[N] with
+CPU-bound work, 10× data should cost ≈10× wall (linear scaling) — ratios
+well above 10 flag superlinear behavior (the quadratic-bucket class the
+df-cap guards exist for); ratios below 10 reflect fixed per-query overhead
+amortizing away.
+
+Usage: python tools/sf1_bench.py   (writes BENCH_SF1_r{N}.json)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/sfsoak"
+
+PANEL = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q18_large_volume_customers",
+    "events_sessionize",
+    "events_hourly_agg",
+    # text / pipeline
+    "docs_token_stats",
+    "docs_filter_chain",
+    "docs_pack_sequences",
+    "docs_epoch_shuffle",
+    "docs_substring_dedup",
+    "docs_substring_clean_stats",
+    # dedup
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_fast",
+    "dedup_containment",
+    # similarity
+    "ann_cosine_topk_fast",
+    "ann_ivf_topk",
+    # multimodal
+    "media_text_pair_filter",
+]
+
+
+def _round_number() -> int:
+    nums = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(HERE, "BENCH_r*.json"))
+    ]
+    return (max(nums) + 1) if nums else 1
+
+
+def main() -> None:
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.catalog import (  # noqa: E501
+        CATALOG,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.session import (  # noqa: E501
+        get_session,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    spark = get_session(master=f"local[{cpus}]", app_name="sf1-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm JVM + python worker pool
+    spark.read.parquet(os.path.join(SF01, "lineitem.parquet")).count()
+    spark.range(64).repartition(int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    out: dict[str, dict] = {}
+    for name in PANEL:
+        fn = CATALOG[name].fn
+        rec: dict[str, float] = {}
+        for label, sf_dir in (("sf0_1", SF01), ("sf1", SF1)):
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            rec[label] = round(min(runs), 3)  # best-of-2: steady state
+        rec["ratio"] = round(rec["sf1"] / rec["sf0_1"], 2) if rec["sf0_1"] else None
+        out[name] = rec
+        print(f"# {name}: sf0.1 {rec['sf0_1']}s  sf1 {rec['sf1']}s  "
+              f"ratio {rec['ratio']}x", file=sys.stderr, flush=True)
+    spark.stop()
+
+    path = os.path.join(HERE, f"BENCH_SF1_r{_round_number():02d}.json")
+    payload = {
+        "note": (
+            "one-decade scaling: best-of-2 steady-state walls on sf0.1 and "
+            "the 10x key-shifted soak corpus, one warmed local session; "
+            "ratio ~ 10 = linear scaling on CPU-bound local[N], >> 10 = "
+            "superlinear (the class the df-cap/banding guards exist for)"
+        ),
+        "cpus": cpus,
+        "queries": out,
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({"sf1_bench": path,
+                      "max_ratio": max(v["ratio"] for v in out.values()),
+                      "median_ratio": sorted(v["ratio"] for v in out.values())[len(out) // 2]}))
+
+
+if __name__ == "__main__":
+    main()
