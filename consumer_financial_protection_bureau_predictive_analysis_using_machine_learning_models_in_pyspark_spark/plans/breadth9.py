@@ -1005,3 +1005,94 @@ def stream_substring_decontaminate(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup-rate report: the data-recipe table every curation run
+# reads before setting domain mixtures (dup-heavy sources get downweighted
+# or re-crawled).
+# ---------------------------------------------------------------------------
+
+_DR_FP = (
+    "CAST('0x' || substr(md5(regexp_replace(lower(trim(text)),"
+    " '\\s+', ' ', 'g')), 1, 14) AS BIGINT)"
+)
+
+_DR_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 10 = 0
+),
+fp AS (
+  SELECT doc_id, source, {_DR_FP} AS fingerprint FROM aug
+),
+grp AS (
+  SELECT fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+  FROM fp GROUP BY fingerprint
+)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_dup_groups,
+       CAST(SUM(CASE WHEN g.n_copies > 1 AND f.doc_id <> g.keep_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+       CAST((2000000 * SUM(CASE WHEN g.n_copies > 1 AND f.doc_id <> g.keep_id
+                           THEN 1 ELSE 0 END) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS redundant_u
+FROM fp f JOIN grp g ON g.fingerprint = f.fingerprint
+GROUP BY f.source
+ORDER BY f.source
+""".strip()
+
+
+@register(
+    "docs_dedup_rate_by_source",
+    _DR_SQL,
+    "dedup", "report", "datasheet", "exact",
+)
+def docs_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup-rate report (the data-recipe table curation runs
+    read before setting domain mixtures): for each source, total docs,
+    docs in a >1-copy exact-fingerprint group, redundant docs (non-keeper
+    copies, min-id canonical), and the redundant share in half-up
+    micro-units.  Corpus is the dup-augmented slice so rates are non-zero.
+    One fingerprint projection + two keyed aggregates — the group frame
+    joins back by fingerprint (hash-partitioned, no row ever carries
+    text past the first projection)."""
+    from ..functions import textfns as TF
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = docs.union(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+        )
+    )
+    fp = aug.select(
+        "doc_id", "source", TF.content_fingerprint("text").alias("fingerprint")
+    )
+    grp = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("_n_copies"),
+        F.min("doc_id").alias("_keep_id"),
+    )
+    joined = fp.join(grp, "fingerprint")
+    dup = (F.col("_n_copies") > 1).cast("long")
+    red = ((F.col("_n_copies") > 1) & (F.col("doc_id") != F.col("_keep_id"))).cast("long")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(dup).cast("bigint").alias("n_in_dup_groups"),
+            F.sum(red).cast("bigint").alias("n_redundant"),
+        )
+        .withColumn(
+            "redundant_u",
+            F.expr(
+                "CAST((2000000 * n_redundant + n_docs) DIV (2 * n_docs)"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -477,3 +477,23 @@ def test_stream_substring_matches_batch(spark):
     again = {r.doc_id: (r.batch, r.n_tokens, r.n_spans, r.cut_tokens)
              for r in spec.fn(spark, sf).collect()}
     assert again == got
+
+
+def test_dedup_rate_by_source_counts(spark):
+    """The clone slice (doc_id % 10 == 0) lands entirely on the sources
+    that own those ids, so exactly those sources report 50% redundancy
+    (every original + its clone form a 2-group, clone is the redundant
+    member) and all others report zero."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        breadth9 as B9,
+    )
+
+    rows = {r.source: (r.n_docs, r.n_in_dup_groups, r.n_redundant, r.redundant_u)
+            for r in B9.docs_dedup_rate_by_source(
+                spark, "/root/testdata/sf0.001").collect()}
+    dup_sources = {s for s, v in rows.items() if v[3] > 0}
+    assert dup_sources == {"src0", "src10"}
+    for s in dup_sources:
+        n, grp, red, u = rows[s]
+        assert grp == n and red == n // 2 and u == 500_000
+    assert all(v[1] == 0 for s, v in rows.items() if s not in dup_sources)
