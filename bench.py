@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "docs_substring_decontaminate",
     "stream_substring_decontaminate",
     "docs_dedup_rate_by_source",
+    "docs_self_repetition_spans",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

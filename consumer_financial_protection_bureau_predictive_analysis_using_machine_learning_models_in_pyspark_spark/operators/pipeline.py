@@ -1211,3 +1211,51 @@ def substring_spans_vs_corpus(
             (F.col("tok_end") - F.col("tok_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def self_repetition_spans(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document repetition excision (the degenerate/looped-text
+    cleanup pass — distinct from the cross-doc substring family: here a
+    span is cut because its k-grams already occurred EARLIER IN THE SAME
+    DOCUMENT): maximal token spans every k-gram of which repeats an
+    earlier same-doc occurrence, merged gaps-and-islands style.  Returns
+    the per-doc cut list ``(doc_id, tok_start, tok_end, span_tokens)``.
+
+    Shape: one positional-gram pass, a min-position window over
+    (doc, gram-hash) to mark repeats (no join at all — strictly linear),
+    then the shared islands merge per doc.  The doc-keyed window
+    partitions bound all state by document size."""
+    grams = positional_gram_hashes(docs, k, id_col, text_col)
+    wh = Window.partitionBy(id_col, "h")
+    covered = (
+        grams.withColumn("_first", F.min("pos").over(wh))
+        .filter(F.col("pos") > F.col("_first"))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = covered.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("tok_start"),
+            (F.max("pos") + (k - 1)).alias("tok_end"),
+        )
+        .select(
+            id_col,
+            "tok_start",
+            "tok_end",
+            (F.col("tok_end") - F.col("tok_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -1096,3 +1096,82 @@ def docs_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-doc self-repetition excision (degenerate/looped-text cleanup).
+# ---------------------------------------------------------------------------
+
+_SR_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' br1 ' || text AS text
+  FROM documents WHERE doc_id % 11 = 2
+),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM aug
+),
+g AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         CAST('0x' || substr(md5(array_to_string(
+              toks[pos:pos+{_SS_K}-1], ' ')), 1, 14) AS BIGINT) % {P} AS h
+  FROM (
+    SELECT doc_id, toks,
+           CAST(unnest(range(1, len(toks) - {_SS_K} + 2)) AS INT) AS pos
+    FROM tok WHERE len(toks) >= {_SS_K}
+  )
+),
+cov AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           MIN(pos) OVER (PARTITION BY doc_id, h) AS first_pos
+    FROM g
+  ) WHERE pos > first_pos
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_SS_K} THEN 1 ELSE 0 END AS new_island
+  FROM cov
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS tok_start,
+       CAST(MAX(pos) + {_SS_K} - 1 AS BIGINT) AS tok_end,
+       CAST(MAX(pos) + {_SS_K} - MIN(pos) AS BIGINT) AS span_tokens
+FROM islands
+GROUP BY doc_id, island
+ORDER BY doc_id, tok_start
+""".strip()
+
+
+@register(
+    "docs_self_repetition_spans",
+    _SR_SQL,
+    "pipeline", "dedup", "substring", "repetition",
+)
+def docs_self_repetition_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition excision (operators.pipeline
+    .self_repetition_spans): maximal spans whose every k-gram repeats an
+    earlier SAME-document occurrence — the degenerate/looped-text cleanup
+    pass (docs_repetition_stats SCORES repetition; this LOCATES and
+    bounds it for cutting).  Corpus augmented with doubled docs
+    (text + ' br1 ' + text) so full-copy tails are present: their second
+    copies come back as one maximal span each, pinned.  Strictly linear:
+    a min-position window over (doc, gram-hash), no join anywhere."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.union(
+        docs.filter(F.col("doc_id") % 11 == 2).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" br1 "), "text").alias("text"),
+        )
+    )
+    return PL.self_repetition_spans(aug, k=_SS_K).orderBy(
+        "doc_id", "tok_start"
+    )

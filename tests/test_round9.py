@@ -497,3 +497,29 @@ def test_dedup_rate_by_source_counts(spark):
         n, grp, red, u = rows[s]
         assert grp == n and red == n // 2 and u == 500_000
     assert all(v[1] == 0 for s, v in rows.items() if s not in dup_sources)
+
+
+def test_self_repetition_spans_locates_second_copy(spark):
+    """A doc of the form X + sep + X gets exactly one repeat span; the
+    span covers the second copy (every k-gram fully inside it repeats an
+    earlier occurrence); a repetition-free doc emits nothing; an
+    in-doc loop shorter than k emits nothing."""
+    x = [f"t{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(x + ["br1"] + x)),
+            (2, " ".join(f"u{i}" for i in range(40))),
+            (3, " ".join([f"v{i % 4}" for i in range(40)])),  # period-4 loop
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {(r.doc_id, r.tok_start, r.tok_end, r.span_tokens)
+           for r in PL.self_repetition_spans(docs, k=10).collect()}
+    # doc1: 61 tokens (30 + sep + 30). Grams at pos 32..52 are fully inside
+    # the second copy and repeat pos 1..21 -> one island, span 32..61.
+    assert (1, 32, 61, 30) in got
+    assert not any(d == 2 for d, *_ in got)
+    # doc3's period-4 loop: gram at pos p >= 5 repeats gram at p-4 -> one
+    # maximal span from pos 5 to the end
+    assert (3, 5, 40, 36) in got
+    assert len(got) == 2
