@@ -522,6 +522,16 @@ def _round_number() -> int:
 def _write_local_artifact(payload: dict) -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, f"BENCH_LOCAL_r{_round_number():02d}.json")
+    # a full-bench re-run must not clobber an already-recorded panel
+    # section (the --panel pass merges INTO this file; see run_panel)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if "panel" in prev and "panel" not in payload:
+                payload["panel"] = prev["panel"]
+        except (OSError, ValueError):
+            pass
     try:
         with open(path, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
