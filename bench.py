@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "stream_substring_decontaminate",
     "docs_dedup_rate_by_source",
     "docs_self_repetition_spans",
+    "events_bot_users",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

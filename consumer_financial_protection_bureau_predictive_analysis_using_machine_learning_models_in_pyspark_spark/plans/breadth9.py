@@ -1175,3 +1175,127 @@ def docs_self_repetition_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL.self_repetition_spans(aug, k=_SS_K).orderBy(
         "doc_id", "tok_start"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot-traffic detection over events: inter-event gap regularity.  Machine
+# traffic has near-constant gaps (squared coefficient of variation ~ 0);
+# human traffic is bursty (cv² ~ 1 for Poisson arrivals).  A standard
+# training-data filter for interaction logs.
+# ---------------------------------------------------------------------------
+
+_BOT_CV2_MAX_U = 100_000  # cv² < 0.1 in micro-units flags a bot
+_BOT_MIN_EVENTS = 5
+
+_BOT_SQL = f"""
+WITH src AS (
+  SELECT user_id, ts, event_id FROM events
+),
+bot_base AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM src WHERE user_id % 97 = 13
+),
+aug AS (
+  SELECT user_id, ts, event_id FROM src
+  UNION ALL
+  SELECT user_id + 1000000 AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 MINUTE * (rn - 1) AS ts,
+         event_id + 10000000 AS event_id
+  FROM bot_base
+),
+gaps AS (
+  SELECT user_id,
+         CAST(date_diff('microsecond',
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+              ts) AS BIGINT) AS gap_us
+  FROM aug
+),
+stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+         CAST(COALESCE(SUM(CAST(gap_us AS HUGEINT)), 0) AS HUGEINT) AS s,
+         CAST(COALESCE(SUM(CAST(gap_us AS HUGEINT) * gap_us), 0) AS HUGEINT)
+           AS s2
+  FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CASE WHEN n_gaps >= 1 AND s > 0
+            THEN CAST((1000000 * (n_gaps * s2 - s * s)) // (s * s) AS BIGINT)
+            ELSE NULL END AS cv2_u,
+       (n_gaps >= 1 AND s > 0 AND n_events >= {_BOT_MIN_EVENTS}
+        AND (1000000 * (n_gaps * s2 - s * s)) // (s * s) < {_BOT_CV2_MAX_U})
+         AS is_bot
+FROM stats
+ORDER BY user_id
+""".strip()
+
+
+@register(
+    "events_bot_users",
+    _BOT_SQL,
+    "events", "quality", "bot-filter", "analytics",
+)
+def events_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-traffic detection by inter-event gap regularity: per user,
+    the squared coefficient of variation of inter-event gaps in exact
+    micro-units — cv²·10⁶ = ⌊10⁶·(n·Σg² − (Σg)²)/(Σg)²⌋, computed in wide
+    decimals (Σg² reaches ~10²⁸ µs² on year-long spans, far past int64) —
+    flagged when cv² < 0.1 with ≥ {_BOT_MIN_EVENTS} events.  Fixture
+    injects true bots: every 97th user is cloned with exactly
+    minute-regular timestamps (cv² = 0); organic users' bursty gaps land
+    near cv² ≈ 1.  One user-keyed window + one aggregate — linear, and
+    the per-user state is two wide sums."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bots = (
+        ev.filter(F.col("user_id") % 97 == 13)
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            (F.col("user_id") + 1_000_000).alias("user_id"),
+            F.expr(
+                "TIMESTAMP '2024-01-01 00:00:00'"
+                " + INTERVAL 1 MINUTE * (rn - 1)"
+            ).alias("ts"),
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+        )
+    )
+    aug = ev.union(bots)
+    gaps = aug.select(
+        "user_id",
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND,"
+            " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),"
+            " ts) AS BIGINT)"
+        ).alias("gap_us"),
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.expr(
+            "CAST(COALESCE(SUM(CAST(gap_us AS DECIMAL(19,0))), 0)"
+            " AS DECIMAL(38,0))"
+        ).alias("_s"),
+        F.expr(
+            "CAST(COALESCE(SUM(CAST(gap_us AS DECIMAL(19,0)) * gap_us), 0)"
+            " AS DECIMAL(38,0))"
+        ).alias("_s2"),
+    )
+    cv2 = (
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_gaps * _s2 - _s * _s))"
+        " DIV (_s * _s) AS BIGINT)"
+    )
+    return stats.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            f"CASE WHEN n_gaps >= 1 AND _s > 0 THEN {cv2} ELSE NULL END"
+        ).alias("cv2_u"),
+        F.expr(
+            f"n_gaps >= 1 AND _s > 0 AND n_events >= {_BOT_MIN_EVENTS}"
+            f" AND {cv2} < {_BOT_CV2_MAX_U}"
+        ).alias("is_bot"),
+    ).orderBy("user_id")

@@ -523,3 +523,26 @@ def test_self_repetition_spans_locates_second_copy(spark):
     # maximal span from pos 5 to the end
     assert (3, 5, 40, 36) in got
     assert len(got) == 2
+
+
+def test_bot_users_regularity_flag(spark):
+    """Injected minute-regular clones score cv² exactly 0 and flag as
+    bots; organic users never do; users below the event floor never flag
+    even at cv² = 0."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        breadth9 as B9,
+    )
+
+    rows = {r.user_id: (r.n_events, r.cv2_u, r.is_bot)
+            for r in B9.events_bot_users(
+                spark, "/root/testdata/sf0.001").collect()}
+    bots = {u for u, v in rows.items() if v[2]}
+    assert bots and all(u >= 1_000_000 for u in bots)
+    for u in bots:
+        n, cv2, _ = rows[u]
+        assert cv2 == 0 and n >= 5
+    organic = {u: v for u, v in rows.items() if u < 1_000_000}
+    assert organic and all(not v[2] for v in organic.values())
+    # organic multi-event users are bursty: cv2 well above the floor
+    assert all(v[1] is None or v[1] >= 100_000
+               for v in organic.values())
