@@ -54,6 +54,7 @@ _PRIORITY = [
     "docs_dedup_rate_by_source",  # never checked — first driver row
     "docs_self_repetition_spans",  # never checked — first driver row
     "events_bot_users",  # never checked — first driver row
+    "stream_bot_users",  # never checked — first driver row
     "stream_dedup_events",  # newest driver row r4
     "stream_running_user_stats",  # newest driver row r4
     "stream_click_purchase_join",  # newest driver row r4
@@ -90,8 +91,8 @@ _PRIORITY = [
     "stream_static_enrich",  # newest driver row r5
     "stream_session_stats",  # newest driver row r5
     "stream_semantic_dedup",  # newest driver row r5
-    "complaints_json_clean",  # newest driver row r5
     # ---- window boundary (50): overflow is staleness-ordered ----
+    "complaints_json_clean",  # newest driver row r5
     "csv_roundtrip_customer",  # newest driver row r5
     "dedup_incremental_bloom",  # newest driver row r5
     "docs_filter_chain",  # newest driver row r5

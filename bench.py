@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "docs_dedup_rate_by_source",
     "docs_self_repetition_spans",
     "events_bot_users",
+    "stream_bot_users",
     # -- streaming remainder (availableNow lifecycles; same harness
     #    shape as the already-benched stream_windowed_counts et al.)
     "stream_session_stats",

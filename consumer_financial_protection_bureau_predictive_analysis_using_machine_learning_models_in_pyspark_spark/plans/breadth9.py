@@ -1299,3 +1299,128 @@ def events_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AND {cv2} < {_BOT_CV2_MAX_U}"
         ).alias("is_bot"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of events_bot_users: mergeable gap-moment state.  Fully
+# value-oracled (the merged final state is batch-split-invariant, so the
+# oracle is simply the batch computation over the raw corpus).
+# ---------------------------------------------------------------------------
+
+_STREAM_BOT_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(date_diff('microsecond',
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+              ts) AS BIGINT) AS gap_us
+  FROM events
+),
+stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+         CAST(COALESCE(SUM(CAST(gap_us AS HUGEINT)), 0) AS HUGEINT) AS s,
+         CAST(COALESCE(SUM(CAST(gap_us AS HUGEINT) * gap_us), 0) AS HUGEINT)
+           AS s2
+  FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CASE WHEN n_gaps >= 1 AND s > 0
+            THEN CAST((1000000 * (n_gaps * s2 - s * s)) // (s * s) AS BIGINT)
+            ELSE NULL END AS cv2_u,
+       (n_gaps >= 1 AND s > 0 AND n_events >= {_BOT_MIN_EVENTS}
+        AND (1000000 * (n_gaps * s2 - s * s)) // (s * s) < {_BOT_CV2_MAX_U})
+         AS is_bot
+FROM stats
+ORDER BY user_id
+""".strip()
+
+_BOT_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_bot_users",
+    _STREAM_BOT_SQL,
+    "streaming", "events", "quality", "bot-filter", "foreachBatch",
+    twin_of="events_bot_users",
+    twin_pin="tests/test_round9.py::test_stream_bot_users_merged_state",
+)
+def stream_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_bot_users over the RAW corpus: events
+    arrive as three time-ordered micro-batches (global ts ntiles — a
+    fixture-builder sort, not an engine pattern); each batch's per-user
+    gap moments merge into versioned state with the junction gap added
+    exactly (streaming.jobs.run_streaming_gap_moments — moments are
+    mergeable, so the drained state is batch-split-INVARIANT).  That
+    invariance makes this the second stateful-streaming entry with a
+    full value oracle: the SQL is simply the batch computation over the
+    whole corpus.  Bot flags computed from the final state with the
+    shared cv² expressions."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs as SJ
+
+    work = _BOT_STREAM_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_bot_")
+        try:
+            from pyspark.sql import Window
+
+            ev = _t(spark, sf_dir, "events").select(
+                "user_id", "ts", "event_id"
+            )
+            wall = Window.orderBy("ts", "event_id")
+            tiled = ev.withColumn("_b", F.ntile(3).over(wall) - 1)
+            in_dir = f"{work}/in"
+            for b in range(3):
+                tiled.filter(F.col("_b") == b).drop("_b").coalesce(
+                    1
+                ).write.parquet(f"{in_dir}/b{b}")
+            flat = f"{work}/batches"
+            os.makedirs(flat)
+            for i in range(3):
+                for fn in os.listdir(f"{in_dir}/b{i}"):
+                    if fn.endswith(".parquet"):
+                        dst = f"{flat}/batch_{i}.parquet"
+                        shutil.copyfile(f"{in_dir}/b{i}/{fn}", dst)
+                        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        if not _BOT_STREAM_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _BOT_STREAM_DIRS.values()
+                ]
+            )
+        _BOT_STREAM_DIRS[sf_dir] = work
+    flat = f"{work}/batches"
+
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    SJ.run_streaming_gap_moments(stream, f"{work}/state", f"{work}/ckpt")
+    versions = SJ.mv_versions(spark, f"{work}/state")
+    state = spark.read.parquet(f"{work}/state/v{versions[-1]}")
+    cv2 = (
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_gaps * s2 - s * s))"
+        " DIV (s * s) AS BIGINT)"
+    )
+    return state.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            f"CASE WHEN n_gaps >= 1 AND s > 0 THEN {cv2} ELSE NULL END"
+        ).alias("cv2_u"),
+        F.expr(
+            f"n_gaps >= 1 AND s > 0 AND n_events >= {_BOT_MIN_EVENTS}"
+            f" AND {cv2} < {_BOT_CV2_MAX_U}"
+        ).alias("is_bot"),
+    ).orderBy("user_id")

@@ -1053,3 +1053,94 @@ def run_streaming_substring_decontaminate(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_gap_moments(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+) -> None:
+    """Continuously-maintained per-user inter-event gap moments — the
+    streaming form of the bot-regularity surface (`events_bot_users`),
+    possible because gap moments are MERGEABLE: carrying
+    ``(n_events, n_gaps, Σg, Σg², first_ts, last_ts)`` per user lets two
+    time-ordered slices merge exactly — the only cross-slice term is the
+    junction gap (prev.last_ts → batch.first_ts), added once to each sum.
+    A 100 TB interaction log's bot scores stay current at ingest cost
+    (one user-keyed aggregate per batch), never by rescanning history.
+
+    Requires time-ordered arrival per user across batches (standard for
+    log ingest; the catalog fixture splits by global time ntiles).  Sums
+    are DECIMAL(38,0) — Σg² reaches ~10²⁸ µs² on long spans.  Same
+    idempotent versioning contract as ``run_streaming_checksum_mv``:
+    version ``v{b}`` derives only from versions ``< b`` plus batch ``b``,
+    so a replayed batch rewrites byte-identically.  availableNow; blocks
+    until drained."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        g = batch_df.select("user_id", "ts", "event_id").withColumn(
+            "_gap",
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND,"
+                " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),"
+                " ts) AS BIGINT)"
+            ),
+        )
+        partial = g.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("_gap").cast("bigint").alias("n_gaps"),
+            F.expr(
+                "CAST(COALESCE(SUM(CAST(_gap AS DECIMAL(19,0))), 0)"
+                " AS DECIMAL(38,0))"
+            ).alias("s"),
+            F.expr(
+                "CAST(COALESCE(SUM(CAST(_gap AS DECIMAL(19,0)) * _gap), 0)"
+                " AS DECIMAL(38,0))"
+            ).alias("s2"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        prev = [x for x in mv_versions(spark, state_dir) if x < batch_id]
+        if prev:
+            state = spark.read.parquet(f"{state_dir}/v{prev[-1]}")
+            j = state.alias("p").join(
+                partial.alias("b"), "user_id", "full_outer"
+            )
+            junction = (
+                "CASE WHEN p.last_ts IS NOT NULL AND b.first_ts IS NOT NULL"
+                " THEN CAST(timestampdiff(MICROSECOND, p.last_ts, b.first_ts)"
+                " AS DECIMAL(19,0)) END"
+            )
+            merged = j.select(
+                "user_id",
+                F.expr(
+                    "COALESCE(p.n_events, 0) + COALESCE(b.n_events, 0)"
+                ).cast("bigint").alias("n_events"),
+                F.expr(
+                    "COALESCE(p.n_gaps, 0) + COALESCE(b.n_gaps, 0)"
+                    f" + CASE WHEN {junction} IS NOT NULL THEN 1 ELSE 0 END"
+                ).cast("bigint").alias("n_gaps"),
+                F.expr(
+                    "CAST(COALESCE(p.s, 0) + COALESCE(b.s, 0)"
+                    f" + COALESCE({junction}, 0) AS DECIMAL(38,0))"
+                ).alias("s"),
+                F.expr(
+                    "CAST(COALESCE(p.s2, 0) + COALESCE(b.s2, 0)"
+                    f" + COALESCE({junction} * {junction}, 0)"
+                    " AS DECIMAL(38,0))"
+                ).alias("s2"),
+                F.expr("COALESCE(p.first_ts, b.first_ts)").alias("first_ts"),
+                F.expr("COALESCE(b.last_ts, p.last_ts)").alias("last_ts"),
+            )
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -546,3 +546,53 @@ def test_bot_users_regularity_flag(spark):
     # organic multi-event users are bursty: cv2 well above the floor
     assert all(v[1] is None or v[1] >= 100_000
                for v in organic.values())
+
+
+def test_stream_bot_users_merged_state(spark):
+    """Twin pin: mergeable gap moments are batch-split-INVARIANT — the
+    drained streaming state equals the single-pass batch computation over
+    the raw corpus row-for-row (incl. exact Σg/Σg² through junction
+    gaps), and an immediate re-run replays to identical rows."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        breadth9 as B9,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.catalog import (  # noqa: E501
+        CATALOG,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources import (  # noqa: E501
+        readers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in CATALOG["stream_bot_users"].fn(spark, sf).collect()]
+
+    # batch single-pass over the same raw corpus (events_bot_users minus
+    # its clone injection): rebuild via the same expressions
+    ev = readers.load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND,"
+            " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),"
+            " ts) AS BIGINT)"
+        ).alias("gap_us"),
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.expr("CAST(COALESCE(SUM(CAST(gap_us AS DECIMAL(19,0))), 0) AS DECIMAL(38,0))").alias("s"),
+        F.expr("CAST(COALESCE(SUM(CAST(gap_us AS DECIMAL(19,0)) * gap_us), 0) AS DECIMAL(38,0))").alias("s2"),
+    )
+    cv2 = ("CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_gaps * s2 - s * s))"
+           " DIV (s * s) AS BIGINT)")
+    want = [tuple(r) for r in stats.select(
+        "user_id", "n_events",
+        F.expr(f"CASE WHEN n_gaps >= 1 AND s > 0 THEN {cv2} ELSE NULL END").alias("cv2_u"),
+        F.expr(f"n_gaps >= 1 AND s > 0 AND n_events >= 5 AND {cv2} < 100000").alias("is_bot"),
+    ).orderBy("user_id").collect()]
+    assert got == want
+
+    again = [tuple(r) for r in CATALOG["stream_bot_users"].fn(spark, sf).collect()]
+    assert again == got
