@@ -41,57 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/gen_priority.py
 # and tests/test_priority_window.py pins committed == generated.
 _PRIORITY = [
-    "docs_substring_dedup",  # never checked — first driver row
-    "docs_substring_clean_stats",  # never checked — first driver row
-    "dedup_incremental_containment",  # never checked — first driver row
-    "dedup_incremental_containment_prebuilt",  # never checked — first driver row
-    "media_text_pair_filter",  # never checked — first driver row
-    "docs_substring_excise",  # never checked — first driver row
-    "dedup_lsh_recall_eval",  # never checked — first driver row
-    "docs_length_buckets",  # never checked — first driver row
-    "docs_substring_decontaminate",  # never checked — first driver row
-    "stream_substring_decontaminate",  # never checked — first driver row
-    "docs_dedup_rate_by_source",  # never checked — first driver row
-    "docs_self_repetition_spans",  # never checked — first driver row
-    "events_bot_users",  # never checked — first driver row
-    "stream_bot_users",  # never checked — first driver row
-    "stream_dedup_events",  # newest driver row r4
-    "stream_running_user_stats",  # newest driver row r4
-    "stream_click_purchase_join",  # newest driver row r4
-    "sink_roundtrip_orders",  # newest driver row r4
-    "salted_lineitem_agg",  # newest driver row r4
-    "docs_decontaminate",  # newest driver row r4
-    "docs_chunk",  # newest driver row r4
-    "dedup_incremental",  # newest driver row r4
-    "er_fuzzy_part_match",  # newest driver row r4
-    "skewjoin_events_enrich",  # newest driver row r4
-    "q2_min_cost_supplier",  # newest driver row r4
-    "events_cohort_retention",  # newest driver row r4
-    "docs_token_budget_sample",  # newest driver row r4
-    "docs_domain_mix",  # newest driver row r4
-    "orders_status_pivot",  # newest driver row r4
-    "docs_stratified_sample",  # newest driver row r4
-    "docs_boilerplate_spans",  # newest driver row r4
-    "orders_rfm_segments",  # newest driver row r4
-    "events_rolling_mean_dev",  # newest driver row r4
-    "events_value_histogram",  # newest driver row r4
-    "stream_minute_rollup",  # newest driver row r4
-    "docs_weighted_sample",  # newest driver row r4
-    "customer_halves_full_outer",  # newest driver row r4
-    "events_active_users",  # newest driver row r4
-    "complaints_monthly_trend",  # newest driver row r4
-    "q3_top_unshipped_orders",  # newest driver row r5
-    "ann_ivf_prebuilt_topk",  # newest driver row r5
-    "ann_recall_eval",  # newest driver row r5
-    "dedup_incremental_minhash",  # newest driver row r5
-    "dedup_incremental_minhash_prebuilt",  # newest driver row r5
-    "docs_bpe_merges",  # newest driver row r5
-    "ml_timely_lr",  # newest driver row r5
-    "ml_response_dt",  # newest driver row r5
-    "stream_static_enrich",  # newest driver row r5
-    "stream_session_stats",  # newest driver row r5
-    "stream_semantic_dedup",  # newest driver row r5
-    # ---- window boundary (50): overflow is staleness-ordered ----
+    "dedup_containment_canonical",  # never checked — first driver row
+    "docs_quality_classifier",  # never checked — first driver row
+    "docs_quality_classifier_agreement",  # never checked — first driver row
     "complaints_json_clean",  # newest driver row r5
     "csv_roundtrip_customer",  # newest driver row r5
     "dedup_incremental_bloom",  # newest driver row r5
@@ -139,6 +91,7 @@ _PRIORITY = [
     "orders_merge_upsert",  # newest driver row r6
     "events_compact_latest",  # newest driver row r6
     "q14_promo_effect",  # newest driver row r6
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "q19_disjunctive_revenue",  # newest driver row r6
     "events_user_paths",  # newest driver row r6
     "docs_shard_export",  # newest driver row r6
@@ -263,6 +216,56 @@ _PRIORITY = [
     "lineitem_hilbert_layout",  # newest driver row r8
     "docs_bigram_condprob",  # newest driver row r8
     "dedup_containment",  # newest driver row r8
+    "q3_top_unshipped_orders",  # newest driver row r9
+    "ann_ivf_prebuilt_topk",  # newest driver row r9
+    "ann_recall_eval",  # newest driver row r9
+    "dedup_incremental_minhash",  # newest driver row r9
+    "dedup_incremental_minhash_prebuilt",  # newest driver row r9
+    "docs_bpe_merges",  # newest driver row r9
+    "ml_timely_lr",  # newest driver row r9
+    "ml_response_dt",  # newest driver row r9
+    "stream_static_enrich",  # newest driver row r9
+    "stream_session_stats",  # newest driver row r9
+    "stream_dedup_events",  # newest driver row r9
+    "stream_running_user_stats",  # newest driver row r9
+    "stream_click_purchase_join",  # newest driver row r9
+    "stream_semantic_dedup",  # newest driver row r9
+    "sink_roundtrip_orders",  # newest driver row r9
+    "salted_lineitem_agg",  # newest driver row r9
+    "docs_decontaminate",  # newest driver row r9
+    "docs_chunk",  # newest driver row r9
+    "dedup_incremental",  # newest driver row r9
+    "er_fuzzy_part_match",  # newest driver row r9
+    "skewjoin_events_enrich",  # newest driver row r9
+    "q2_min_cost_supplier",  # newest driver row r9
+    "events_cohort_retention",  # newest driver row r9
+    "docs_token_budget_sample",  # newest driver row r9
+    "docs_domain_mix",  # newest driver row r9
+    "orders_status_pivot",  # newest driver row r9
+    "docs_stratified_sample",  # newest driver row r9
+    "docs_boilerplate_spans",  # newest driver row r9
+    "orders_rfm_segments",  # newest driver row r9
+    "events_rolling_mean_dev",  # newest driver row r9
+    "events_value_histogram",  # newest driver row r9
+    "stream_minute_rollup",  # newest driver row r9
+    "docs_weighted_sample",  # newest driver row r9
+    "customer_halves_full_outer",  # newest driver row r9
+    "events_active_users",  # newest driver row r9
+    "complaints_monthly_trend",  # newest driver row r9
+    "docs_substring_dedup",  # newest driver row r9
+    "docs_substring_clean_stats",  # newest driver row r9
+    "dedup_incremental_containment",  # newest driver row r9
+    "dedup_incremental_containment_prebuilt",  # newest driver row r9
+    "media_text_pair_filter",  # newest driver row r9
+    "docs_substring_excise",  # newest driver row r9
+    "dedup_lsh_recall_eval",  # newest driver row r9
+    "docs_length_buckets",  # newest driver row r9
+    "docs_substring_decontaminate",  # newest driver row r9
+    "stream_substring_decontaminate",  # newest driver row r9
+    "docs_dedup_rate_by_source",  # newest driver row r9
+    "docs_self_repetition_spans",  # newest driver row r9
+    "events_bot_users",  # newest driver row r9
+    "stream_bot_users",  # newest driver row r9
 ]
 
 

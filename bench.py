@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "docs_pack_bins",
     "docs_chunk",
     "docs_filter_chain",
+    "docs_quality_classifier",
+    "docs_quality_classifier_agreement",
     "docs_repetition_stats",
     "docs_token_budget_sample",
     "dedup_exact",
@@ -230,6 +232,7 @@ BENCH_QUERIES = [
     "lineitem_hilbert_layout",
     "docs_bigram_condprob",
     "dedup_containment",
+    "dedup_containment_canonical",
     # -- r9 additions
     "docs_substring_dedup",
     "docs_substring_clean_stats",

@@ -305,6 +305,18 @@ def filter_chain(
     ``keep`` is NULL (dropped by the downstream filter) while ``reason``
     incoherently reads 'kept'.
     """
+    keep, reason = filter_chain_cols(rules)
+    return df.select(id_col, keep.alias("keep"), reason.alias("reason"))
+
+
+def filter_chain_cols(
+    rules: Sequence[tuple[str, Column]],
+) -> tuple[Column, Column]:
+    """The (keep, reason) column expressions behind ``filter_chain``,
+    exposed so a caller can attach the verdict alongside OTHER columns
+    in the same projection — e.g. the model-based quality classifier
+    computes weak labels AND token features in one corpus scan instead
+    of joining the verdict frame back against the text."""
     reason = F.lit("kept")
     for name, pred in reversed(list(rules)):
         reason = F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)).otherwise(
@@ -313,7 +325,7 @@ def filter_chain(
     keep = F.lit(True)
     for _, pred in rules:
         keep = keep & F.coalesce(pred, F.lit(False))
-    return df.select(id_col, keep.alias("keep"), reason.alias("reason"))
+    return keep, reason
 
 
 def sample_token_budget(

@@ -1,0 +1,125 @@
+"""Round-10 breadth entries.
+
+Containment output governor (VERDICT r9 "What's wrong" #3): the
+all-pairs containment anchor emits every qualifying (sub, sup) pair, so
+its OUTPUT grows quadratically in clone multiplicity (measured 11.9×
+wall for 10× data at sf1 vs the 1.35× panel median).  The canonical
+twin keeps the identical candidate generation (df-capped inverted
+index) but reduces per contained doc to ONE best covering superset —
+output linear in docs — via a map-side-combinable max-struct aggregate,
+the exact pick ``operators.dedup.incremental_containment`` already
+makes for the ingest case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml import quality as Q
+from .breadth8 import _ct_scored_pairs
+from .catalog import CATALOG, _t, register
+from .pipeline_queries import quality_rule_set
+
+# The anchor's full pairs SQL (registered before this module imports) is
+# wrapped as a subquery so the two oracles can never drift: the canonical
+# oracle IS "anchor pairs → best pick per id_sub".
+_CT_PAIRS_ORACLE = CATALOG["dedup_containment"].oracle
+
+
+@register(
+    "dedup_containment_canonical",
+    f"""
+WITH pairs AS ({_CT_PAIRS_ORACLE})
+SELECT id_sub, id_sup, n_sub_shingles, n_shared, containment_u
+FROM pairs
+QUALIFY row_number() OVER (
+  PARTITION BY id_sub ORDER BY containment_u DESC, id_sup ASC) = 1
+ORDER BY id_sub
+""",
+    "dedup", "containment", "canonical",
+    twin_of="dedup_containment",
+    twin_pin="tests/test_round10.py::test_containment_canonical_twin",
+)
+def dedup_containment_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of asymmetric containment dedup: one row per
+    CONTAINED doc — its single best covering superset (max containment,
+    ties to the smallest sup id; the pick ``incremental_containment``
+    makes at ingest) — instead of the anchor's full qualifying pair
+    list.
+
+    Scale rationale (VERDICT r9 #3): with clone multiplicity m the
+    anchor emits Θ(m²) pairs per duplicate cluster — at 100 TB with
+    heavy duplication the pair LIST is the bottleneck even under
+    perfect candidate generation.  Here the pair stream collapses
+    through ``groupBy(id_sub).agg(max(struct(...)))`` — a hash
+    aggregate with map-side partial combine, so no executor ever holds
+    a cluster's full pair list and the output is ≤ one row per doc.
+    The anchor stays registered as the eval/oracle surface; the twin
+    pin asserts canonical ⊆ pairs, exactly one row per id_sub, and the
+    max-(u, −sup) pick."""
+    scored = _ct_scored_pairs(spark, sf_dir)
+    best = scored.groupBy("id_sub").agg(
+        F.max(
+            F.struct(
+                F.col("containment_u").alias("u"),
+                (-F.col("id_sup")).alias("negsup"),
+                F.col("n").alias("n"),
+                F.col("n_inter").alias("n_inter"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        "id_sub",
+        (-F.col("_b.negsup")).cast("bigint").alias("id_sup"),
+        F.col("_b.n").cast("bigint").alias("n_sub_shingles"),
+        F.col("_b.n_inter").cast("bigint").alias("n_shared"),
+        F.col("_b.u").alias("containment_u"),
+    ).orderBy("id_sub")
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filter (VERDICT r9 "What's missing" #1): train a
+# lightweight classifier on the heuristic chain's weak labels, score the
+# WHOLE corpus, publish the per-doc scores and the model-vs-heuristic
+# confusion.  Rows-only (MLlib L-BFGS is not SQL-expressible); value pins
+# with a perturbation tooth live in tests/test_round10.py.
+# ---------------------------------------------------------------------------
+
+
+def _quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = Q.weak_label_frame(docs, quality_rule_set()).cache()
+    model = Q.fit_quality_model(base)
+    out = Q.score_corpus(base, model)
+    base.unpersist()
+    return out
+
+
+@register("docs_quality_classifier", None, "ml", "quality", "curation")
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/DSIR-style model-based quality filter: weak labels from
+    the oracled heuristic chain (``quality_rule_set`` — the exact
+    ``docs_filter_chain`` rules), HashingTF(1024)→LogisticRegression fit
+    on a bounded deterministic md5 top-400 sample, the FULL corpus scored
+    by the model.  Emits (doc_id, heuristic_keep, model_score_u,
+    model_keep, agree) — P(keep) in half-up 1e-6 micro-units.
+
+    Reference anchor: the featurize→LR→evaluate shape of
+    timely_LR.py:71-106, applied to corpus curation.  100 TB shape: weak
+    label + token array come out of ONE projection on the scan (no
+    verdict self-join); the fit sees a fixed-size frame at any corpus
+    scale (TakeOrdered draw); scoring is a narrow, shuffle-free
+    ``transform`` pass."""
+    return _quality_scores(spark, sf_dir).orderBy("doc_id")
+
+
+@register("docs_quality_classifier_agreement", None, "ml", "quality", "curation")
+def docs_quality_classifier_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-vs-heuristic agreement: the 2×2 confusion (n_docs, mean
+    model score per cell) a curation run publishes before swapping the
+    heuristic gate for the model gate.  Bounded (≤4 rows); one
+    partial-agg shuffle over the scored corpus."""
+    return Q.agreement_summary(_quality_scores(spark, sf_dir))

@@ -480,6 +480,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Still in-row-distinct shingle hashes (no cross-row distinct
     shuffle), persisted once for sizes AND both join sides."""
+    return (
+        _ct_scored_pairs(spark, sf_dir)
+        .select(
+            "id_sub",
+            "id_sup",
+            F.col("n").cast("bigint").alias("n_sub_shingles"),
+            F.col("n_inter").cast("bigint").alias("n_shared"),
+            "containment_u",
+        )
+        .orderBy("id_sub", "id_sup")
+    )
+
+
+def _ct_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate+score stage for the containment family: every
+    directional pair (id_sub, id_sup) at containment ≥ ``_CT_MIN_U``
+    with columns (id_sub, id_sup, n, n_inter, containment_u).  The
+    all-pairs anchor sorts and emits this verbatim; the canonical twin
+    aggregates it per id_sub so the quadratic pair list never reaches
+    the output (map-side partial max — see breadth10)."""
     from pyspark.storagelevel import StorageLevel
 
     from ..functions import textfns as TF
@@ -512,12 +532,4 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((2000000 * n_inter + n) DIV (2 * n) AS BIGINT)"),
         )
         .filter(F.col("containment_u") >= _CT_MIN_U)
-        .select(
-            "id_sub",
-            "id_sup",
-            F.col("n").cast("bigint").alias("n_sub_shingles"),
-            F.col("n_inter").cast("bigint").alias("n_shared"),
-            "containment_u",
-        )
-        .orderBy("id_sub", "id_sup")
     )

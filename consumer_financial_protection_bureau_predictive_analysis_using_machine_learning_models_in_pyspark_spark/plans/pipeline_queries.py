@@ -231,6 +231,14 @@ def docs_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     min length, min tokens, alphabetic ratio, stopword ratio.  One
     codegen'd projection — runs at parquet-scan speed."""
     docs = _t(spark, sf_dir, "documents")
+    return PL.filter_chain(docs, quality_rule_set()).orderBy("doc_id")
+
+
+def quality_rule_set() -> list[tuple[str, F.Column]]:
+    """The canonical heuristic gate set over ``documents.text`` (the
+    rules ``docs_filter_chain`` oracles), exposed so the model-based
+    quality classifier (plans/breadth10.py) trains on EXACTLY the
+    heuristic verdicts the chain emits — one definition, two consumers."""
     text = F.col("text")
     toks = TF.tokens("text")
     stop_arr = F.array(*[F.lit(s) for s in TF.STOPWORDS_EN])
@@ -240,13 +248,12 @@ def docs_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.length(text).cast("double")
     )
     stop_ratio = n_stop.cast("double") / F.size(toks).cast("double")
-    rules = [
+    return [
         ("min_chars", F.length(text) >= 100),
         ("min_tokens", F.size(toks) >= 20),
         ("alpha_ratio", alpha_ratio >= 0.5),
         ("stopword_ratio", stop_ratio <= 0.3),
     ]
-    return PL.filter_chain(docs, rules).orderBy("doc_id")
 
 
 @register(

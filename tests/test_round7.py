@@ -141,6 +141,9 @@ def test_twin_registry_integrity():
         # span-decontamination twin
         "dedup_incremental_containment_prebuilt",
         "stream_substring_decontaminate",
+        "stream_bot_users",  # r9: streaming twin of events_bot_users
+        # r10: best-cover output governor for the all-pairs anchor
+        "dedup_containment_canonical",
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():
