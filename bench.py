@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "stream_checksum_mv",
     "orders_replica_reconcile",
     "dedup_cluster_size_stats",
+    "media_audio_fingerprint",
     "media_phash_dedup",
     "media_phash_near_pairs",
     # r8 coverage sweep (VERDICT r7 item 3): every remaining catalog

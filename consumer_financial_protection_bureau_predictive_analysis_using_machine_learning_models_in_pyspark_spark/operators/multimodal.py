@@ -518,3 +518,82 @@ def pair_consistency_filter(
         .withColumn("keep", F.col("score_u") >= floor_u)
         .drop("_dot", "_tn2", "_in2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (r10: the second modality through the BINARY-column
+# plumbing).  A Haitsma–Kalker-style energy-delta fingerprint: frame the
+# sample stream at a fixed hop, compute per-frame energy, emit bit k = 1 iff
+# E_k > E_{k-1}, fold the 63 deltas into one BIGINT.  The *decoder* is the
+# deterministic stand-in this container mandates (the blob's bytes ARE the
+# 8-bit sample stream — no librosa/ffmpeg), but every stage downstream of
+# the decode is the real production shape: Arrow-batched mapInPandas over
+# the binary column, one int per clip, hamming-banded near-dup candidates.
+# The signature is EXACT integer arithmetic, so unlike real MFCCs it is
+# DuckDB-oracle-checkable end-to-end (same tier as media_text_pair_filter).
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_FRAME_LEN = 8
+AUDIO_FP_HOP = 4
+AUDIO_FP_N_FRAMES = 64  # 63 delta bits -> Horner fold peaks at 2^63-1
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    frame_len: int = AUDIO_FP_FRAME_LEN,
+    hop: int = AUDIO_FP_HOP,
+    n_frames: int = AUDIO_FP_N_FRAMES,
+) -> DataFrame:
+    """(media_id, fingerprint BIGINT) for every audio-modality blob.
+
+    Sample i of frame k is byte ``(k*hop + i) % n`` of the blob (wrap, so
+    any length fingerprints; blobs of ≥ ``(n_frames-1)*hop + frame_len``
+    bytes never wrap, which is what makes an appended-tail clone collide
+    with its source — the near-dup fixture's recall contract).  Frame
+    energy is the exact integer Σ byte², bit k (k=1..63) is the energy
+    delta sign, folded high-bit-first: 63 bits peak at 2^63−1, ANSI-safe
+    (the phash discipline, operators/multimodal.py:305).
+
+    At 100 TB: the decode is one Arrow-batched pass over the binary
+    column chunk (numpy per clip, vectorized over the frame×sample grid);
+    after it the corpus carries 8 bytes per clip and candidate generation
+    is ``hamming_banded_pairs`` on distinct fingerprints — the audio path
+    reuses the image path's banding verbatim.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # frame×sample index grid, built once per task
+        grid = (
+            np.arange(n_frames, dtype=np.int64)[:, None] * hop
+            + np.arange(frame_len, dtype=np.int64)[None, :]
+        )
+        weights = 1 << np.arange(n_frames - 2, -1, -1, dtype=np.uint64)
+
+        def fp(b: bytes) -> int:
+            n = len(b)
+            if n == 0:
+                return 0
+            samples = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            e = (samples[grid % n] ** 2).sum(axis=1)
+            bits = (e[1:] > e[:-1]).astype(np.uint64)
+            return int((bits * weights).sum(dtype=np.uint64))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fingerprint": pdf["content"].map(fp).astype("int64"),
+                }
+            )
+
+    aud = media.filter(F.col("modality") == "audio").select("media_id", "content")
+    return aud.mapInPandas(_batches, schema=AUDIO_FP_SCHEMA)

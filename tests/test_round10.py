@@ -142,3 +142,61 @@ def test_quality_classifier_pin_has_teeth(spark):
     # straight labels keep 446/500 (golden table); inverted labels must
     # keep roughly the complement — far outside any float-noise band
     assert n_keep < 150, n_keep
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (VERDICT r9 "What's missing" #2) — injected-clone
+# recall pin + fingerprint contract on a hand fixture.
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_clone_recall(spark):
+    """Every injected appended-tail clone must collide with its source at
+    hamming 0 — the no-wrap contract (fingerprint reads bytes [0, 260))."""
+    rows = CATALOG["media_audio_fingerprint"].fn(spark, SF).collect()
+    assert len(rows) > 0
+    clone_pairs = {
+        (r.id_a, r.id_b): r.hamming for r in rows if r.id_b >= 999_999
+    }
+    # fixture: clones of audio docs (id % 30 == 10) with >= 260 chars
+    import duckdb
+
+    expected = {
+        (i, i + 999_999)
+        for (i,) in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet' "
+            "WHERE doc_id % 30 = 10 AND length(text) >= 260"
+        ).fetchall()
+    }
+    assert expected, "fixture must inject clones"
+    assert set(clone_pairs) >= expected, expected - set(clone_pairs)
+    assert all(clone_pairs[p] == 0 for p in expected)
+
+
+def test_audio_fingerprint_contract(spark):
+    """Hand fixture: an appended tail leaves the fingerprint unchanged
+    when the source is >= 260 bytes; flipping one byte INSIDE the read
+    window changes it; fingerprints stay within signed-int64 63 bits."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        multimodal as MM,
+    )
+    from pyspark.sql import functions as F
+
+    base = "abcdefgh" * 40  # 320 bytes, deterministic varied energies
+    perturbed = "X" + base[1:]
+    rows = [
+        (1, base),
+        (2, base + " tail bytes that must not matter"),
+        (3, perturbed),
+        (4, "short"),  # wraps; must still produce a legal fingerprint
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, text string").select(
+        "media_id",
+        F.lit("audio").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    got = {r.media_id: r.fingerprint for r in MM.audio_fingerprint(df).collect()}
+    assert got[1] == got[2], "appended tail changed a no-wrap fingerprint"
+    assert got[1] != got[3], "in-window perturbation did not change it"
+    for v in got.values():
+        assert 0 <= v < 2**63
