@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "ann_ivf_prebuilt_topk",
     "ann_range_search",
     "ann_recall_eval",
+    "ann_ivf_delete_compact",
     "ann_int8_rerank_topk",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",

@@ -1335,3 +1335,51 @@ def ivfpq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivf_delete_compact(
+    index: IvfIndex,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> IvfIndex:
+    """Delete lifecycle for a served IVF index (r10): tombstone a keyed
+    delete set and compact ONLY the touched cells, leaving every other
+    cell's postings untouched and the codebook unchanged (deletes do not
+    move centroids; they only thin cells — re-training the quantizer is
+    a separate, much rarer maintenance event).
+
+    Shape at 100 TB, where ``assigned`` is a table partitioned by
+    ``cell``: the delete set broadcasts (it is the small side by
+    contract); the touched-cell list is a distinct over the broadcast
+    semi-join (≤ n_assign·|deletes| cells); untouched cells are excluded
+    by partition pruning and their files are KEPT VERBATIM — only
+    touched-cell partitions rewrite, which is the compaction contract
+    that makes deletes O(touched) instead of O(index).  Here the same
+    plan is expressed over the persisted in-memory frame: both joins
+    against the delete/touched sets are broadcast, the corpus-side frame
+    never reshuffles.
+
+    Returns a NEW :class:`IvfIndex` sharing the input's centroids and
+    ``n_assign``; the input index is not mutated (the caller's persisted
+    frame keeps serving until the swap — pinned in tests/test_round10.py
+    along with exact equality of the compacted postings to
+    original-minus-deletes and the post-delete recall floor).
+    """
+    tomb = delete_ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    touched = (
+        index.assigned.join(F.broadcast(tomb), "neighbor_id")
+        .select("cell")
+        .distinct()
+    )
+    cols = index.assigned.columns
+    untouched = index.assigned.join(F.broadcast(touched), "cell", "left_anti")
+    compacted_touched = (
+        index.assigned.join(F.broadcast(touched), "cell", "left_semi")
+        .join(F.broadcast(tomb), "neighbor_id", "left_anti")
+        .select(*cols)
+    )
+    return IvfIndex(
+        untouched.select(*cols).unionByName(compacted_touched),
+        index.centroids,
+        index.n_assign,
+    )

@@ -50,6 +50,26 @@ PANEL = [
     "ann_ivf_topk",
     # multimodal
     "media_text_pair_filter",
+    # r10: decade evidence for the round's additions
+    "dedup_containment_canonical",
+    "media_audio_fingerprint",
+    "docs_quality_classifier",
+    # r10 (VERDICT r9 #4): anchor/twin pairs whose twins are SLOWER at
+    # sf0.1 — the docstrings argue a scale crossover; the committed
+    # sf0.1->sf1 ratio PAIR is the evidence (the anchor's ratio should
+    # grow faster than the twin's if the crossover argument holds)
+    "dedup_incremental",
+    "dedup_incremental_bloom",
+    "docs_quality_deciles",
+    "docs_quality_deciles_approx",
+]
+
+# (anchor, twin) pairs surfaced as an explicit ratio comparison in the
+# artifact: twin_ratio < anchor_ratio evidences the crossover direction.
+TWIN_PAIRS = [
+    ("dedup_containment", "dedup_containment_canonical"),
+    ("dedup_incremental", "dedup_incremental_bloom"),
+    ("docs_quality_deciles", "docs_quality_deciles_approx"),
 ]
 
 
@@ -95,8 +115,18 @@ def main() -> None:
               f"ratio {rec['ratio']}x", file=sys.stderr, flush=True)
     spark.stop()
 
+    twin_ratios = {
+        f"{anchor}/{twin}": {
+            "anchor_ratio": out[anchor]["ratio"],
+            "twin_ratio": out[twin]["ratio"],
+            "twin_scales_flatter": out[twin]["ratio"] < out[anchor]["ratio"],
+        }
+        for anchor, twin in TWIN_PAIRS
+        if anchor in out and twin in out
+    }
     path = os.path.join(HERE, f"BENCH_SF1_r{_round_number():02d}.json")
     payload = {
+        "twin_pairs": twin_ratios,
         "note": (
             "one-decade scaling: best-of-2 steady-state walls on sf0.1 and "
             "the 10x key-shifted soak corpus, one warmed local session; "
