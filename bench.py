@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "docs_quality_zscore",
     "docs_vocab_coverage",
     "dedup_canonical_best",
+    "dedup_canonical_delete_promote",
     # graph / quality / interchange (r6 second wave)
     "supplier_copurchase_pagerank",
     "part_copurchase_triangles",

@@ -273,3 +273,131 @@ def ann_ivf_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining = emb.filter(F.col("vec_id") % 7 != 3)
     truth = SIM.cosine_topk(remaining, probes, k=5)
     return SIM.recall_at_k(pred, truth, k=5).orderBy("probe_id")
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten through the dedup layer (r10): deleting docs from a
+# deduplicated corpus must PROMOTE a new canonical in every cluster whose
+# kept representative was deleted — otherwise the training corpus silently
+# loses whole clusters that still have legal survivors.  Composes the
+# oracled component/quality machinery of dedup_canonical_best.
+# ---------------------------------------------------------------------------
+
+from .breadth6 import _COMPONENT_XTAIL_CTES  # noqa: E402
+from .text_queries import _D_TOKS, _QU_EXPR_SQL, _QU_MOMENTS_SQL  # noqa: E402
+
+# originals of ≡10 (mod 20) clusters are deleted (clone survives →
+# promotion), whole ≡0 (mod 20) clusters are deleted (clone ids keep the
+# residue: 1,000,000 ≡ 0 mod 20 → NULL promotion arm exercised)
+_DEL_SQL = "(doc_id % 20 = 0) OR (doc_id % 20 = 10 AND doc_id < 1000000)"
+
+
+@register(
+    "dedup_canonical_delete_promote",
+    f"""
+{_COMPONENT_XTAIL_CTES},
+qual AS (
+  SELECT doc_id, {_QU_EXPR_SQL} AS quality_u
+  FROM (
+    SELECT doc_id, {_QU_MOMENTS_SQL}
+    FROM (SELECT doc_id, text, {_D_TOKS} AS toks FROM aug)
+  )
+),
+m AS (
+  SELECT c.component, c.doc_id, q.quality_u, {_DEL_SQL} AS deleted
+  FROM comp c JOIN qual q USING (doc_id)
+),
+old AS (
+  SELECT component, doc_id AS old_canonical, deleted FROM (
+    SELECT component, doc_id, deleted,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY quality_u DESC, doc_id) AS rn
+    FROM m) r WHERE rn = 1
+),
+newc AS (
+  SELECT component, doc_id AS new_canonical FROM (
+    SELECT component, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY quality_u DESC, doc_id) AS rn
+    FROM m WHERE NOT deleted) r WHERE rn = 1
+),
+cnt AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN deleted THEN 0 ELSE 1 END) AS BIGINT) AS n_after
+  FROM m GROUP BY component
+)
+SELECT o.component, o.old_canonical, n.new_canonical, c.n_before, c.n_after
+FROM old o
+LEFT JOIN newc n USING (component)
+JOIN cnt c USING (component)
+WHERE o.deleted
+ORDER BY o.component
+""",
+    "dedup", "components", "canonical", "delete", "gdpr",
+)
+def dedup_canonical_delete_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical promotion under deletion: over the ' xtail' near-dup
+    corpus (dedup_canonical_best's fixture — clusters whose members
+    genuinely differ in quality), apply a keyed delete set and, for every
+    cluster whose CURRENT canonical (max quality_u, tie → min id) is
+    deleted, emit the promoted survivor — the highest-quality remaining
+    member — or NULL when the whole cluster is deleted.  Returns
+    (component, old_canonical, new_canonical, n_before, n_after).
+
+    Scale shape: promotion is two ranking windows over the SAME
+    component-keyed exchange (cluster-sized partitions; the second sort
+    reuses the first's partitioning), counts are one partial-agg pass on
+    that frame, and the corpus text feeds only the shared minhash
+    candidate stage.  In production the delete predicate is a broadcast
+    keyed table; here it is the deterministic residue rule so the whole
+    composition — minhash pairs → recursive component closure → exact
+    integer quality → promotion — stays DuckDB-oracle-checkable."""
+    from pyspark.sql import Window
+
+    from ..operators import dedup as DD
+    from ..operators import text as TX
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.union(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" xtail")).alias("text"),
+        )
+    )
+    pairs = DD.minhash_dedup_pairs(spark, aug, threshold=0.5)
+    comps = DD.connected_components(pairs)
+    qual = TX.quality_score_exact(aug).select("doc_id", "quality_u")
+    m = comps.join(qual, "doc_id").withColumn(
+        "deleted",
+        (F.col("doc_id") % 20 == 0)
+        | ((F.col("doc_id") % 20 == 10) & (F.col("doc_id") < 1_000_000)),
+    )
+    wq = Window.partitionBy("component").orderBy(
+        F.col("quality_u").desc(), "doc_id"
+    )
+    old = (
+        m.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("old_canonical"), "deleted")
+    )
+    newc = (
+        m.filter(~F.col("deleted"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("new_canonical"))
+    )
+    cnt = m.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("deleted"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_after"),
+    )
+    return (
+        old.filter(F.col("deleted"))
+        .drop("deleted")
+        .join(newc, "component", "left")
+        .join(cnt, "component")
+        .select("component", "old_canonical", "new_canonical",
+                "n_before", "n_after")
+        .orderBy("component")
+    )

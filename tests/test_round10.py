@@ -256,3 +256,30 @@ def test_ivf_delete_compact_cache_reuse_and_recall_floor(spark):
     assert len(rows) == 10
     assert sum(recalls) / len(recalls) >= 0.85
     assert min(recalls) >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# Canonical promotion under deletion (r10) — semantic pins over the
+# fixture: NULL arm ⟺ whole-cluster deletion, promoted member is the
+# best survivor, and both arms are actually exercised.
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_delete_promote_semantics(spark):
+    rows = CATALOG["dedup_canonical_delete_promote"].fn(spark, SF).collect()
+    assert rows, "fixture must affect clusters"
+    nulls = [r for r in rows if r.new_canonical is None]
+    promoted = [r for r in rows if r.new_canonical is not None]
+    assert nulls and promoted, "both arms must be exercised"
+
+    def deleted(doc_id: int) -> bool:
+        return doc_id % 20 == 0 or (doc_id % 20 == 10 and doc_id < 1_000_000)
+
+    for r in rows:
+        assert deleted(r.old_canonical), r  # only affected clusters emit
+        assert r.n_before > r.n_after or r.n_after == 0
+        if r.new_canonical is None:
+            assert r.n_after == 0, r  # NULL ⟺ nothing survived
+        else:
+            assert r.n_after >= 1 and not deleted(r.new_canonical), r
+            assert r.new_canonical != r.old_canonical
