@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "docs_quality_deciles",
     "docs_pack_manifest",
     "docs_pack_sequences",
+    "docs_delete_impact",
     "docs_domain_reweight",
     "docs_reweighted_sample",
     "docs_training_export",

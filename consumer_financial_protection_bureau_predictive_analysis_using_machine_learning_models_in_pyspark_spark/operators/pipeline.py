@@ -619,73 +619,9 @@ def pack_sequences(
     ordered "doc_id:start-end" comma list in within-sequence token
     coordinates, end exclusive).
     """
-    from pyspark.sql import types as T
-
-    if not isinstance(
-        df.schema[order_col].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
-    ):
-        raise TypeError(
-            f"pack_sequences requires an integral order column; "
-            f"{order_col!r} is {df.schema[order_col].dataType.simpleString()}"
-            " (the (bucket, order) == global-order invariant relies on "
-            "monotonic integer division)"
-        )
-    n_tok = F.size(TF.tokens(text_col)).cast("bigint")
-    base = df.select(
-        F.col(order_col).alias("_id"),
-        n_tok.alias("_nt"),
-        F.expr(f"CAST(`{order_col}` AS BIGINT) DIV 10000").alias("_bucket"),
-    )
-    offsets = (
-        base.groupBy("_bucket")
-        .agg(F.sum("_nt").alias("_bucket_tokens"))
-        .select(
-            "_bucket",
-            (
-                F.coalesce(
-                    F.sum("_bucket_tokens").over(
-                        Window.orderBy("_bucket").rowsBetween(
-                            Window.unboundedPreceding, -1
-                        )
-                    ),
-                    F.lit(0),
-                )
-            ).alias("_offset"),
-        )
-    )
-    w = (
-        Window.partitionBy("_bucket")
-        .orderBy("_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    spans = (
-        base.join(F.broadcast(offsets), "_bucket")
-        .withColumn("_cum", F.sum("_nt").over(w) + F.col("_offset"))
-        .withColumn("_start", F.col("_cum") - F.col("_nt"))
-        # a 0-token doc has an empty interval: drop it BEFORE the explode
-        # (F.sequence(a, b) with b < a would generate a DESCENDING range)
-        .filter(F.col("_nt") >= 1)
-        .withColumn(
-            "seq_id",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("_start") / F.lit(seq_len)),
-                    F.floor((F.col("_cum") - 1) / F.lit(seq_len)),
-                )
-            ),
-        )
-        .select(
-            "_id",
-            "seq_id",
-            F.greatest(
-                F.col("_start") - F.col("seq_id") * F.lit(seq_len), F.lit(0)
-            ).alias("span_start"),
-            F.least(
-                F.col("_cum") - F.col("seq_id") * F.lit(seq_len),
-                F.lit(seq_len),
-            ).alias("span_end"),
-        )
+    spans = sequence_spans(
+        df, seq_len=seq_len, order_col=order_col,
+        text_col=text_col, n_buckets=n_buckets,
     )
     seg = F.concat_ws(
         ",",
@@ -1269,5 +1205,98 @@ def self_repetition_spans(
             "tok_start",
             "tok_end",
             (F.col("tok_end") - F.col("tok_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def sequence_spans(
+    df: DataFrame,
+    seq_len: int = 128,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The per-(doc, sequence) boundary map behind ``pack_sequences``,
+    exposed as its own frame (r10): (_id, seq_id, span_start, span_end)
+    with spans in within-sequence token coordinates, end exclusive.
+    ``pack_sequences`` aggregates this into the loader manifest; the
+    delete-impact audit (plans/breadth10.docs_delete_impact) consumes it
+    directly to find which packed sequences a document deletion
+    invalidates.
+
+    Shape (unchanged from pack_sequences, one definition now): two-phase
+    bucket prefix sum — per-bucket totals carry the global offset, the
+    wide window is bucket-partitioned, the only global ordering is the
+    ``n_buckets``-row offset table — then a bounded explode
+    (1 + nt DIV seq_len rows per doc) and pure column arithmetic.
+    ``order_col`` must be integral (the (bucket, order) == global-order
+    invariant relies on monotonic integer division).
+    """
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[order_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise TypeError(
+            f"sequence packing requires an integral order column; "
+            f"{order_col!r} is {df.schema[order_col].dataType.simpleString()}"
+            " (the (bucket, order) == global-order invariant relies on "
+            "monotonic integer division)"
+        )
+    n_tok = F.size(TF.tokens(text_col)).cast("bigint")
+    base = df.select(
+        F.col(order_col).alias("_id"),
+        n_tok.alias("_nt"),
+        F.expr(f"CAST(`{order_col}` AS BIGINT) DIV 10000").alias("_bucket"),
+    )
+    offsets = (
+        base.groupBy("_bucket")
+        .agg(F.sum("_nt").alias("_bucket_tokens"))
+        .select(
+            "_bucket",
+            (
+                F.coalesce(
+                    F.sum("_bucket_tokens").over(
+                        Window.orderBy("_bucket").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).alias("_offset"),
+        )
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_cum", F.sum("_nt").over(w) + F.col("_offset"))
+        .withColumn("_start", F.col("_cum") - F.col("_nt"))
+        # a 0-token doc has an empty interval: drop it BEFORE the explode
+        # (F.sequence(a, b) with b < a would generate a DESCENDING range)
+        .filter(F.col("_nt") >= 1)
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_start") / F.lit(seq_len)),
+                    F.floor((F.col("_cum") - 1) / F.lit(seq_len)),
+                )
+            ),
+        )
+        .select(
+            "_id",
+            "seq_id",
+            F.greatest(
+                F.col("_start") - F.col("seq_id") * F.lit(seq_len), F.lit(0)
+            ).alias("span_start"),
+            F.least(
+                F.col("_cum") - F.col("seq_id") * F.lit(seq_len),
+                F.lit(seq_len),
+            ).alias("span_end"),
         )
     )

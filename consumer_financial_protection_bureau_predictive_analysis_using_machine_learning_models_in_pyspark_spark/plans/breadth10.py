@@ -401,3 +401,99 @@ def dedup_canonical_delete_promote(spark: SparkSession, sf_dir: str) -> DataFram
                 "n_before", "n_after")
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete impact through the loader layer (r10): deleting documents
+# invalidates the packed training sequences that contain them.  The audit
+# a pipeline runs BEFORE honoring a delete request: which sequences must
+# be rebuilt, how much of each is salvageable.
+# ---------------------------------------------------------------------------
+
+from .breadth7 import _SEQ_LEN  # noqa: E402
+
+_DI_DEL_SQL = "doc_id % 53 = 7"
+
+
+@register(
+    "docs_delete_impact",
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_D_TOKS}) AS BIGINT) AS nt FROM documents
+),
+c AS (
+  SELECT doc_id, nt,
+         CAST(SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM t WHERE nt >= 1
+),
+sp AS (
+  SELECT doc_id, cum - nt AS gstart, cum,
+         CAST(unnest(range((cum - nt) // {_SEQ_LEN},
+                           (cum - 1) // {_SEQ_LEN} + 1)) AS BIGINT) AS seq_id
+  FROM c
+),
+spans AS (
+  SELECT seq_id, doc_id,
+         LEAST(cum - seq_id * {_SEQ_LEN}, {_SEQ_LEN})
+           - GREATEST(gstart - seq_id * {_SEQ_LEN}, 0) AS span_tokens,
+         ({_DI_DEL_SQL}) AS deleted
+  FROM sp
+)
+SELECT seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted_segments,
+       CAST(SUM(CASE WHEN deleted THEN span_tokens ELSE 0 END) AS BIGINT)
+         AS deleted_tokens,
+       CAST(SUM(CASE WHEN deleted THEN 0 ELSE span_tokens END) AS BIGINT)
+         AS kept_tokens
+FROM spans
+GROUP BY seq_id
+HAVING SUM(CASE WHEN deleted THEN 1 ELSE 0 END) > 0
+ORDER BY seq_id
+""",
+    "pipeline", "packing", "delete", "audit", "training-loader",
+)
+def docs_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence invalidation audit for a document delete set
+    (doc_id ≡ 7 mod 53 — in production a broadcast keyed table): for
+    every training sequence (docs_pack_sequences' seq_len=128 layout)
+    containing a deleted document, emit (seq_id, n_segments,
+    n_deleted_segments, deleted_tokens, kept_tokens) — the rebuild
+    manifest and its salvage accounting.  Sequences untouched by the
+    delete set are absent: rebuild cost scales with the damage, not the
+    corpus (the orders_replica_reconcile discipline applied to the
+    loader layer).
+
+    Scale shape: consumes operators.pipeline.sequence_spans — the SAME
+    boundary map pack_sequences aggregates (one definition, two
+    consumers; two-phase bucket prefix sum, no global-sort window) —
+    then ONE conditional agg keyed by seq_id with the HAVING filter
+    pruning clean sequences before the presentation sort."""
+    from ..operators import pipeline as PL
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = PL.sequence_spans(docs, seq_len=_SEQ_LEN)
+    flagged = spans.select(
+        "seq_id",
+        (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        (F.col("_id") % 53 == 7).alias("deleted"),
+    )
+    return (
+        flagged.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.when(F.col("deleted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_deleted_segments"),
+            F.sum(F.when(F.col("deleted"), F.col("span_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("deleted_tokens"),
+            F.sum(F.when(F.col("deleted"), 0).otherwise(F.col("span_tokens")))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .filter(F.col("n_deleted_segments") > 0)
+        .orderBy("seq_id")
+    )

@@ -283,3 +283,35 @@ def test_canonical_delete_promote_semantics(spark):
         else:
             assert r.n_after >= 1 and not deleted(r.new_canonical), r
             assert r.new_canonical != r.old_canonical
+
+
+def test_delete_impact_consistent_with_pack_manifest(spark):
+    """Every affected sequence's segment/token accounting must agree with
+    the docs_pack_sequences manifest it invalidates: same n_segments,
+    deleted+kept == the sequence's packed tokens, and each deleted
+    segment belongs to a doc in the delete set (parsed from the
+    manifest's span map)."""
+    impact = {r.seq_id: r for r in
+              CATALOG["docs_delete_impact"].fn(spark, SF).collect()}
+    assert impact, "fixture must invalidate sequences"
+    manifest = {r.seq_id: r for r in
+                CATALOG["docs_pack_sequences"].fn(spark, SF).collect()}
+    for seq_id, r in impact.items():
+        m = manifest[seq_id]
+        assert r.n_segments == m.n_segments, seq_id
+        assert r.deleted_tokens + r.kept_tokens == m.n_tokens, seq_id
+        assert 1 <= r.n_deleted_segments <= r.n_segments
+        # recompute from the manifest's span map
+        del_toks = n_del = 0
+        for seg in m.segments.split(","):
+            doc_id, span = seg.split(":")
+            a, b = span.split("-")
+            if int(doc_id) % 53 == 7:
+                n_del += 1
+                del_toks += int(b) - int(a)
+        assert (n_del, del_toks) == (r.n_deleted_segments, r.deleted_tokens)
+    # completeness: no affected sequence missing from the impact frame
+    for seq_id, m in manifest.items():
+        has_deleted = any(int(s.split(":")[0]) % 53 == 7
+                          for s in m.segments.split(","))
+        assert has_deleted == (seq_id in impact), seq_id
