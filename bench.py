@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "docs_pack_sequences",
     "docs_delete_impact",
     "docs_domain_reweight",
+    "docs_dsir_importance",
     "docs_reweighted_sample",
     "docs_training_export",
     "docs_bm25_rank",
@@ -329,6 +330,7 @@ PANEL_QUERIES = [
     "dedup_incremental_bloom",
     # r8/r7 ≥1.5× movers — reproduce-or-clear
     "docs_domain_reweight",
+    "docs_dsir_importance",
     "stream_static_enrich",
     "stream_windowed_counts",
     "docs_training_export",

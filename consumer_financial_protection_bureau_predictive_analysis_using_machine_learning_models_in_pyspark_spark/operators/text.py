@@ -1053,3 +1053,78 @@ def bigram_condprob_score(
             F.expr("CAST((2 * sum_condprob_u + n_bigrams) DIV (2 * n_bigrams) AS BIGINT)"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    num_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bytes: int = 32,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document
+    log-likelihood ratio between a TARGET (seed-domain) hashed-unigram
+    LM and the RAW-corpus LM, the score importance resampling draws
+    against.  ``is_target`` is a boolean column over ``df`` marking the
+    seed slice (in production: a curated positive set).
+
+    Exactness discipline: per-bucket counts are exact integers; the only
+    transcendental is ONE ln per bucket over a single double division of
+    exact-int products — rounded half-up to 1e-6 micro-units AT THE
+    BUCKET (≤ ``num_features`` roundings, margins auditable), after
+    which the per-doc score is an exact int64 SUM of bucket units, so
+    the document surface replays bit-identically on any engine and any
+    partitioning (no float accumulation anywhere).
+
+    Returns (doc_id, n_tokens, sum_logratio_u); docs with no valid
+    tokens are absent.  Scale: one explode feeds bucket counts AND doc
+    scores (persist the hashed frame); the smoothed log-ratio dim is
+    ≤ num_features rows and broadcasts; the corpus text never shuffles —
+    the shuffles carry (bucket) and (doc_id) keyed integer rows only.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.hashing import with_hashingtf_index
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        is_target.alias("_t"),
+        F.explode(TF.tokens(text_col)).alias("term"),
+    ).filter((F.col("term") != "") & (F.octet_length("term") <= max_bytes))
+    hashed = with_hashingtf_index(
+        toks, "term", "b", num_features, max_bytes
+    ).select("_id", "_t", "b").persist(StorageLevel.MEMORY_AND_DISK)
+
+    cnt = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("bigint").alias("c_t"),
+    )
+    tot = cnt.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.sum("c_t").cast("bigint").alias("n_t"),
+    )
+    smooth = F.lit(int(num_features))
+    arg = (
+        (F.col("c_t") + 1).cast("double")
+        * (F.col("n_r") + smooth).cast("double")
+    ) / (
+        (F.col("c_r") + 1).cast("double")
+        * (F.col("n_t") + smooth).cast("double")
+    )
+    dim = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(F.log(arg) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("lr_u"),
+    )
+    return (
+        hashed.join(F.broadcast(dim), "b")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lr_u").cast("bigint").alias("sum_logratio_u"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "sum_logratio_u")
+    )

@@ -497,3 +497,87 @@ def docs_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_deleted_segments") > 0)
         .orderBy("seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (r10): the third member of the curation-scoring
+# family — heuristic rules (docs_filter_chain), discriminative model
+# (docs_quality_classifier), and now generative importance resampling
+# (hashed-unigram LM log-likelihood ratio vs a seed domain).
+# ---------------------------------------------------------------------------
+
+from ..functions import hashing as HH  # noqa: E402
+
+_DSIR_N = 1024
+_DSIR_MAXB = 32
+_DSIR_TARGET_SQL = "source IN ('src0', 'src1')"
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, ({_DSIR_TARGET_SQL}) AS t, unnest({_D_TOKS}) AS term
+  FROM documents
+),
+f AS (
+  SELECT doc_id, t, term FROM toks
+  WHERE term <> '' AND octet_length(encode(term)) <= {_DSIR_MAXB}
+),
+h AS (
+  SELECT doc_id, t, b
+  FROM {HH.hashingtf_index_duckdb_subquery(
+      "SELECT doc_id, t, term FROM f", ["doc_id", "t", "term"], "term", "b",
+      _DSIR_N, _DSIR_MAXB)} q
+),
+cnt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r,
+         CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM h GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(SUM(c_t) AS BIGINT) AS n_t
+  FROM cnt
+),
+dim AS (
+  SELECT b,
+         CAST(FLOOR(ln((CAST(c_t + 1 AS DOUBLE) * CAST(n_r + {_DSIR_N} AS DOUBLE))
+                       / (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + {_DSIR_N} AS DOUBLE)))
+                    * 1000000 + 0.5) AS BIGINT) AS lr_u
+  FROM cnt CROSS JOIN tot
+)
+SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.lr_u) AS BIGINT) AS sum_logratio_u
+FROM h JOIN dim d USING (b)
+GROUP BY h.doc_id
+ORDER BY h.doc_id
+"""
+
+
+@register(
+    "docs_dsir_importance",
+    _DSIR_SQL,
+    "text", "curation", "dsir", "importance-sampling", "lm",
+)
+def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights against a seed domain (sources src0/src1
+    as the deterministic stand-in for a curated positive set): per doc,
+    the hashed-unigram LM log-likelihood ratio Σ ln(p_target(b)/p_raw(b))
+    in exact micro-unit int64 (operators.text.dsir_importance) — the
+    score importance resampling draws against, and the generative
+    counterpart to docs_quality_classifier's discriminative filter.
+
+    Oracle-exact end-to-end despite the ln: the murmur3 bucket is the
+    generated HashingTF-parity program (functions/hashing.py, nested
+    subqueries on the DuckDB side), counts/totals are integers, each
+    bucket rounds its ONE ln to micro-units, and the doc score is an
+    integer sum — the docs_bigram_pmi single-ln discipline with the
+    rounding pushed to the 1024-row dim so per-doc sums never touch
+    floats.  Weights feed the existing samplers (docs_reweighted_sample
+    machinery) unchanged."""
+    from ..operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return TX.dsir_importance(
+        docs,
+        F.col("source").isin("src0", "src1"),
+        num_features=_DSIR_N,
+        max_bytes=_DSIR_MAXB,
+    ).orderBy("doc_id")

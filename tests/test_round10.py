@@ -315,3 +315,70 @@ def test_delete_impact_consistent_with_pack_manifest(spark):
         has_deleted = any(int(s.split(":")[0]) % 53 == 7
                           for s in m.segments.split(","))
         assert has_deleted == (seq_id in impact), seq_id
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (r10) — ln-margin audit + separation pin.
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_ln_margin_and_separation(spark):
+    """(a) The per-bucket ln rounding must sit far from every half-up
+    boundary (the docs_bigram_pmi discipline: the only engine-variant op
+    is ln, absorbed by micro-unit rounding — prove the margin).  (b) The
+    weights must actually separate: seed-domain docs score higher per
+    token than the rest of the corpus."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.functions import (  # noqa: E501
+        hashing as HH,
+    )
+
+    # recompute the 1024-bucket dim args exactly as the oracle does
+    sub = HH.hashingtf_index_duckdb_subquery(
+        "SELECT doc_id, (source IN ('src0','src1')) AS t, term FROM ("
+        "SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)),"
+        " '\\s+')) AS term FROM docs) WHERE term <> ''"
+        " AND octet_length(encode(term)) <= 32",
+        ["doc_id", "t", "term"], "term", "b", 1024, 32,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs AS SELECT * FROM '{SF}/documents.parquet'")
+    rows = con.execute(
+        f"""
+        WITH h AS (SELECT t, b FROM {sub} q),
+        cnt AS (SELECT b, COUNT(*) AS c_r,
+                       SUM(CASE WHEN t THEN 1 ELSE 0 END) AS c_t
+                FROM h GROUP BY b),
+        tot AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM cnt)
+        SELECT CAST(c_t AS BIGINT), CAST(c_r AS BIGINT),
+               CAST(n_t AS BIGINT), CAST(n_r AS BIGINT)
+        FROM cnt CROSS JOIN tot
+        """
+    ).fetchall()
+    # the synthetic fixture's vocabulary is small (~31 types), so only
+    # that many buckets populate — the margin audit covers them all
+    assert len(rows) > 20
+    min_margin = 1.0
+    for c_t, c_r, n_t, n_r in rows:
+        x = math.log(((c_t + 1) * (n_r + 1024)) / ((c_r + 1) * (n_t + 1024)))
+        frac = (x * 1_000_000 + 0.5) % 1.0
+        min_margin = min(min_margin, frac, 1.0 - frac)
+    # 1-ulp ln disagreement moves x*1e6 by ~|x|*1e6*2^-52 < 1e-8;
+    # demand 4 orders of magnitude more margin than that
+    assert min_margin > 1e-4, min_margin
+
+    out = CATALOG["docs_dsir_importance"].fn(spark, SF)
+    per_tok = out.join(
+        spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "source"),
+        "doc_id",
+    ).groupBy(F.col("source").isin("src0", "src1").alias("is_target")).agg(
+        (F.sum("sum_logratio_u") / F.sum("n_tokens")).alias("per_token_u")
+    ).collect()
+    got = {r.is_target: float(r.per_token_u) for r in per_tok}
+    assert got[True] > got[False] + 1000, got  # >0.001 nats/token apart
