@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "docs_delete_impact",
     "docs_domain_reweight",
     "docs_dsir_importance",
+    "docs_dsir_sample",
     "docs_reweighted_sample",
     "docs_training_export",
     "docs_bm25_rank",
@@ -331,6 +332,7 @@ PANEL_QUERIES = [
     # r8/r7 ≥1.5× movers — reproduce-or-clear
     "docs_domain_reweight",
     "docs_dsir_importance",
+    "docs_dsir_sample",
     "stream_static_enrich",
     "stream_windowed_counts",
     "docs_training_export",

