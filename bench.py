@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "orders_price_ks",
     "orders_status_priority_chi2",
     "stream_quality_gate",
+    "stream_quality_classifier",
     "events_top_session_paths",
     "supplier_strong_components",
     "part_similar_items",

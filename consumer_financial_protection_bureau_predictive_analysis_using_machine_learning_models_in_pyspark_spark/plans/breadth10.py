@@ -654,3 +654,97 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.dsir_gumbel_topk(sc, k=_DSIR_K).select(
         "doc_id", "n_tokens", "sum_logratio_u", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming model serving (r10): the quality classifier at ingest — train
+# offline once, score every arriving micro-batch with the prebuilt model.
+# The first stream_* entry that serves an MLlib model.
+# ---------------------------------------------------------------------------
+
+_QC_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_quality_classifier", None,
+    "streaming", "ml", "quality", "model-serving", "foreachBatch",
+    twin_of="docs_quality_classifier",
+    twin_pin="tests/test_round10.py::test_stream_quality_classifier_twin",
+)
+def stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of docs_quality_classifier — the production split
+    between training and serving: the HashingTF→LR quality model is fit
+    ONCE, offline, on the full corpus's weak-label frame (the exact
+    geometry of the batch entry, so the model is the same model), then
+    the corpus arrives as TWO parquet micro-batches (doc_id parity,
+    mtime-ordered) and each batch is scored by the PREBUILT model via
+    streaming.jobs.run_streaming_model_scoring (idempotent _batch_id
+    overwrite — replays rewrite themselves).  Rows-only (MLlib);
+    streaming scores are pinned EQUAL to the batch entry's full-corpus
+    scores, which is the serving-path contract: where the model runs
+    (batch job or ingest stream) must not change a single score."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs as SJ
+
+    docs = _t(spark, sf_dir, "documents")
+    base = Q.weak_label_frame(docs, quality_rule_set()).cache()
+    model = Q.fit_quality_model(base)
+    base.unpersist()
+
+    work = _QC_STREAM_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_qc_")
+        try:
+            in_dir = f"{work}/in"
+            raw = docs.select("doc_id", "text")
+            raw.filter("pmod(doc_id, 2) == 0").coalesce(1).write.parquet(
+                f"{in_dir}/b0"
+            )
+            raw.filter("pmod(doc_id, 2) == 1").coalesce(1).write.parquet(
+                f"{in_dir}/b1"
+            )
+            flat = f"{work}/batches"
+            os.makedirs(flat)
+            for i, sub in enumerate(("b0", "b1")):
+                for f in os.listdir(f"{in_dir}/{sub}"):
+                    if f.endswith(".parquet"):
+                        dst = f"{flat}/batch_{i}.parquet"
+                        shutil.copyfile(f"{in_dir}/{sub}/{f}", dst)
+                        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        if not _QC_STREAM_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _QC_STREAM_DIRS.values()
+                ]
+            )
+        _QC_STREAM_DIRS[sf_dir] = work
+    flat = f"{work}/batches"
+
+    def score_fn(batch_df: DataFrame) -> DataFrame:
+        return Q.score_corpus(
+            Q.weak_label_frame(batch_df, quality_rule_set()), model
+        )
+
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    SJ.run_streaming_model_scoring(
+        stream, score_fn, f"{work}/scores", f"{work}/ckpt"
+    )
+    return (
+        spark.read.parquet(f"{work}/scores")
+        .select("doc_id", "heuristic_keep", "model_score_u",
+                "model_keep", "agree", "_batch_id")
+        .orderBy("doc_id")
+    )

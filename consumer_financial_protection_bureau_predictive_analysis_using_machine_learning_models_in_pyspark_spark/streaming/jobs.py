@@ -1144,3 +1144,42 @@ def run_streaming_gap_moments(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_model_scoring(
+    stream: DataFrame,
+    score_fn,
+    out_dir: str,
+    checkpoint: str,
+) -> None:
+    """Model serving at ingest (r10): score every micro-batch with a
+    PREBUILT model — ``score_fn`` is a caller-supplied closure
+    ``batch_df -> scored_df`` wrapping the offline-trained model (the
+    production split: training is an offline job, the stream only runs
+    ``transform``).  Each batch's scores land under ``_batch_id=N``
+    partitions with dynamic overwrite, so a replayed batch overwrites
+    itself — the same idempotent exactly-once discipline as every other
+    foreachBatch job in this module.
+
+    The model rides the closure (driver-resident, broadcast to executors
+    by Spark's task serialization exactly as in batch ``transform``);
+    nothing is re-fit per batch, so per-batch cost is one narrow scoring
+    pass over the batch."""
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            score_fn(batch_df)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

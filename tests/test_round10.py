@@ -456,3 +456,20 @@ def test_dsir_gumbel_bias_on_separated_corpus(spark):
     # outscores every raw doc by >> the Gumbel scale, so all 50 must be
     # in the top-100
     assert n_tgt == 50, n_tgt
+
+
+def test_stream_quality_classifier_twin(spark):
+    """Serving-path contract: the streaming entry (prebuilt model scoring
+    parity-split micro-batches) must produce EXACTLY the batch entry's
+    full-corpus scores — where the model runs cannot change a score.
+    Batch ids must cover both micro-batches and partition by parity."""
+    s = CATALOG["stream_quality_classifier"].fn(spark, SF).collect()
+    b = CATALOG["docs_quality_classifier"].fn(spark, SF).collect()
+    assert sorted({r._batch_id for r in s}) == [0, 1]
+    for r in s:
+        assert r._batch_id == r.doc_id % 2
+    sm = {r.doc_id: (r.heuristic_keep, r.model_score_u, r.model_keep, r.agree)
+          for r in s}
+    bm = {r.doc_id: (r.heuristic_keep, r.model_score_u, r.model_keep, r.agree)
+          for r in b}
+    assert sm == bm

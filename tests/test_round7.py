@@ -142,6 +142,7 @@ def test_twin_registry_integrity():
         "dedup_incremental_containment_prebuilt",
         "stream_substring_decontaminate",
         "stream_bot_users",  # r9: streaming twin of events_bot_users
+        "stream_quality_classifier",  # r10: model-serving streaming twin
         # r10: best-cover output governor for the all-pairs anchor
         "dedup_containment_canonical",
     }
