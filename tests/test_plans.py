@@ -585,6 +585,25 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
         "bigram/left-marginal count dims: vocab-bounded (same bound as"
         " docs_bigram_pmi's unigram count frames)"
     ),
+    # (e) r10 additions
+    "ann_ivf_delete_compact": (
+        "probe set literal-bounded (vec_id < 10); tombstone key set:"
+        " legal-delete-request-bounded (same bound as"
+        " orders_delete_propagation — requests, never corpus-sized);"
+        " touched-cell list: ≤ n_cells (8) rows after the distinct"
+    ),
+    "docs_delete_impact": (
+        "per-bucket offset table: 256 buckets (sequence_spans shares"
+        " docs_pack_sequences' two-phase prefix-sum frame)"
+    ),
+    "docs_dsir_importance": (
+        "smoothed log-ratio dim + totals: ≤ num_features (1024) rows +"
+        " one scalar row by construction"
+    ),
+    "docs_dsir_sample": (
+        "same DSIR log-ratio dim (≤ 1024 rows) riding the score CTE;"
+        " top-k side is GlobalLimit-bounded"
+    ),
 }
 
 
@@ -712,3 +731,31 @@ def test_contamination_report_corpus_side_broadcast_only(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_classifier_scores_from_one_pruned_scan(spark):
+    """The model-based quality filter's scoring plan (r10): weak label +
+    token array computed in the SAME projection chain over ONE pruned
+    parquet scan (doc_id/text only) — no verdict self-join anywhere."""
+    plan = _physical(spark, "docs_quality_classifier")
+    scan = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "doc_id" in scan and "text" in scan
+    assert "source" not in scan and "n_chars" not in scan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan, join  # scoring is join-free
+
+
+def test_containment_canonical_collapses_before_exchange(spark):
+    """The r10 output governor: the qualifying pair stream must combine
+    map-side (partial_max on the pick struct BEFORE an exchange), so no
+    executor materializes a clone cluster's full pair list."""
+    plan = _physical(spark, "dedup_containment_canonical")
+    assert "partial_max(struct(" in plan, plan[:2000]
+
+
+def test_audio_fingerprint_bands_distinct_no_cartesian(spark):
+    """Audio near-dup pairing (r10) must generate candidates from band
+    equi-joins over distinct fingerprints — never a cartesian scan."""
+    plan = _physical(spark, "media_audio_fingerprint")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
