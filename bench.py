@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "docs_filter_chain",
     "docs_quality_classifier",
     "docs_quality_classifier_agreement",
+    "docs_quality_classifier_sweep",
     "docs_repetition_stats",
     "docs_token_budget_sample",
     "dedup_exact",

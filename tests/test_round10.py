@@ -473,3 +473,52 @@ def test_stream_quality_classifier_twin(spark):
     bm = {r.doc_id: (r.heuristic_keep, r.model_score_u, r.model_keep, r.agree)
           for r in b}
     assert sm == bm
+
+
+def test_quality_sweep_equals_naive_filtering(spark):
+    """The one-pass histogram sweep must equal the naive 19-filter sweep
+    computed directly from the scored frame, row for row."""
+    sweep = CATALOG["docs_quality_classifier_sweep"].fn(spark, SF).collect()
+    scored = CATALOG["docs_quality_classifier"].fn(spark, SF).collect()
+    assert len(sweep) == 19
+    for r in sweep:
+        t = r.threshold_u
+        tp = sum(1 for s in scored if s.model_score_u >= t and s.heuristic_keep)
+        fp = sum(1 for s in scored
+                 if s.model_score_u >= t and not s.heuristic_keep)
+        fn = sum(1 for s in scored if s.model_score_u < t and s.heuristic_keep)
+        tn = sum(1 for s in scored
+                 if s.model_score_u < t and not s.heuristic_keep)
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn), t
+        if tp + fp:
+            assert abs(r.precision - tp / (tp + fp)) < 1e-6
+        assert abs(r.recall - (tp / (tp + fn) if tp + fn else 0.0)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Delete-lifecycle edge cases (r10): empty and total delete sets.
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_delete_compact_edge_sets(spark):
+    """Empty delete set → compacted postings identical; delete-everything
+    → compacted postings empty (both through the same touched-cell
+    pruning path)."""
+    from pyspark.sql import functions as F
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        similarity as SIM,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.sources.readers import (  # noqa: E501
+        load_table,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = SIM.ivf_build(emb, n_cells=4, n_assign=1)
+    orig = {(r.neighbor_id, r.cell) for r in idx.assigned.collect()}
+
+    none = SIM.ivf_delete_compact(idx, emb.filter(F.lit(False)).select("vec_id"))
+    assert {(r.neighbor_id, r.cell) for r in none.assigned.collect()} == orig
+
+    all_ = SIM.ivf_delete_compact(idx, emb.select("vec_id"))
+    assert all_.assigned.count() == 0
