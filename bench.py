@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "part_copurchase_triangles",
     "star_constraint_audit",
     "orders_snapshot_diff",
+    "docs_snapshot_diff",
     "orc_roundtrip_part",
     "events_purchase_attribution",
     "docs_bpe_merges",

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.textfns import tokens as TF_tokens
 from ..ml import quality as Q
 from .breadth8 import _ct_scored_pairs
 from .catalog import CATALOG, _t, register
@@ -848,4 +849,105 @@ def docs_quality_classifier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("f1"),
         )
         .orderBy("threshold_u")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (r10): dataset versioning for the documents table —
+# the per-source changelog a training run records when a re-crawl replaces
+# the previous corpus version (the orders_snapshot_diff discipline plus
+# token accounting; fingerprints and token counts diff, text never joins).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_snapshot_diff",
+    f"""
+WITH v1 AS (
+  SELECT doc_id, source, md5(text) AS fp,
+         CAST(len({_D_TOKS}) AS BIGINT) AS nt
+  FROM documents WHERE doc_id % 31 <> 5
+),
+v2 AS (
+  SELECT doc_id, source, md5(text) AS fp,
+         CAST(len({_D_TOKS}) AS BIGINT) AS nt
+  FROM (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 23 = 7 THEN text || ' rev2' ELSE text END AS text
+    FROM documents WHERE doc_id % 29 <> 3
+  )
+),
+d AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.fp = b.fp THEN 'unchanged'
+              ELSE 'changed' END AS change,
+         COALESCE(b.nt, 0) - COALESCE(a.nt, 0) AS delta
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT source,
+       CAST(SUM(CASE WHEN change = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN change = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN change = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN change = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(SUM(delta) AS BIGINT) AS token_delta
+FROM d GROUP BY source ORDER BY source
+""",
+    "pipeline", "cdc", "snapshot-diff", "versioning", "full-outer",
+)
+def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version changelog: diff two deterministic corpus snapshots
+    (v1 drops ≡5 mod 31 — those arrive only in v2 → added; v2 drops
+    ≡3 mod 29 → removed; v2 appends ' rev2' to ≡7 mod 23 → changed) and
+    publish per-SOURCE counts by change class plus the net token delta —
+    the dataset-versioning record a training pipeline commits alongside
+    a re-crawl before refreshing derived artifacts (dedup indexes, packs).
+
+    Scale shape: each snapshot reduces to (doc_id, source, md5
+    fingerprint, token count) in its scan projection — the full-outer
+    diff joins 8-byte fingerprints and counts co-partitioned on doc_id,
+    the TEXT never moves; the changelog is one source-keyed partial agg
+    (bounded by |sources|).  Null-safe everywhere a side can be absent."""
+    toks_n = F.size(TF_tokens("text")).cast("bigint")
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 31 != 5).select(
+        "doc_id", "source", F.md5("text").alias("fp"), toks_n.alias("nt")
+    )
+    v2 = (
+        docs.filter(F.col("doc_id") % 29 != 3)
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("doc_id") % 23 == 7, F.concat("text", F.lit(" rev2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .select(
+            "doc_id", "source", F.md5("text").alias("fp"), toks_n.alias("nt")
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    d = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") == F.col("b.fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+        (
+            F.coalesce(F.col("b.nt"), F.lit(0))
+            - F.coalesce(F.col("a.nt"), F.lit(0))
+        ).alias("delta"),
+    )
+    agg = [
+        F.sum(F.when(F.col("change") == c, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_{c}")
+        for c in ("added", "removed", "changed", "unchanged")
+    ]
+    return (
+        d.groupBy("source")
+        .agg(*agg, F.sum("delta").cast("bigint").alias("token_delta"))
+        .orderBy("source")
     )

@@ -522,3 +522,43 @@ def test_ivf_delete_compact_edge_sets(spark):
 
     all_ = SIM.ivf_delete_compact(idx, emb.select("vec_id"))
     assert all_.assigned.count() == 0
+
+
+def test_docs_snapshot_diff_classes(spark):
+    """The changelog's classes must match the fixture residues exactly,
+    recomputed per doc: added ⟺ doc only in v2 (≡5 mod 31), removed ⟺
+    only in v1 (≡3 mod 29), changed ⟺ present in both with the ' rev2'
+    mutation (≡7 mod 23); token_delta = +1 per changed doc (one appended
+    token) minus removed-doc tokens plus added-doc tokens."""
+    import duckdb
+
+    rows = {r.source: r for r in
+            CATALOG["docs_snapshot_diff"].fn(spark, SF).collect()}
+    assert rows
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, len(regexp_split_to_array(lower(trim(text)),"
+        f" '\\s+')) AS nt FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    exp = defaultdict(lambda: [0, 0, 0, 0, 0])  # add, rem, chg, unchg, delta
+    for doc_id, source, nt in docs:
+        in_v1 = doc_id % 31 != 5
+        in_v2 = doc_id % 29 != 3
+        changed = doc_id % 23 == 7
+        e = exp[source]
+        if not in_v1 and in_v2:
+            e[0] += 1
+            e[4] += nt + (1 if changed else 0)
+        elif in_v1 and not in_v2:
+            e[1] += 1
+            e[4] -= nt
+        elif in_v1 and in_v2 and changed:
+            e[2] += 1
+            e[4] += 1  # ' rev2' appends exactly one whitespace token
+        elif in_v1 and in_v2:
+            e[3] += 1
+    for source, e in exp.items():
+        r = rows[source]
+        assert (r.n_added, r.n_removed, r.n_changed, r.n_unchanged,
+                r.token_delta) == tuple(e), source
