@@ -53,6 +53,7 @@ _PRIORITY = [
     "stream_quality_classifier",  # never checked — first driver row
     "docs_quality_classifier_sweep",  # never checked — first driver row
     "docs_snapshot_diff",  # never checked — first driver row
+    "docs_dsir_score_batch",  # never checked — first driver row
     "complaints_json_clean",  # newest driver row r5
     "csv_roundtrip_customer",  # newest driver row r5
     "dedup_incremental_bloom",  # newest driver row r5
@@ -90,8 +91,8 @@ _PRIORITY = [
     "ann_int8_rerank_topk",  # newest driver row r6
     "docs_bpe_encode",  # newest driver row r6
     "ml_lda_topics",  # newest driver row r6
-    "ml_timely_lr_lift",  # newest driver row r6
     # ---- window boundary (50): overflow is staleness-ordered ----
+    "ml_timely_lr_lift",  # newest driver row r6
     "ml_timely_lr_lift_approx",  # newest driver row r6
     "media_meta_stats",  # newest driver row r6
     "media_decode_features",  # newest driver row r6

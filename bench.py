@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "docs_domain_reweight",
     "docs_dsir_importance",
     "docs_dsir_sample",
+    "docs_dsir_score_batch",
     "docs_reweighted_sample",
     "docs_training_export",
     "docs_bm25_rank",
@@ -336,6 +337,7 @@ PANEL_QUERIES = [
     "docs_domain_reweight",
     "docs_dsir_importance",
     "docs_dsir_sample",
+    "docs_dsir_score_batch",
     "stream_static_enrich",
     "stream_windowed_counts",
     "docs_training_export",

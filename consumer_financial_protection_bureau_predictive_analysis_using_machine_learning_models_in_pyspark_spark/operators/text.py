@@ -1167,3 +1167,110 @@ def dsir_gumbel_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .drop("_key")
     )
+
+
+def dsir_score_batch(
+    corpus: DataFrame,
+    batch: DataFrame,
+    is_target: Column,
+    num_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bytes: int = 32,
+) -> DataFrame:
+    """The DSIR SERVING path: score an INGEST batch against the
+    corpus-fitted hashed-unigram log-ratio dim — the corpus is scanned
+    only to fit the ≤ ``num_features``-row dim (offline, amortized across
+    batches); the batch never touches the corpus rows.  Tokens hashing to
+    a bucket unseen in the corpus take the pure-smoothing default
+    ln((n_r+B)/(n_t+B)) — the same add-one arithmetic the dim rows carry,
+    so an out-of-vocabulary batch degrades gracefully instead of dropping
+    tokens.
+
+    Same exactness discipline as :func:`dsir_importance` (one ln per dim
+    row + one for the default, micro-unit rounded at the dim; per-doc
+    scores are exact int64 sums).  Returns (doc_id, n_tokens,
+    sum_logratio_u) for the batch."""
+    from ..functions.hashing import with_hashingtf_index
+
+    smooth = F.lit(int(num_features))
+
+    from pyspark.storagelevel import StorageLevel
+
+    ctoks = corpus.select(
+        is_target.alias("_t"),
+        F.explode(TF.tokens(text_col)).alias("term"),
+    ).filter((F.col("term") != "") & (F.octet_length("term") <= max_bytes))
+    chashed = with_hashingtf_index(
+        ctoks, "term", "b", num_features, max_bytes
+    ).select("_t", "b")
+    # materialize the corpus hash leg through its own LINEAR plan before
+    # deriving the dim: optimizing corpus-side AND batch-side 90-step
+    # murmur3 alias chains in one tree blows the optimizer up
+    # (StackOverflow / driver OOM, measured r10); after this count the
+    # dim derives from an InMemoryRelation leaf
+    chashed = chashed.persist(StorageLevel.MEMORY_AND_DISK)
+    chashed.count()
+    cnt = chashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("bigint").alias("c_t"),
+    )
+    tot = cnt.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.sum("c_t").cast("bigint").alias("n_t"),
+    )
+    lr = lambda num, den: F.floor(  # noqa: E731
+        F.log(num / den) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    dim = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        lr(
+            (F.col("c_t") + 1).cast("double")
+            * (F.col("n_r") + smooth).cast("double"),
+            (F.col("c_r") + 1).cast("double")
+            * (F.col("n_t") + smooth).cast("double"),
+        ).alias("lr_u"),
+    )
+    default = tot.select(
+        lr(
+            (F.col("n_r") + smooth).cast("double"),
+            (F.col("n_t") + smooth).cast("double"),
+        ).alias("default_u")
+    )
+    # materialize the (tiny) fitted artifacts — the offline product that
+    # serves every batch — then release the corpus leg: the batch plan
+    # sees only two in-memory leaves on its broadcast side
+    dim = dim.persist(StorageLevel.MEMORY_AND_DISK)
+    dim.count()
+    default = default.persist(StorageLevel.MEMORY_AND_DISK)
+    default.count()
+    chashed.unpersist()
+
+    btoks = batch.select(
+        F.col(id_col).alias("_id"),
+        F.explode(TF.tokens(text_col)).alias("term"),
+    ).filter((F.col("term") != "") & (F.octet_length("term") <= max_bytes))
+    # the join/coalesce stack below must not see the 90-step murmur3
+    # alias chain (optimizer rules inline lateral aliases through
+    # non-aggregate operators — exponential; the fit side is safe because
+    # its chain feeds an Aggregate directly).  localCheckpoint truncates
+    # the lineage; the frame is batch-sized (delta by contract — the
+    # pagerank iteration precedent).
+    bhashed = (
+        with_hashingtf_index(btoks, "term", "b", num_features, max_bytes)
+        .select("_id", "b")
+        .localCheckpoint(eager=True)
+    )
+    return (
+        bhashed.join(F.broadcast(dim), "b", "left")
+        .crossJoin(F.broadcast(default))
+        .select(
+            "_id", F.coalesce(F.col("lr_u"), F.col("default_u")).alias("lr_u")
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lr_u").cast("bigint").alias("sum_logratio_u"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "sum_logratio_u")
+    )

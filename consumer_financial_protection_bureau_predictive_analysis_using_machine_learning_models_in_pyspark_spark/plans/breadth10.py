@@ -951,3 +951,81 @@ def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*agg, F.sum("delta").cast("bigint").alias("token_delta"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR serving path (r10): score an ingest batch against the PREBUILT
+# corpus log-ratio dim — the incremental form of docs_dsir_importance
+# (the corpus is scanned only to fit the dim; batches never touch it).
+# ---------------------------------------------------------------------------
+
+# the committed importance oracle, minus its final doc-score SELECT: the
+# CTE prefix (toks/f/h/cnt/tot/dim) IS the fitted dim, reused verbatim so
+# the serving oracle can never drift from the fit oracle
+_DSIR_DIM_PREFIX = _DSIR_SQL.split("\nSELECT h.doc_id")[0]
+
+_DSIR_BATCH_SQL = f"""{_DSIR_DIM_PREFIX},
+dflt AS (
+  SELECT CAST(FLOOR(ln(CAST(n_r + {_DSIR_N} AS DOUBLE)
+                       / CAST(n_t + {_DSIR_N} AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS default_u
+  FROM tot
+),
+batch AS (
+  SELECT doc_id + 5000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+),
+bt AS (SELECT doc_id, unnest({_D_TOKS}) AS term FROM batch),
+bf AS (
+  SELECT doc_id, term FROM bt
+  WHERE term <> '' AND octet_length(encode(term)) <= {_DSIR_MAXB}
+),
+bh AS (
+  SELECT doc_id, b
+  FROM {HH.hashingtf_index_duckdb_subquery(
+      "SELECT doc_id, term FROM bf", ["doc_id", "term"], "term", "b",
+      _DSIR_N, _DSIR_MAXB)} q
+)
+SELECT bh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(d.lr_u, dflt.default_u)) AS BIGINT) AS sum_logratio_u
+FROM bh LEFT JOIN dim d USING (b) CROSS JOIN dflt
+GROUP BY bh.doc_id
+ORDER BY bh.doc_id
+"""
+
+
+@register(
+    "docs_dsir_score_batch",
+    _DSIR_BATCH_SQL,
+    "text", "curation", "dsir", "importance-sampling", "incremental",
+    twin_of="docs_dsir_importance",
+    twin_pin="tests/test_round10.py::test_dsir_batch_scores_equal_corpus_scores",
+)
+def docs_dsir_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR at ingest: a synthetic batch (re-keyed 10% corpus slice,
+    +5,000,000 — verbatim text, so scores must equal the corpus entry's
+    for the same docs, which is the twin pin) is scored against the
+    PREBUILT corpus log-ratio dim (operators.text.dsir_score_batch).
+    Out-of-vocabulary buckets take the pure-smoothing default instead of
+    dropping tokens.
+
+    Scale shape: the corpus appears ONLY in the offline dim fit
+    (≤ 1024 rows + one default scalar, both broadcast); the batch side
+    is explode → codegen'd murmur3 → broadcast left join → doc-keyed
+    agg — per-batch cost is linear in the batch, zero corpus reshuffles
+    (the incremental-dedup discipline applied to importance scoring).
+    The serving oracle reuses the fit oracle's CTE prefix verbatim, so
+    the two can never drift."""
+    from ..operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    return TX.dsir_score_batch(
+        docs,
+        batch,
+        F.col("source").isin("src0", "src1"),
+        num_features=_DSIR_N,
+        max_bytes=_DSIR_MAXB,
+    ).orderBy("doc_id")

@@ -562,3 +562,46 @@ def test_docs_snapshot_diff_classes(spark):
         r = rows[source]
         assert (r.n_added, r.n_removed, r.n_changed, r.n_unchanged,
                 r.token_delta) == tuple(e), source
+
+
+def test_dsir_batch_scores_equal_corpus_scores(spark):
+    """Serving-path contract: the batch is a verbatim re-keyed corpus
+    slice, so its scores against the prebuilt dim must equal the fit
+    entry's scores for the same documents, id-shifted."""
+    corpus = {r.doc_id: (r.n_tokens, r.sum_logratio_u) for r in
+              CATALOG["docs_dsir_importance"].fn(spark, SF).collect()}
+    batch = {r.doc_id: (r.n_tokens, r.sum_logratio_u) for r in
+             CATALOG["docs_dsir_score_batch"].fn(spark, SF).collect()}
+    assert batch, "batch fixture must be non-empty"
+    assert set(batch) == {i + 5_000_000 for i in corpus if i % 10 == 0}
+    for bid, vals in batch.items():
+        assert vals == corpus[bid - 5_000_000], bid
+
+
+def test_dsir_batch_oov_takes_smoothing_default(spark):
+    """A batch token hashing to a bucket unseen in the corpus must take
+    the pure-smoothing default ln((n_r+B)/(n_t+B)) instead of being
+    dropped: a one-token OOV doc still scores, with n_tokens == 1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        text as TX,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "tgt", "alpha beta alpha"), (2, "raw", "beta gamma beta gamma")],
+        "doc_id bigint, source string, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "zzz_never_seen_token")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in TX.dsir_score_batch(
+        corpus, batch, F.col("source") == "tgt", num_features=64
+    ).collect()}
+    assert 10 in out and out[10].n_tokens == 1
+    n_r, n_t = 7, 3  # corpus token totals
+    expected = math.floor(
+        math.log((n_r + 64) / (n_t + 64)) * 1_000_000 + 0.5)
+    assert out[10].sum_logratio_u == expected, out[10]

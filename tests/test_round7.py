@@ -143,6 +143,7 @@ def test_twin_registry_integrity():
         "stream_substring_decontaminate",
         "stream_bot_users",  # r9: streaming twin of events_bot_users
         "stream_quality_classifier",  # r10: model-serving streaming twin
+        "docs_dsir_score_batch",  # r10: DSIR serving twin (prebuilt dim)
         # r10: best-cover output governor for the all-pairs anchor
         "dedup_containment_canonical",
     }
