@@ -604,6 +604,11 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
         "same DSIR log-ratio dim (≤ 1024 rows) riding the score CTE;"
         " top-k side is GlobalLimit-bounded"
     ),
+    "docs_dsir_score_batch": (
+        "prebuilt DSIR log-ratio dim (≤ 1024 rows, materialized) + the"
+        " 1-row smoothing default — the offline fit artifacts every"
+        " batch serves from"
+    ),
 }
 
 
