@@ -54,6 +54,12 @@ _PRIORITY = [
     "docs_quality_classifier_sweep",  # never checked — first driver row
     "docs_snapshot_diff",  # never checked — first driver row
     "docs_dsir_score_batch",  # never checked — first driver row
+    "dedup_containment_canonical_fast",  # never checked — first driver row
+    "docs_unimax_mix",  # never checked — first driver row
+    "customer_k_anonymity",  # never checked — first driver row
+    "customer_k_anonymize",  # never checked — first driver row
+    "ann_hard_negatives",  # never checked — first driver row
+    "docs_ref_perplexity_buckets",  # never checked — first driver row
     "complaints_json_clean",  # newest driver row r5
     "csv_roundtrip_customer",  # newest driver row r5
     "dedup_incremental_bloom",  # newest driver row r5
@@ -85,13 +91,13 @@ _PRIORITY = [
     "events_multires_rollup",  # newest driver row r6
     "dedup_minhash_lsh",  # newest driver row r6
     "docs_repetition_stats",  # newest driver row r6
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "docs_pii_redact",  # newest driver row r6
     "dedup_minhash_fast",  # newest driver row r6
     "dedup_components_star",  # newest driver row r6
     "ann_int8_rerank_topk",  # newest driver row r6
     "docs_bpe_encode",  # newest driver row r6
     "ml_lda_topics",  # newest driver row r6
-    # ---- window boundary (50): overflow is staleness-ordered ----
     "ml_timely_lr_lift",  # newest driver row r6
     "ml_timely_lr_lift_approx",  # newest driver row r6
     "media_meta_stats",  # newest driver row r6

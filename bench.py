@@ -267,6 +267,13 @@ BENCH_QUERIES = [
     "stream_click_purchase_join",
     "stream_semantic_dedup",
     "stream_minute_rollup",
+    # -- r10 second-window additions
+    "dedup_containment_canonical_fast",
+    "docs_unimax_mix",
+    "customer_k_anonymity",
+    "customer_k_anonymize",
+    "ann_hard_negatives",
+    "docs_ref_perplexity_buckets",
 ]
 
 # Catalog entries deliberately NOT benched, with the reason committed

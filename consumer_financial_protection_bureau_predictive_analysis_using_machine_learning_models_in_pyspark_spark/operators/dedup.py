@@ -1127,3 +1127,157 @@ def incremental_containment(
             "containment_u"
         ),
     )
+
+
+def _containment_pruned_candidates(
+    sh: DataFrame,
+    *,
+    max_df: int = SHINGLE_MAX_DF,
+    min_u: int = 900_000,
+    block_col: str = "lang",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Candidate generation + exact-safe pruning for the best-covering
+    containment pick: returns ``(cand, survivors, hot)`` where ``cand``
+    is the full df-capped candidate frame (id_sub, id_sup, _n_cold, _n)
+    and ``survivors`` is the subset that can still either reach the
+    containment threshold or win its id_sub's max — the only pairs the
+    expensive hot-shingle add-back join ever sees.
+
+    Two bounds, both provably lossless for the per-sub argmax:
+
+    * threshold bound — ``ub = _n_cold + least(hot(sub), hot(sup))`` is
+      an upper bound on the pair's exact intersection (hot overlap
+      cannot exceed either doc's hot-shingle count), so a pair whose
+      ``ub``-containment is already below ``min_u`` can never qualify;
+    * winner bound — ``lb(sub) = max(_n_cold)`` over the sub's pairs is
+      a lower bound on the winner's exact intersection, so a pair with
+      ``ub < lb`` is STRICTLY below the max and cannot win even on the
+      (u, −sup_id) tie-break.  The pair attaining ``lb`` always has
+      ``ub ≥ _n_cold = lb`` and survives, so every sub that has any
+      qualifying pair keeps its winner.
+
+    The bound dims are all doc-keyed and linear (per-doc hot counts,
+    per-doc sizes, per-sub running max — a map-side-combinable agg), so
+    the prune costs three narrow joins on the candidate frame and buys
+    the hot add-back join down from Θ(candidates × hot-per-doc) to the
+    survivor set — at 100 TB with heavy boilerplate (large hot lists)
+    that join is the scoring bottleneck the r10 handoff flagged.
+    """
+    dfreq = sh.groupBy(block_col, "h").agg(F.count(F.lit(1)).alias("_df"))
+    tagged = sh.join(dfreq, [block_col, "h"])
+    cold = tagged.filter(F.col("_df") <= max_df).select(
+        "doc_id", block_col, "h"
+    )
+    hot = tagged.filter(F.col("_df") > max_df).select("doc_id", "h")
+    # sh is distinct-per-doc by contract -> plain counts
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    hotn = hot.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_hot"))
+    a = cold.select(F.col("doc_id").alias("id_sub"), block_col, "h")
+    b = cold.select(F.col("doc_id").alias("id_sup"), block_col, "h")
+    cand = (
+        a.join(b, [block_col, "h"])
+        .filter(F.col("id_sub") != F.col("id_sup"))
+        .groupBy("id_sub", "id_sup")
+        .agg(F.count(F.lit(1)).alias("_n_cold"))
+        .join(sizes.withColumnRenamed("doc_id", "id_sub"), "id_sub")
+    )
+    lb = cand.groupBy("id_sub").agg(F.max("_n_cold").alias("_lb"))
+    hot_sub = hotn.select(
+        F.col("doc_id").alias("id_sub"), F.col("_n_hot").alias("_h_sub")
+    )
+    hot_sup = hotn.select(
+        F.col("doc_id").alias("id_sup"), F.col("_n_hot").alias("_h_sup")
+    )
+    bounded = (
+        cand.join(lb, "id_sub")
+        .join(hot_sub, "id_sub", "left")
+        .join(hot_sup, "id_sup", "left")
+        .withColumn(
+            "_ub",
+            F.col("_n_cold")
+            + F.least(
+                F.coalesce(F.col("_h_sub"), F.lit(0)),
+                F.coalesce(F.col("_h_sup"), F.lit(0)),
+            ),
+        )
+    )
+    survivors = bounded.filter(
+        (F.col("_ub") >= F.col("_lb"))
+        & (
+            F.expr("CAST((2000000 * _ub + _n) DIV (2 * _n) AS BIGINT)")
+            >= F.lit(min_u)
+        )
+    ).select("id_sub", "id_sup", "_n_cold", "_n")
+    return cand.select("id_sub", "id_sup", "_n_cold", "_n"), survivors, hot
+
+
+def containment_best_covering(
+    sh: DataFrame,
+    *,
+    max_df: int = SHINGLE_MAX_DF,
+    min_u: int = 900_000,
+    block_col: str = "lang",
+) -> DataFrame:
+    """Best covering superset per contained doc with candidate-SCORING
+    pruning — the production serving form of the containment family
+    (r10 handoff observation (a)).
+
+    ``dedup_containment_canonical`` already collapses the OUTPUT to one
+    row per sub via a map-side max-struct, but still pays the hot-shingle
+    add-back join for every df-capped candidate pair — Θ(pairs) scoring
+    work.  This form scores only pairs that can still win (see
+    ``_containment_pruned_candidates``), then adds hot overlaps back
+    exactly for the survivors and takes the identical (u, −sup_id)
+    max-struct pick, so results are bit-equal to the unpruned canonical
+    (pinned in tests/test_round10b.py) while the add-back join touches
+    only the survivor set.
+
+    Returns (id_sub, id_sup, n_sub_shingles, n_shared, containment_u),
+    one row per id_sub whose best covering pair reaches ``min_u``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    _, survivors, hot = _containment_pruned_candidates(
+        sh, max_df=max_df, min_u=min_u, block_col=block_col
+    )
+    # the survivor frame feeds BOTH the hot add-back probe side and the
+    # exact-score join; persisting it (pair-scale, already pruned) stops
+    # the candidate+bound subtree from executing twice
+    survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+    ha = hot.select(F.col("doc_id").alias("id_sub"), "h")
+    hb = hot.select(F.col("doc_id").alias("id_sup"), "h")
+    hotx = (
+        survivors.select("id_sub", "id_sup")
+        .join(ha, "id_sub")
+        .join(hb, ["id_sup", "h"])
+        .groupBy("id_sub", "id_sup")
+        .agg(F.count(F.lit(1)).alias("_n_hot"))
+    )
+    exact = (
+        survivors.join(hotx, ["id_sub", "id_sup"], "left")
+        .withColumn(
+            "_n_inter", F.col("_n_cold") + F.coalesce(F.col("_n_hot"), F.lit(0))
+        )
+        .withColumn(
+            "_u",
+            F.expr("CAST((2000000 * _n_inter + _n) DIV (2 * _n) AS BIGINT)"),
+        )
+        .filter(F.col("_u") >= min_u)
+    )
+    best = exact.groupBy("id_sub").agg(
+        F.max(
+            F.struct(
+                F.col("_u").alias("u"),
+                (-F.col("id_sup")).alias("negsup"),
+                F.col("_n").alias("n"),
+                F.col("_n_inter").alias("n_inter"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        "id_sub",
+        (-F.col("_b.negsup")).cast("bigint").alias("id_sup"),
+        F.col("_b.n").cast("bigint").alias("n_sub_shingles"),
+        F.col("_b.n_inter").cast("bigint").alias("n_shared"),
+        F.col("_b.u").alias("containment_u"),
+    )

@@ -1,0 +1,674 @@
+"""Round-10 (second window) breadth entries.
+
+Leads with the containment scoring governor — the r10 handoff's one
+remaining >10×-decade observation: ``dedup_containment_canonical``
+already collapses the OUTPUT to one best covering superset per doc, but
+both it and the anchor still pay the hot-shingle add-back join for every
+df-capped candidate pair (Θ(pairs) candidate-SCORING work).  The fast
+twin scores only pairs that can still win the per-sub max (exact-safe
+upper/lower bounds — ``operators.dedup._containment_pruned_candidates``),
+so its results are bit-equal while the add-back join touches only the
+survivor set.
+
+Then four new curation-surface families a 100 TB training-data pipeline
+needs that the catalog did not yet cover:
+
+* ``docs_unimax_mix`` — UniMax epoch-capped mixture allocation
+  (Chung et al. 2023, "UniMax: Fairer and More Effective Language
+  Sampling for Large-Scale Multilingual Pretraining"): integer
+  water-filling over domain token counts, exact to the token.
+* ``customer_k_anonymity`` / ``customer_k_anonymize`` — privacy audit +
+  enforcement beyond regex PII (``docs_pii_redact``): quasi-identifier
+  group sizes, then two-level generalization (nation→region,
+  1000→5000 balance bands, then suppression) until every released row
+  is k-anonymous.
+* ``ann_hard_negatives`` — contrastive-training data mining: per probe,
+  the top-k highest-cosine WRONG-label neighbors plus the best positive
+  and the triplet margin, decimal-exact so the mined set replays.
+* ``docs_ref_perplexity_buckets`` — CCNet-style (Wenzek et al. 2020)
+  reference-LM perplexity scoring with head/middle/tail terciles per
+  language; the ln fold rides the bm25 decimal-term discipline with a
+  measured-margin audit in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textfns as TF
+from ..operators import dedup as DD
+from ..operators.similarity import dot_decimal
+from .breadth8 import _CT_MIN_U, _ct_shingles
+from .catalog import CATALOG, _t, register
+from .text_queries import _D_TOKS
+
+# ---------------------------------------------------------------------------
+# Containment scoring governor
+# ---------------------------------------------------------------------------
+
+_CANON_ORACLE = CATALOG["dedup_containment_canonical"].oracle
+
+
+@register(
+    "dedup_containment_canonical_fast",
+    _CANON_ORACLE,
+    "dedup", "containment", "canonical", "pruned",
+    twin_of="dedup_containment_canonical",
+    twin_pin="tests/test_round10b.py::test_containment_fast_twin_equality",
+)
+def dedup_containment_canonical_fast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Best-covering containment with candidate-scoring pruning — the
+    serving form of the containment family (r10 handoff observation (a)).
+
+    The canonical twin's max-struct kills the quadratic OUTPUT but still
+    scores every df-capped candidate pair through the hot-shingle
+    add-back join.  Here a pair reaches that join only if its exact-safe
+    intersection upper bound (n_cold + min of the two docs' hot-shingle
+    counts) can still (a) reach the containment threshold and (b) beat
+    the sub's running max-n_cold lower bound — both provably lossless
+    for the (u, −sup_id) argmax (``operators.dedup
+    ._containment_pruned_candidates``), so the oracle is the canonical
+    twin's VERBATIM.  At 100 TB with heavy boilerplate (large per-doc
+    hot lists) the add-back join is the scoring bottleneck; the bound
+    dims are all doc-keyed and linear."""
+    sh = _ct_shingles(spark, sf_dir)
+    out = DD.containment_best_covering(sh, min_u=_CT_MIN_U)
+    return out.orderBy("id_sub")
+
+
+# ---------------------------------------------------------------------------
+# UniMax epoch-capped mixture (Chung et al. 2023)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_EPOCH_CAP = 2  # each domain contributes at most 2 epochs of itself
+
+
+@register(
+    "docs_unimax_mix",
+    f"""
+WITH dom AS (
+  SELECT source, CAST(SUM(len({_D_TOKS})) AS BIGINT) AS n
+  FROM documents GROUP BY source HAVING SUM(len({_D_TOKS})) > 0
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(n) // 2 AS BIGINT) AS budget
+  FROM dom
+),
+s AS (
+  SELECT source, n, {_UNIMAX_EPOCH_CAP} * n AS cap,
+         CAST(ROW_NUMBER() OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * n ASC, source)
+              AS BIGINT) AS i,
+         CAST(SUM({_UNIMAX_EPOCH_CAP} * n) OVER (
+           ORDER BY {_UNIMAX_EPOCH_CAP} * n ASC, source
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref
+  FROM dom
+),
+g AS (
+  SELECT s.*, t.budget, t.d,
+         MIN(CASE WHEN s.cap * (t.d - s.i) + s.pref <= t.budget
+                  THEN 1 ELSE 0 END)
+           OVER (ORDER BY s.i ROWS UNBOUNDED PRECEDING) AS capped
+  FROM s CROSS JOIN tot t
+),
+kk AS (
+  SELECT COALESCE(MAX(CASE WHEN capped = 1 THEN i END), 0) AS k,
+         COALESCE(MAX(CASE WHEN capped = 1 THEN pref END), 0) AS pref_k
+  FROM g
+),
+alloc AS (
+  SELECT g.source, g.n, g.cap,
+         CASE WHEN g.capped = 1 OR g.d = kk.k THEN g.cap
+              ELSE (g.budget - kk.pref_k) // (g.d - kk.k)
+                   + CASE WHEN g.i - kk.k <=
+                               (g.budget - kk.pref_k) % (g.d - kk.k)
+                          THEN 1 ELSE 0 END
+         END AS alloc
+  FROM g CROSS JOIN kk
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(cap AS BIGINT) AS cap_tokens,
+       CAST(alloc AS BIGINT) AS alloc_tokens,
+       CAST((2000000 * alloc + n) // (2 * n) AS BIGINT) AS epochs_u
+FROM alloc
+ORDER BY source
+""",
+    "mixture", "sampling", "unimax",
+)
+def docs_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023): give every domain
+    an equal share of the token budget, except no domain repeats more
+    than ``_UNIMAX_EPOCH_CAP`` epochs — the principled alternative to
+    temperature sampling (``docs_temperature_mix``) and learned weights
+    (``docs_domain_reweight``), closing the mixture family.
+
+    Exact integer water-filling: domains sorted ascending by cap,
+    prefix sums find the last fully-capped domain k (the capped set is
+    prefix-closed under this order), the remaining budget divides evenly
+    among the D−k uncapped domains with the remainder distributed one
+    token each to the first domains after k in the same order.  Emits
+    (source, n_tokens, cap_tokens, alloc_tokens, epochs_u) with
+    Σ alloc == budget to the token (pinned).
+
+    Scale posture: the corpus-sized work is ONE token-count aggregate;
+    everything after runs on the domain dim (thousands of rows at 100 TB
+    — the unpartitioned windows are dim-sized by construction, same
+    posture as ``docs_domain_reweight``'s iteration frame)."""
+    docs = _t(spark, sf_dir, "documents")
+    dom = (
+        docs.select("source", F.size(TF.tokens("text")).alias("_nt"))
+        .groupBy("source")
+        .agg(F.sum("_nt").cast("bigint").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    cap = _UNIMAX_EPOCH_CAP
+    tot = dom.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.expr("CAST(SUM(n) DIV 2 AS BIGINT)").alias("budget"),
+    )
+    w_ord = Window.orderBy(F.col("cap"), F.col("source"))
+    s = (
+        dom.withColumn("cap", F.lit(cap) * F.col("n"))
+        .withColumn("i", F.row_number().over(w_ord).cast("bigint"))
+        .withColumn(
+            "pref",
+            F.sum("cap").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w_pref = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    g = s.withColumn(
+        "capped",
+        F.min(
+            F.when(
+                F.col("cap") * (F.col("d") - F.col("i")) + F.col("pref")
+                <= F.col("budget"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(w_pref),
+    )
+    kk = g.agg(
+        F.coalesce(
+            F.max(F.when(F.col("capped") == 1, F.col("i"))), F.lit(0)
+        ).alias("k"),
+        F.coalesce(
+            F.max(F.when(F.col("capped") == 1, F.col("pref"))), F.lit(0)
+        ).alias("pref_k"),
+    )
+    alloc = g.crossJoin(F.broadcast(kk)).withColumn(
+        "alloc",
+        F.when(
+            (F.col("capped") == 1) | (F.col("d") == F.col("k")), F.col("cap")
+        ).otherwise(
+            F.expr("(budget - pref_k) DIV (d - k)")
+            + F.when(
+                F.col("i") - F.col("k")
+                <= F.expr("(budget - pref_k) % (d - k)"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ),
+    )
+    return alloc.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("cap").cast("bigint").alias("cap_tokens"),
+        F.col("alloc").cast("bigint").alias("alloc_tokens"),
+        F.expr("CAST((2000000 * alloc + n) DIV (2 * n) AS BIGINT)").alias(
+            "epochs_u"
+        ),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit + enforcement (privacy family)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_QIDS = """
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS INTEGER) AS b1,
+         CAST(FLOOR(c_acctbal / 5000.0) AS INTEGER) AS b5
+  FROM customer
+""".strip()
+
+
+@register(
+    "customer_k_anonymity",
+    f"""
+WITH q AS ({_KANON_QIDS})
+SELECT c_nationkey, c_mktsegment, b1 AS bal_bucket,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS INTEGER) AS below_k5,
+       CAST(CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS INTEGER) AS below_k10,
+       CAST((2000000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS reid_risk_u
+FROM q
+GROUP BY c_nationkey, c_mktsegment, b1
+ORDER BY c_nationkey, c_mktsegment, bal_bucket
+""",
+    "privacy", "k-anonymity", "audit",
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, $1000 balance band): equivalence-class sizes, the
+    k=5 / k=10 violation flags, and the per-class re-identification risk
+    1/size in half-up micro-units — the privacy-release audit that
+    complements content-level ``docs_pii_redact`` (Sweeney 2002;
+    quasi-identifier linkage, not direct identifiers).
+
+    One hash aggregate over the scan (map-side combinable); the QID
+    projection folds into the scan, so the audit is a single exchange at
+    any scale."""
+    docs = _t(spark, sf_dir, "customer")
+    grp = (
+        docs.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+    )
+    return grp.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_bucket",
+        "group_size",
+        F.when(F.col("group_size") < _KANON_K, 1).otherwise(0)
+        .cast("int")
+        .alias("below_k5"),
+        F.when(F.col("group_size") < 10, 1).otherwise(0)
+        .cast("int")
+        .alias("below_k10"),
+        F.expr(
+            "CAST((2000000 + group_size) DIV (2 * group_size) AS BIGINT)"
+        ).alias("reid_risk_u"),
+    ).orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+
+
+@register(
+    "customer_k_anonymize",
+    f"""
+WITH q AS ({_KANON_QIDS}),
+g0 AS (
+  SELECT c_nationkey, c_mktsegment, b1, COUNT(*) AS s0
+  FROM q GROUP BY 1, 2, 3
+),
+l0 AS (
+  SELECT q.*, n.n_regionkey, g0.s0 FROM q
+  JOIN g0 ON g0.c_nationkey = q.c_nationkey
+         AND g0.c_mktsegment = q.c_mktsegment AND g0.b1 = q.b1
+  JOIN nation n ON n.n_nationkey = q.c_nationkey
+),
+rest AS (SELECT * FROM l0 WHERE s0 < {_KANON_K}),
+g1 AS (
+  SELECT n_regionkey, c_mktsegment, b5, COUNT(*) AS s1
+  FROM rest GROUP BY 1, 2, 3
+),
+l1 AS (
+  SELECT rest.*, g1.s1 FROM rest
+  JOIN g1 ON g1.n_regionkey = rest.n_regionkey
+         AND g1.c_mktsegment = rest.c_mktsegment AND g1.b5 = rest.b5
+),
+g2 AS (
+  SELECT c_mktsegment, COUNT(*) AS s2
+  FROM l1 WHERE s1 < {_KANON_K} GROUP BY 1
+),
+out AS (
+  SELECT c_custkey, 0 AS anon_level,
+         'nation:' || CAST(c_nationkey AS VARCHAR) AS geo,
+         c_mktsegment AS segment,
+         'b1000:' || CAST(b1 AS VARCHAR) AS bal_band,
+         s0 AS group_size
+  FROM l0 WHERE s0 >= {_KANON_K}
+  UNION ALL
+  SELECT c_custkey, 1,
+         'region:' || CAST(n_regionkey AS VARCHAR),
+         c_mktsegment,
+         'b5000:' || CAST(b5 AS VARCHAR),
+         s1
+  FROM l1 WHERE s1 >= {_KANON_K}
+  UNION ALL
+  SELECT l1.c_custkey, 2, '*', l1.c_mktsegment, '*', g2.s2
+  FROM l1 JOIN g2 ON g2.c_mktsegment = l1.c_mktsegment
+  WHERE l1.s1 < {_KANON_K}
+)
+SELECT c_custkey, CAST(anon_level AS INTEGER) AS anon_level, geo, segment,
+       bal_band, CAST(group_size AS BIGINT) AS group_size
+FROM out ORDER BY c_custkey
+""",
+    "privacy", "k-anonymity", "generalization",
+)
+def customer_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT by two-level generalization with local
+    recoding: rows whose level-0 class (nation, segment, $1000 band)
+    reaches k=5 release as-is; the residue regroups one rung up the
+    taxonomy (region via the nation dim, $5000 band); classes still
+    below k suppress geo+balance entirely (segment-only release).
+    Emits one row per customer with its generalization level, released
+    QIDs, and the size of the class it was released in — every released
+    class is ≥ k by construction (pinned).
+
+    Scale posture: two grouped aggregates + doc-keyed joins, each on a
+    monotonically SHRINKING residue; the nation dim is broadcast.  The
+    taxonomy walk is data-independent (fixed two rungs), so the plan is
+    static — no driver loop."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    q = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("b1"),
+        F.floor(F.col("c_acctbal") / 5000.0).cast("int").alias("b5"),
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    g0 = q.groupBy("c_nationkey", "c_mktsegment", "b1").agg(
+        F.count(F.lit(1)).alias("s0")
+    )
+    l0 = q.join(g0, ["c_nationkey", "c_mktsegment", "b1"])
+    ok0 = l0.filter(F.col("s0") >= _KANON_K).select(
+        "c_custkey",
+        F.lit(0).cast("int").alias("anon_level"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias(
+            "geo"
+        ),
+        F.col("c_mktsegment").alias("segment"),
+        F.concat(F.lit("b1000:"), F.col("b1").cast("string")).alias(
+            "bal_band"
+        ),
+        F.col("s0").cast("bigint").alias("group_size"),
+    )
+    rest = l0.filter(F.col("s0") < _KANON_K)
+    g1 = rest.groupBy("n_regionkey", "c_mktsegment", "b5").agg(
+        F.count(F.lit(1)).alias("s1")
+    )
+    l1 = rest.join(g1, ["n_regionkey", "c_mktsegment", "b5"])
+    ok1 = l1.filter(F.col("s1") >= _KANON_K).select(
+        "c_custkey",
+        F.lit(1).cast("int").alias("anon_level"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias(
+            "geo"
+        ),
+        F.col("c_mktsegment").alias("segment"),
+        F.concat(F.lit("b5000:"), F.col("b5").cast("string")).alias(
+            "bal_band"
+        ),
+        F.col("s1").cast("bigint").alias("group_size"),
+    )
+    sup = l1.filter(F.col("s1") < _KANON_K)
+    g2 = sup.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("s2"))
+    ok2 = sup.join(g2, "c_mktsegment").select(
+        "c_custkey",
+        F.lit(2).cast("int").alias("anon_level"),
+        F.lit("*").alias("geo"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("*").alias("bal_band"),
+        F.col("s2").cast("bigint").alias("group_size"),
+    )
+    return ok0.unionByName(ok1).unionByName(ok2).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+_HN_PAIRS = """
+SELECT p.vec_id AS probe_id, p.label AS probe_label,
+       e.vec_id AS neighbor_id, e.label AS neighbor_label,
+       SUM(CAST(CAST(p.embedding[i.i] AS DOUBLE)
+                * CAST(e.embedding[i.i] AS DOUBLE)
+                AS DECIMAL(20,15))) AS dot_dec
+FROM embeddings p
+CROSS JOIN embeddings e
+CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+WHERE p.vec_id < 10 AND e.vec_id <> p.vec_id
+GROUP BY 1, 2, 3, 4
+""".strip()
+
+
+@register(
+    "ann_hard_negatives",
+    f"""
+WITH pairs AS ({_HN_PAIRS}),
+neg AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY dot_dec DESC, neighbor_id) AS rank
+  FROM pairs WHERE neighbor_label <> probe_label
+),
+pos AS (
+  SELECT probe_id, neighbor_id AS pos_id, dot_dec AS pos_dot
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY dot_dec DESC, neighbor_id) AS pr
+    FROM pairs WHERE neighbor_label = probe_label
+  ) x WHERE pr = 1
+)
+SELECT n.probe_id, CAST(n.probe_label AS INTEGER) AS probe_label,
+       n.neighbor_id, CAST(n.neighbor_label AS INTEGER) AS neighbor_label,
+       ROUND(CAST(n.dot_dec AS DOUBLE), 6) AS neg_cosine,
+       CAST(n.rank AS INTEGER) AS rank,
+       p.pos_id,
+       ROUND(CAST(p.pos_dot AS DOUBLE), 6) AS pos_cosine,
+       ROUND(CAST(p.pos_dot - n.dot_dec AS DOUBLE), 6) AS margin
+FROM neg n JOIN pos p ON p.probe_id = n.probe_id
+WHERE n.rank <= 5
+ORDER BY n.probe_id, n.rank
+""",
+    "similarity", "contrastive", "mining",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    probe (vec_id < 10), the five highest-cosine WRONG-label neighbors
+    (the negatives a random sampler would almost never draw), the single
+    best same-label neighbor, and the triplet margin pos−neg — negative
+    or tiny margins flag the pairs that actually move an InfoNCE loss.
+    Probes with no same-label neighbor are skipped (no positive to
+    anchor a triplet).
+
+    Decimal-exact fold end to end (the ann_cosine_topk discipline), so
+    the mined set and its ranking replay across engines and
+    partitionings.  Scale posture: probes broadcast against one corpus
+    scan; the two rankings reuse the SAME scored frame; output is
+    k-bounded per probe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.col("embedding").alias("vec"),
+        )
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            "neighbor_id",
+            "neighbor_label",
+            dot_decimal(F.col("probe_vec"), F.col("vec")).alias("dot_dec"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dot_dec").desc(), F.col("neighbor_id")
+    )
+    neg = (
+        scored.filter(F.col("neighbor_label") != F.col("probe_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    pos = (
+        scored.filter(F.col("neighbor_label") == F.col("probe_label"))
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select(
+            "probe_id",
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("dot_dec").alias("pos_dot"),
+        )
+    )
+    return (
+        neg.join(pos, "probe_id")
+        .select(
+            "probe_id",
+            F.col("probe_label").cast("int").alias("probe_label"),
+            "neighbor_id",
+            F.col("neighbor_label").cast("int").alias("neighbor_label"),
+            F.round(F.col("dot_dec").cast("double"), 6).alias("neg_cosine"),
+            F.col("rank").cast("int").alias("rank"),
+            "pos_id",
+            F.round(F.col("pos_dot").cast("double"), 6).alias("pos_cosine"),
+            F.round(
+                (F.col("pos_dot") - F.col("dot_dec")).cast("double"), 6
+            ).alias("margin"),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style reference-LM perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_ref_perplexity_buckets",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_D_TOKS}) AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2, 3
+),
+ref AS (
+  SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok WHERE doc_id % 7 = 0 GROUP BY 1, 2
+),
+stats AS (
+  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tt,
+         CAST(COUNT(*) AS BIGINT) AS vv
+  FROM ref GROUP BY 1
+),
+terms AS (
+  SELECT tf.doc_id, tf.lang, tf.tf, COALESCE(r.cnt, 0) AS cnt,
+         CAST(CAST(tf.tf AS DOUBLE) *
+              -ln(CAST(COALESCE(r.cnt, 0) + 1 AS DOUBLE)
+                  / CAST(s.tt + s.vv + 1 AS DOUBLE))
+              AS DECIMAL(20,6)) AS term_dec
+  FROM tf
+  LEFT JOIN ref r ON r.lang = tf.lang AND r.t = tf.t
+  JOIN stats s ON s.lang = tf.lang
+),
+doc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN cnt = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+         CAST(SUM(CAST(term_dec * 1000000 AS BIGINT)) AS BIGINT) AS s_int
+  FROM terms GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, lang, n_tokens, n_oov,
+         CAST((2 * s_int + n_tokens)
+              // (2 * n_tokens) AS BIGINT) AS ce_u
+  FROM doc
+)
+SELECT doc_id, lang, n_tokens, n_oov, ce_u,
+       CASE NTILE(3) OVER (PARTITION BY lang ORDER BY ce_u, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM scored
+ORDER BY doc_id
+""",
+    "text", "lm", "perplexity", "ccnet", "curation",
+)
+def docs_ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality partitioning (Wenzek et al. 2020): a unigram
+    LM with add-one smoothing is trained per language on a reference
+    slice (doc_id % 7 == 0 — the stand-in for "clean wikipedia text"),
+    every document is scored by cross-entropy under ITS language's
+    reference LM (OOV tokens fall to the smoothing floor 1/(T+V+1)),
+    and each language's documents split into head/middle/tail perplexity
+    terciles — the buckets CCNet keeps/inspects/drops.
+
+    Cross-engine discipline: each per-type term tf·(−ln p) rounds to
+    DECIMAL(20,6) (the bm25 decimal-term pattern, one scale coarser —
+    a 1-ulp libm divergence moves the scaled term by ≤ |term|·1e6·2⁻⁵²
+    ≈ 1e-8 units while the measured margin audit in
+    tests/test_round10b.py demands ≥ 1e-4 from every rounding
+    boundary, a 10⁴× guard band), per-term values scale to exact
+    int64 micro-nats
+    and SUM exactly, ce_u is half-up integer micro-nats/token, and the
+    tercile is rank-based on the already-exact (ce_u, doc_id) key — so
+    the bucket boundary replays on any engine/build.
+
+    Scale posture: reference counts are a (lang, type) dim built in one
+    aggregate over the reference slice (a pushed-down filter on the same
+    scan); scoring is tf ⋈ vocab on (lang, type) — the vocab side is
+    vocabulary-sized, broadcastable per language shard; the tercile is
+    one window over doc-cardinality rows partitioned by lang.  No
+    Python, no UDF, no transcendental on the comparison surface."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(TF.tokens("text")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "lang", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    ref = (
+        tok.filter(F.col("doc_id") % 7 == 0)
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    stats = ref.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("tt"),
+        F.count(F.lit(1)).cast("bigint").alias("vv"),
+    )
+    terms = (
+        tf.join(F.broadcast(ref), ["lang", "t"], "left")
+        .join(F.broadcast(stats), "lang")
+        .withColumn(
+            "term_dec",
+            (
+                F.col("tf").cast("double")
+                * -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + F.col("vv") + 1).cast("double")
+                )
+            ).cast("decimal(20,6)"),
+        )
+    )
+    doc = terms.groupBy("doc_id", "lang").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt").isNull(), F.col("tf")).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.sum(
+            (F.col("term_dec") * F.lit(1_000_000)).cast("bigint")
+        ).alias("s_int"),
+    )
+    scored = doc.withColumn(
+        "ce_u",
+        F.expr(
+            "CAST((2 * s_int + n_tokens) DIV (2 * n_tokens) AS BIGINT)"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("ce_u", "doc_id")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_oov",
+        "ce_u",
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).orderBy("doc_id")

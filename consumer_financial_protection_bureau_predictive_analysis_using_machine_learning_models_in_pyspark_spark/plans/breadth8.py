@@ -493,13 +493,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ct_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared candidate+score stage for the containment family: every
-    directional pair (id_sub, id_sup) at containment ≥ ``_CT_MIN_U``
-    with columns (id_sub, id_sup, n, n_inter, containment_u).  The
-    all-pairs anchor sorts and emits this verbatim; the canonical twin
-    aggregates it per id_sub so the quadratic pair list never reaches
-    the output (map-side partial max — see breadth10)."""
+def _ct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, lang, h) distinct-per-doc shingle frame over the
+    containment corpus (documents ∪ synthetic padded supersets) — shared
+    by the all-pairs anchor, the canonical twin (breadth10) and the
+    pruned serving twin (breadth10b), so all three score the identical
+    corpus from one cached frame (persist dedupes by logical plan)."""
     from pyspark.storagelevel import StorageLevel
 
     from ..functions import textfns as TF
@@ -514,11 +513,21 @@ def _ct_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed_arr = F.array_distinct(
         F.transform(TF.shingles(F.col("_toks"), 3), TF.token_hash)
     )
-    sh = (
+    return (
         corpus.select("doc_id", "lang", TF.tokens("text").alias("_toks"))
         .select("doc_id", "lang", F.explode(hashed_arr).alias("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def _ct_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate+score stage for the containment family: every
+    directional pair (id_sub, id_sup) at containment ≥ ``_CT_MIN_U``
+    with columns (id_sub, id_sup, n, n_inter, containment_u).  The
+    all-pairs anchor sorts and emits this verbatim; the canonical twin
+    aggregates it per id_sub so the quadratic pair list never reaches
+    the output (map-side partial max — see breadth10)."""
+    sh = _ct_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = DD.shingle_overlap_pairs(sh, directional=True).select(
         F.col("id_a").alias("id_sub"),

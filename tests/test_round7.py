@@ -146,6 +146,8 @@ def test_twin_registry_integrity():
         "docs_dsir_score_batch",  # r10: DSIR serving twin (prebuilt dim)
         # r10: best-cover output governor for the all-pairs anchor
         "dedup_containment_canonical",
+        # r10b: candidate-scoring governor on top of the canonical pick
+        "dedup_containment_canonical_fast",
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():
