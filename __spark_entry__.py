@@ -60,6 +60,8 @@ _PRIORITY = [
     "customer_k_anonymize",  # never checked — first driver row
     "ann_hard_negatives",  # never checked — first driver row
     "docs_ref_perplexity_buckets",  # never checked — first driver row
+    "docs_unimax_sample",  # never checked — first driver row
+    "docs_tokenizer_fertility",  # never checked — first driver row
     "complaints_json_clean",  # newest driver row r5
     "csv_roundtrip_customer",  # newest driver row r5
     "dedup_incremental_bloom",  # newest driver row r5
@@ -89,9 +91,9 @@ _PRIORITY = [
     "complaints_flagship",  # newest driver row r6
     "q18_large_volume_customers",  # newest driver row r6
     "events_multires_rollup",  # newest driver row r6
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "dedup_minhash_lsh",  # newest driver row r6
     "docs_repetition_stats",  # newest driver row r6
-    # ---- window boundary (50): overflow is staleness-ordered ----
     "docs_pii_redact",  # newest driver row r6
     "dedup_minhash_fast",  # newest driver row r6
     "dedup_components_star",  # newest driver row r6

@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "customer_k_anonymize",
     "ann_hard_negatives",
     "docs_ref_perplexity_buckets",
+    "docs_unimax_sample",
+    "docs_tokenizer_fertility",
 ]
 
 # Catalog entries deliberately NOT benched, with the reason committed

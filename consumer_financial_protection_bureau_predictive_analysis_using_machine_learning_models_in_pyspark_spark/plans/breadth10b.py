@@ -86,10 +86,8 @@ def dedup_containment_canonical_fast(
 _UNIMAX_EPOCH_CAP = 2  # each domain contributes at most 2 epochs of itself
 
 
-@register(
-    "docs_unimax_mix",
-    f"""
-WITH dom AS (
+_UNIMAX_CTES = f"""
+dom AS (
   SELECT source, CAST(SUM(len({_D_TOKS})) AS BIGINT) AS n
   FROM documents GROUP BY source HAVING SUM(len({_D_TOKS})) > 0
 ),
@@ -129,6 +127,13 @@ alloc AS (
          END AS alloc
   FROM g CROSS JOIN kk
 )
+""".strip()
+
+
+@register(
+    "docs_unimax_mix",
+    f"""
+WITH {_UNIMAX_CTES}
 SELECT source,
        CAST(n AS BIGINT) AS n_tokens,
        CAST(cap AS BIGINT) AS cap_tokens,
@@ -158,6 +163,21 @@ def docs_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after runs on the domain dim (thousands of rows at 100 TB
     — the unpartitioned windows are dim-sized by construction, same
     posture as ``docs_domain_reweight``'s iteration frame)."""
+    alloc = _unimax_alloc(spark, sf_dir)
+    return alloc.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("cap").cast("bigint").alias("cap_tokens"),
+        F.col("alloc").cast("bigint").alias("alloc_tokens"),
+        F.expr("CAST((2000000 * alloc + n) DIV (2 * n) AS BIGINT)").alias(
+            "epochs_u"
+        ),
+    ).orderBy("source")
+
+
+def _unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UniMax water-filling allocation frame (source, n, cap, alloc)
+    — shared by the mix report and the apply step."""
     docs = _t(spark, sf_dir, "documents")
     dom = (
         docs.select("source", F.size(TF.tokens("text")).alias("_nt"))
@@ -212,15 +232,7 @@ def docs_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ),
     )
-    return alloc.select(
-        "source",
-        F.col("n").alias("n_tokens"),
-        F.col("cap").cast("bigint").alias("cap_tokens"),
-        F.col("alloc").cast("bigint").alias("alloc_tokens"),
-        F.expr("CAST((2000000 * alloc + n) DIV (2 * n) AS BIGINT)").alias(
-            "epochs_u"
-        ),
-    ).orderBy("source")
+    return alloc.select("source", "n", "cap", "alloc")
 
 
 # ---------------------------------------------------------------------------
@@ -672,3 +684,147 @@ def docs_ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# UniMax apply step: epoch-replicated greedy document sample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_unimax_sample",
+    f"""
+WITH {_UNIMAX_CTES},
+doc AS (
+  SELECT doc_id, source, CAST(len({_D_TOKS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_tok,
+         SUM(d.n_tok) OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM doc d
+),
+sel AS (
+  SELECT r.doc_id, r.source, r.n_tok,
+         a.alloc // a.n AS e,
+         CASE WHEN r.cum <= a.alloc % a.n THEN 1 ELSE 0 END AS extra
+  FROM ranked r JOIN alloc a ON a.source = r.source
+)
+SELECT doc_id, source,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(e + extra AS INTEGER) AS n_copies
+FROM sel WHERE e + extra > 0
+ORDER BY source, doc_id
+""",
+    "mixture", "sampling", "unimax", "apply",
+)
+def docs_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UniMax allocation made actionable: every document gets
+    ``alloc DIV n`` full epochs, and the domain's remainder tokens fill
+    greedily along a deterministic md5 hash-rank order (the
+    ``docs_stratified_sample`` discipline) — docs whose running token
+    prefix fits get one extra copy.  Emits (doc_id, source, n_tokens,
+    n_copies > 0); Σ n_tokens·n_copies per domain lands within one doc
+    length of the domain's allocation (pinned), and membership is a pure
+    function of the data — reproducible across runs, partitionings, and
+    engines.
+
+    Scale posture: the allocation dim is domain-bounded; the corpus work
+    is one token-count projection plus ONE source-partitioned cumulative
+    window (hash shuffle + partition-local sort, no global sort), then a
+    broadcast dim join — the same shape at any corpus size."""
+    alloc = _unimax_alloc(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    doc = docs.select(
+        "doc_id", "source", F.size(TF.tokens("text")).cast("bigint").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = doc.withColumn("cum", F.sum("n_tok").over(w))
+    sel = ranked.join(F.broadcast(alloc), "source").select(
+        "doc_id",
+        "source",
+        F.col("n_tok").alias("n_tokens"),
+        (
+            F.expr("alloc DIV n")
+            + F.when(F.col("cum") <= F.expr("alloc % n"), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_copies"),
+    )
+    return sel.filter(F.col("n_copies") > 0).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (BPE economics)
+# ---------------------------------------------------------------------------
+
+_BPE_ENC_ORACLE = CATALOG["docs_bpe_encode"].oracle
+
+
+@register(
+    "docs_tokenizer_fertility",
+    f"""
+WITH enc AS ({_BPE_ENC_ORACLE})
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_symbols) AS BIGINT) AS n_symbols,
+       CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords,
+       CAST((2000000 * SUM(e.n_symbols) + SUM(e.n_subwords))
+            // (2 * SUM(e.n_subwords)) AS BIGINT) AS chars_per_subword_u,
+       CAST((2000000 * SUM(e.n_subwords) + SUM(e.n_words))
+            // (2 * SUM(e.n_words)) AS BIGINT) AS subwords_per_word_u
+FROM enc e
+JOIN documents d ON d.doc_id = e.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+    "text", "tokenizer", "bpe", "fertility", "eval",
+)
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the per-language token-economics
+    table (chars per subword, subwords per word, half-up micro-units)
+    behind equitable multilingual budgeting (the UniMax paper's framing:
+    a tokenizer that fragments a language inflates its effective token
+    cost).  Composes the value-oracled BPE lifecycle (docs_bpe_merges →
+    docs_bpe_encode) with a lang rollup; the oracle wraps the encode
+    oracle verbatim so the two surfaces can never drift.
+
+    Scale posture: inherits the encode entry's shape (merges rewrite the
+    DISTINCT word vocabulary; the corpus side joins by word), then ONE
+    lang-keyed aggregate over per-doc counts."""
+    from ..operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = TX.bpe_merge_steps(docs, vocab_size=500, n_merges=5)
+    enc = TX.bpe_encode_stats(docs, merges, n_merges=5)
+    out = enc.join(docs.select("doc_id", "lang"), "doc_id").groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_symbols").cast("bigint").alias("n_symbols"),
+        F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_symbols",
+        "n_subwords",
+        F.expr(
+            "CAST((2000000 * n_symbols + n_subwords)"
+            " DIV (2 * n_subwords) AS BIGINT)"
+        ).alias("chars_per_subword_u"),
+        F.expr(
+            "CAST((2000000 * n_subwords + n_words)"
+            " DIV (2 * n_words) AS BIGINT)"
+        ).alias("subwords_per_word_u"),
+    ).orderBy("lang")

@@ -421,3 +421,116 @@ def test_ppl_oov_floors_to_smoothing(spark):
     # partially-OOV docs strictly below that ceiling
     for r in rows:
         assert 0 <= r.n_oov <= r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# UniMax apply step
+# ---------------------------------------------------------------------------
+
+
+def test_unimax_sample_fills_allocation_greedily(spark):
+    import duckdb
+
+    mix = {r.source: r for r in CATALOG["docs_unimax_mix"].fn(spark, SF).collect()}
+    sam = CATALOG["docs_unimax_sample"].fn(spark, SF).collect()
+    doc_tok = dict(
+        duckdb.sql(
+            f"""SELECT doc_id, len(regexp_split_to_array(
+                  lower(trim(text)), '\\s+'))::BIGINT
+                FROM '{SF}/documents.parquet'"""
+        ).fetchall()
+    )
+    from collections import defaultdict
+
+    per_src = defaultdict(list)
+    for r in sam:
+        assert r.n_copies >= 1
+        assert r.n_tokens == doc_tok[r.doc_id]
+        per_src[r.source].append(r)
+    for src, rows in per_src.items():
+        alloc, n = mix[src].alloc_tokens, mix[src].n_tokens
+        e, rem = alloc // n, alloc % n
+        sampled = sum(r.n_tokens * r.n_copies for r in rows)
+        extra = sum(r.n_tokens for r in rows if r.n_copies == e + 1)
+        # full epochs exactly; greedy remainder never overshoots
+        assert extra <= rem
+        assert {r.n_copies for r in rows} <= {e, e + 1} - {0}
+        if e > 0:
+            # every doc of the domain appears (full-epoch floor)
+            n_docs_src = sum(
+                1 for d, s in duckdb.sql(
+                    f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+                ).fetchall() if s == src
+            )
+            assert len(rows) == n_docs_src
+        assert sampled == e * n + extra
+        assert sampled <= alloc
+
+
+def test_unimax_sample_membership_replays(spark):
+    """Remainder membership is the md5 hash-rank greedy prefix — replay
+    it independently in Python."""
+    import duckdb
+    import hashlib
+
+    mix = {r.source: r for r in CATALOG["docs_unimax_mix"].fn(spark, SF).collect()}
+    sam = CATALOG["docs_unimax_sample"].fn(spark, SF).collect()
+    rows = duckdb.sql(
+        f"""SELECT doc_id, source, len(regexp_split_to_array(
+              lower(trim(text)), '\\s+'))::BIGINT
+            FROM '{SF}/documents.parquet'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for doc_id, src, nt in rows:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        by_src[src].append((h, doc_id, nt))
+    expect = {}
+    for src, docs in by_src.items():
+        alloc, n = mix[src].alloc_tokens, mix[src].n_tokens
+        e, rem = alloc // n, alloc % n
+        cum = 0
+        for h, doc_id, nt in sorted(docs):
+            cum += nt
+            copies = e + (1 if cum <= rem else 0)
+            if copies > 0:
+                expect[doc_id] = copies
+    assert {r.doc_id: r.n_copies for r in sam} == expect
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+def test_fertility_consistent_with_bpe_encode(spark):
+    enc = CATALOG["docs_bpe_encode"].fn(spark, SF).collect()
+    fert = {r.lang: r for r in
+            CATALOG["docs_tokenizer_fertility"].fn(spark, SF).collect()}
+    lang_of = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang").collect()
+    }
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in enc:
+        a = agg[lang_of[r.doc_id]]
+        a[0] += 1
+        a[1] += r.n_words
+        a[2] += r.n_symbols
+        a[3] += r.n_subwords
+    assert set(fert) == set(agg)
+    for lang, (nd, nw, ns, nsub) in agg.items():
+        f = fert[lang]
+        assert (f.n_docs, f.n_words, f.n_symbols, f.n_subwords) == (
+            nd, nw, ns, nsub
+        )
+        assert f.chars_per_subword_u == (2_000_000 * ns + nsub) // (2 * nsub)
+        assert f.subwords_per_word_u == (2_000_000 * nsub + nw) // (2 * nw)
+        # BPE merges only ever JOIN symbols: fertility floor is 1 char
+        # per subword, and subwords never outnumber symbols
+        assert f.chars_per_subword_u >= 1_000_000
+        assert nsub <= ns
