@@ -62,6 +62,7 @@ _PRIORITY = [
     "docs_ref_perplexity_buckets",  # never checked — first driver row
     "docs_unimax_sample",  # never checked — first driver row
     "docs_tokenizer_fertility",  # never checked — first driver row
+    "stream_ref_perplexity",  # never checked — first driver row
     "complaints_json_clean",  # newest driver row r5
     "csv_roundtrip_customer",  # newest driver row r5
     "dedup_incremental_bloom",  # newest driver row r5
@@ -90,8 +91,8 @@ _PRIORITY = [
     "complaints_clean",  # newest driver row r6
     "complaints_flagship",  # newest driver row r6
     "q18_large_volume_customers",  # newest driver row r6
-    "events_multires_rollup",  # newest driver row r6
     # ---- window boundary (50): overflow is staleness-ordered ----
+    "events_multires_rollup",  # newest driver row r6
     "dedup_minhash_lsh",  # newest driver row r6
     "docs_repetition_stats",  # newest driver row r6
     "docs_pii_redact",  # newest driver row r6

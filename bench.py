@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "docs_ref_perplexity_buckets",
     "docs_unimax_sample",
     "docs_tokenizer_fertility",
+    "stream_ref_perplexity",
 ]
 
 # Catalog entries deliberately NOT benched, with the reason committed

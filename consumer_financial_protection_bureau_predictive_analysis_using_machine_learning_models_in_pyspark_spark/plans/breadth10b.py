@@ -628,20 +628,50 @@ def docs_ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window over doc-cardinality rows partitioned by lang.  No
     Python, no UDF, no transcendental on the comparison surface."""
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.explode(TF.tokens("text")).alias("t")
+    ref, stats = _ppl_dims(docs)
+    scored = _ppl_score(docs, ref, stats)
+    w = Window.partitionBy("lang").orderBy("ce_u", "doc_id")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_oov",
+        "ce_u",
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).orderBy("doc_id")
+
+
+def _ppl_dims(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The prebuilt reference-LM dims: (lang, type) add-one counts and
+    per-lang (T, V) totals, from the doc_id % 7 reference slice."""
+    rtok = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("lang", F.explode(TF.tokens("text")).alias("t"))
     )
-    tf = tok.groupBy("doc_id", "lang", "t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    ref = (
-        tok.filter(F.col("doc_id") % 7 == 0)
-        .groupBy("lang", "t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ref = rtok.groupBy("lang", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     stats = ref.groupBy("lang").agg(
         F.sum("cnt").cast("bigint").alias("tt"),
         F.count(F.lit(1)).cast("bigint").alias("vv"),
+    )
+    return ref, stats
+
+
+def _ppl_score(
+    frame: DataFrame, ref: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Score any (doc_id, lang, text) frame under the prebuilt dims:
+    (doc_id, lang, n_tokens, n_oov, ce_u) — the exact decimal-term fold
+    of the batch entry, shared verbatim with the streaming serving twin
+    so where the scoring runs cannot change a value."""
+    tf = (
+        frame.select("doc_id", "lang", F.explode(TF.tokens("text")).alias("t"))
+        .groupBy("doc_id", "lang", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     terms = (
         tf.join(F.broadcast(ref), ["lang", "t"], "left")
@@ -666,24 +696,15 @@ def docs_ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("term_dec") * F.lit(1_000_000)).cast("bigint")
         ).alias("s_int"),
     )
-    scored = doc.withColumn(
-        "ce_u",
-        F.expr(
-            "CAST((2 * s_int + n_tokens) DIV (2 * n_tokens) AS BIGINT)"
-        ),
-    )
-    w = Window.partitionBy("lang").orderBy("ce_u", "doc_id")
-    return scored.select(
+    return doc.select(
         "doc_id",
         "lang",
         "n_tokens",
         "n_oov",
-        "ce_u",
-        F.when(F.ntile(3).over(w) == 1, "head")
-        .when(F.ntile(3).over(w) == 2, "middle")
-        .otherwise("tail")
-        .alias("bucket"),
-    ).orderBy("doc_id")
+        F.expr(
+            "CAST((2 * s_int + n_tokens) DIV (2 * n_tokens) AS BIGINT)"
+        ).alias("ce_u"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -828,3 +849,147 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * n_words) AS BIGINT)"
         ).alias("subwords_per_word_u"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Streaming serving twin: perplexity scoring at ingest
+# ---------------------------------------------------------------------------
+
+_PPL_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_ref_perplexity", None,
+    "streaming", "lm", "perplexity", "model-serving", "foreachBatch",
+    twin_of="docs_ref_perplexity_buckets",
+    twin_pin="tests/test_round10b.py::test_stream_ref_perplexity_twin",
+)
+def stream_ref_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of docs_ref_perplexity_buckets — CCNet serving
+    split: the reference LM dims (per-lang (type, count) table + (T, V)
+    totals) and the tercile cut points are built ONCE, offline, then the
+    corpus arrives as two parquet micro-batches (doc_id parity,
+    mtime-ordered) and each batch is scored by the PREBUILT dims via
+    ``streaming.jobs.run_streaming_model_scoring`` (idempotent
+    ``_batch_id`` overwrite).  Bucket assignment at ingest compares
+    against FROZEN lexicographic (ce_u, doc_id) cut points — exactly the
+    key the batch entry's rank-based tercile orders by, so on replayed
+    docs the twin pin demands bit-equal (score AND bucket) rows; for
+    genuinely new docs the doc_id tiebreak degenerates to a ce_u
+    threshold, which is the production CCNet semantics (frozen
+    head/middle/tail thresholds from an offline sample).
+
+    Rows-only (streaming lifecycle); per-doc value equality with the
+    oracled batch entry is the pin."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.storagelevel import StorageLevel
+
+    from ..streaming import jobs as SJ
+
+    docs = _t(spark, sf_dir, "documents")
+    ref, stats = _ppl_dims(docs)
+    ref = ref.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # frozen cut points: last (ce_u, doc_id) of the head and middle
+    # terciles per lang, from one offline pass (a lang-cardinality dim)
+    batch_out = CATALOG["docs_ref_perplexity_buckets"].fn(spark, sf_dir)
+    cuts = (
+        batch_out.groupBy("lang")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("bucket") == "head",
+                    F.struct(F.col("ce_u"), F.col("doc_id")),
+                )
+            ).alias("_h"),
+            F.max(
+                F.when(
+                    F.col("bucket") != "tail",
+                    F.struct(F.col("ce_u"), F.col("doc_id")),
+                )
+            ).alias("_m"),
+        )
+        .select(
+            "lang",
+            F.col("_h.ce_u").alias("h_ce"),
+            F.col("_h.doc_id").alias("h_id"),
+            F.col("_m.ce_u").alias("m_ce"),
+            F.col("_m.doc_id").alias("m_id"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cuts.count()
+
+    work = _PPL_STREAM_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_ppl_")
+        try:
+            in_dir = f"{work}/in"
+            raw = docs.select("doc_id", "lang", "text")
+            raw.filter("pmod(doc_id, 2) == 0").coalesce(1).write.parquet(
+                f"{in_dir}/b0"
+            )
+            raw.filter("pmod(doc_id, 2) == 1").coalesce(1).write.parquet(
+                f"{in_dir}/b1"
+            )
+            flat = f"{work}/batches"
+            os.makedirs(flat)
+            for i, sub in enumerate(("b0", "b1")):
+                for f in os.listdir(f"{in_dir}/{sub}"):
+                    if f.endswith(".parquet"):
+                        dst = f"{flat}/batch_{i}.parquet"
+                        shutil.copyfile(f"{in_dir}/{sub}/{f}", dst)
+                        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        if not _PPL_STREAM_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _PPL_STREAM_DIRS.values()
+                ]
+            )
+        _PPL_STREAM_DIRS[sf_dir] = work
+    flat = f"{work}/batches"
+
+    def score_fn(batch_df: DataFrame) -> DataFrame:
+        scored = _ppl_score(batch_df, ref, stats)
+        lex_le = (  # (ce_u, doc_id) <=lex (c_ce, c_id), null cut -> False
+            lambda ce, di: (F.col("ce_u") < F.col(ce))
+            | ((F.col("ce_u") == F.col(ce)) & (F.col("doc_id") <= F.col(di)))
+        )
+        return scored.join(F.broadcast(cuts), "lang", "left").select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_oov",
+            "ce_u",
+            F.when(lex_le("h_ce", "h_id"), "head")
+            .when(lex_le("m_ce", "m_id"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    SJ.run_streaming_model_scoring(
+        stream, score_fn, f"{work}/scores", f"{work}/ckpt"
+    )
+    return (
+        spark.read.parquet(f"{work}/scores")
+        .select(
+            "doc_id", "lang", "n_tokens", "n_oov", "ce_u", "bucket",
+            "_batch_id",
+        )
+        .orderBy("doc_id")
+    )

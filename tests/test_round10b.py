@@ -534,3 +534,29 @@ def test_fertility_consistent_with_bpe_encode(spark):
         # per subword, and subwords never outnumber symbols
         assert f.chars_per_subword_u >= 1_000_000
         assert nsub <= ns
+
+
+# ---------------------------------------------------------------------------
+# Streaming perplexity serving twin
+# ---------------------------------------------------------------------------
+
+
+def test_stream_ref_perplexity_twin(spark):
+    """Where the scoring runs (offline batch vs ingest stream with
+    prebuilt dims + frozen cuts) must not change a single value: per-doc
+    (n_tokens, n_oov, ce_u, bucket) bit-equal, every doc in exactly one
+    batch."""
+    b = {r.doc_id: r for r in
+         CATALOG["docs_ref_perplexity_buckets"].fn(spark, SF).collect()}
+    s = {r.doc_id: r for r in
+         CATALOG["stream_ref_perplexity"].fn(spark, SF).collect()}
+    assert set(b) == set(s)
+    for d, rb in b.items():
+        rs = s[d]
+        assert (rb.n_tokens, rb.n_oov, rb.ce_u, rb.bucket) == (
+            rs.n_tokens, rs.n_oov, rs.ce_u, rs.bucket
+        ), d
+    # doc_id-parity batch split, both batches non-empty
+    assert {r._batch_id for r in s.values()} == {0, 1}
+    for r in s.values():
+        assert r._batch_id == r.doc_id % 2

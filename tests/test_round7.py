@@ -148,6 +148,8 @@ def test_twin_registry_integrity():
         "dedup_containment_canonical",
         # r10b: candidate-scoring governor on top of the canonical pick
         "dedup_containment_canonical_fast",
+        # r10b: CCNet serving split (prebuilt LM dims + frozen cuts)
+        "stream_ref_perplexity",
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():
