@@ -63,6 +63,9 @@ _PRIORITY = [
     "docs_unimax_sample",  # never checked — first driver row
     "docs_tokenizer_fertility",  # never checked — first driver row
     "stream_ref_perplexity",  # never checked — first driver row
+    "customer_l_diversity",  # never checked — first driver row
+    "events_cusum_drift",  # never checked — first driver row
+    "ann_ivf_nprobe_sweep",  # never checked — first driver row
     "complaints_json_clean",  # newest driver row r5
     "csv_roundtrip_customer",  # newest driver row r5
     "dedup_incremental_bloom",  # newest driver row r5
@@ -88,10 +91,10 @@ _PRIORITY = [
     "docs_bigram_pmi",  # newest driver row r5
     "supplier_copurchase_pagerank",  # newest driver row r5
     "q1_pricing_summary",  # newest driver row r6
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "complaints_clean",  # newest driver row r6
     "complaints_flagship",  # newest driver row r6
     "q18_large_volume_customers",  # newest driver row r6
-    # ---- window boundary (50): overflow is staleness-ordered ----
     "events_multires_rollup",  # newest driver row r6
     "dedup_minhash_lsh",  # newest driver row r6
     "docs_repetition_stats",  # newest driver row r6

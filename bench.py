@@ -277,6 +277,9 @@ BENCH_QUERIES = [
     "docs_unimax_sample",
     "docs_tokenizer_fertility",
     "stream_ref_perplexity",
+    "customer_l_diversity",
+    "events_cusum_drift",
+    "ann_ivf_nprobe_sweep",
 ]
 
 # Catalog entries deliberately NOT benched, with the reason committed

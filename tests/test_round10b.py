@@ -560,3 +560,178 @@ def test_stream_ref_perplexity_twin(spark):
     assert {r._batch_id for r in s.values()} == {0, 1}
     for r in s.values():
         assert r._batch_id == r.doc_id % 2
+
+
+# ---------------------------------------------------------------------------
+# l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark):
+    audit = {
+        (r.c_nationkey, r.c_mktsegment, r.bal_bucket): r
+        for r in CATALOG["customer_k_anonymity"].fn(spark, SF).collect()
+    }
+    ldiv = CATALOG["customer_l_diversity"].fn(spark, SF).collect()
+    assert {(r.c_nationkey, r.c_mktsegment, r.bal_bucket) for r in ldiv} == (
+        set(audit)
+    )
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"""SELECT c.c_nationkey, c.c_mktsegment,
+              CAST(FLOOR(c.c_acctbal/1000.0) AS INTEGER),
+              CASE WHEN EXISTS (
+                SELECT 1 FROM '{SF}/orders.parquet' o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+              ) THEN 1 ELSE 0 END
+            FROM '{SF}/customer.parquet' c"""
+    ).fetchall()
+    sens = Counter()
+    for n, m, b, d in rows:
+        sens[(n, m, b, d)] += 1
+    for r in ldiv:
+        k = (r.c_nationkey, r.c_mktsegment, r.bal_bucket)
+        assert r.group_size == audit[k].group_size
+        cnts = [sens.get(k + (v,), 0) for v in (0, 1)]
+        assert r.l_distinct == sum(1 for c in cnts if c > 0)
+        assert r.top_share_u == (2_000_000 * max(cnts) + r.group_size) // (
+            2 * r.group_size
+        )
+        assert r.homogeneous == (1 if r.l_distinct < 2 else 0)
+    # the audit has teeth only if both outcomes occur somewhere: the
+    # sf0.001 classes are near-singletons (almost all homogeneous), so
+    # the mixed-class witness is checked one scale up via the oracle SQL
+    assert any(r.homogeneous == 1 for r in ldiv)
+    big = duckdb.sql(
+        """WITH s AS (
+             SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+               CAST(FLOOR(c.c_acctbal/1000.0) AS INTEGER) AS b1,
+               CASE WHEN EXISTS (
+                 SELECT 1 FROM '/root/testdata/sf0.01/orders.parquet' o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority = '1-URGENT') THEN 1 ELSE 0
+               END AS urgent
+             FROM '/root/testdata/sf0.01/customer.parquet' c)
+           SELECT COUNT(*) FROM (
+             SELECT 1 FROM s GROUP BY c_nationkey, c_mktsegment, b1
+             HAVING COUNT(DISTINCT urgent) = 2)"""
+    ).fetchone()[0]
+    assert big > 0
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift
+# ---------------------------------------------------------------------------
+
+_CUSUM_SLACK_U = 25_000_000
+_CUSUM_H_U = 250_000_000
+
+
+def _cusum_replay(rows):
+    """Direct clamped recursion (NOT the closed form) — independent of
+    the windowed implementation."""
+    import math
+
+    tot = sum(math.floor(v * 1_000_000) for _, _, v in rows)
+    target = tot // len(rows)
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, uid, v in rows:
+        by_user[uid].append((eid, math.floor(v * 1_000_000)))
+    out = {}
+    for uid, evs in by_user.items():
+        s_p = s_n = mx_p = mx_n = 0
+        alarms, first = 0, None
+        for eid, vu in evs:  # caller pre-sorts by (ts, event_id)
+            s_p = max(0, s_p + (vu - target - _CUSUM_SLACK_U))
+            s_n = max(0, s_n + (target - vu - _CUSUM_SLACK_U))
+            mx_p, mx_n = max(mx_p, s_p), max(mx_n, s_n)
+            if s_p >= _CUSUM_H_U or s_n >= _CUSUM_H_U:
+                alarms += 1
+                first = eid if first is None else first
+        out[uid] = (len(evs), mx_p, mx_n, alarms, first)
+    return out
+
+
+def test_cusum_matches_direct_recursion(spark):
+    """The prefix-min closed form equals the clamped recursion, user by
+    user, value by value — on the real fixture."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT event_id, user_id, value
+            FROM '{SF}/events.parquet' ORDER BY ts, event_id"""
+    ).fetchall()
+    expect = _cusum_replay(rows)
+    got = {r.user_id: r for r in
+           CATALOG["events_cusum_drift"].fn(spark, SF).collect()}
+    assert set(got) == set(expect)
+    for uid, (n, mp, mn, al, first) in expect.items():
+        r = got[uid]
+        assert (r.n_events, r.max_pos_u, r.max_neg_u,
+                r.n_alarm_events, r.first_alarm_event_id) == (
+            n, mp, mn, al, first
+        ), uid
+
+
+def test_cusum_detects_injected_level_shift(spark):
+    """50 steady events at the mean, then 30 at mean + 40 units: the
+    positive CUSUM must alarm inside the shifted segment and the first
+    alarm must localize near the shift onset."""
+    import datetime
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = []
+    for i in range(80):
+        v = 50.0 if i < 40 else 120.0
+        rows.append((i, 7, base + datetime.timedelta(minutes=i), v))
+    # a control user with steady values — no alarm
+    for i in range(80):
+        rows.append((1000 + i, 8, base + datetime.timedelta(minutes=i), 50.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        breadth10b as B,
+    )
+    import consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.catalog as C
+
+    orig = C.readers.load_table
+    try:
+        C.readers.load_table = lambda s, d, n: df
+        out = {r.user_id: r for r in
+               CATALOG["events_cusum_drift"].fn(spark, "ignored").collect()}
+    finally:
+        C.readers.load_table = orig
+    # global mean = (40*50 + 40*120 + 80*50)/160 = 67.5; shifted steps
+    # accumulate 120 - 67.5 - 25 = 27.5/step -> alarm (250) after 10
+    # shifted events (shift starts at event 40 -> first alarm ~49);
+    # steady steps drift NEGATIVE on both sides (no alarm)
+    assert out[8].n_alarm_events == 0
+    assert out[7].n_alarm_events > 0
+    assert 45 <= out[7].first_alarm_event_id <= 55
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe sweep
+# ---------------------------------------------------------------------------
+
+
+def test_nprobe_sweep_monotone_with_exact_ceiling(spark):
+    rows = CATALOG["ann_ivf_nprobe_sweep"].fn(spark, SF).collect()
+    assert [r.n_probe_cells for r in rows] == [1, 2, 3, 4, 8]
+    recalls = [r.macro_recall_u for r in rows]
+    assert recalls == sorted(recalls), recalls
+    # probing all 8 cells covers every assignment cell -> EXACT
+    assert recalls[-1] == 1_000_000
+    assert recalls[0] < 1_000_000  # the floor is a real operating point
+    for r in rows:
+        assert r.n_probes == 10
+        assert r.sum_truth == 50
+        assert r.macro_recall_u == (
+            2_000_000 * r.sum_hit + r.sum_truth
+        ) // (2 * r.sum_truth)
