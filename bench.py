@@ -346,6 +346,8 @@ PANEL_QUERIES = [
     "ann_semantic_canonical_fast",
     "dedup_incremental",
     "dedup_incremental_bloom",
+    "dedup_containment_canonical",
+    "dedup_containment_canonical_fast",
     # r8/r7 ≥1.5× movers — reproduce-or-clear
     "docs_domain_reweight",
     "docs_dsir_importance",

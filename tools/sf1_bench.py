@@ -62,12 +62,18 @@ PANEL = [
     "dedup_incremental_bloom",
     "docs_quality_deciles",
     "docs_quality_deciles_approx",
+    # r10b: candidate-scoring governor — the decade evidence that closed
+    # the containment family's open observation (a)
+    "dedup_containment_canonical_fast",
+    "docs_ref_perplexity_buckets",
+    "events_cusum_drift",
 ]
 
 # (anchor, twin) pairs surfaced as an explicit ratio comparison in the
 # artifact: twin_ratio < anchor_ratio evidences the crossover direction.
 TWIN_PAIRS = [
     ("dedup_containment", "dedup_containment_canonical"),
+    ("dedup_containment_canonical", "dedup_containment_canonical_fast"),
     ("dedup_incremental", "dedup_incremental_bloom"),
     ("docs_quality_deciles", "docs_quality_deciles_approx"),
 ]
