@@ -66,6 +66,8 @@ _PRIORITY = [
     "customer_l_diversity",  # never checked — first driver row
     "events_cusum_drift",  # never checked — first driver row
     "ann_ivf_nprobe_sweep",  # never checked — first driver row
+    "docs_quality_conformal",  # never checked — first driver row
+    "events_forecast_snaive",  # never checked — first driver row
     "complaints_json_clean",  # newest driver row r5
     "csv_roundtrip_customer",  # newest driver row r5
     "dedup_incremental_bloom",  # newest driver row r5
@@ -89,9 +91,9 @@ _PRIORITY = [
     "lineitem_zorder_layout",  # newest driver row r5
     "lineitem_skipping_stats",  # newest driver row r5
     "docs_bigram_pmi",  # newest driver row r5
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "supplier_copurchase_pagerank",  # newest driver row r5
     "q1_pricing_summary",  # newest driver row r6
-    # ---- window boundary (50): overflow is staleness-ordered ----
     "complaints_clean",  # newest driver row r6
     "complaints_flagship",  # newest driver row r6
     "q18_large_volume_customers",  # newest driver row r6

@@ -280,6 +280,8 @@ BENCH_QUERIES = [
     "customer_l_diversity",
     "events_cusum_drift",
     "ann_ivf_nprobe_sweep",
+    "docs_quality_conformal",
+    "events_forecast_snaive",
 ]
 
 # Catalog entries deliberately NOT benched, with the reason committed

@@ -1289,3 +1289,193 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), frames).orderBy(
         "n_probe_cells"
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal gate on the model-based quality filter
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHAS_U = (50_000, 100_000, 200_000)  # alpha in micro-units
+_CONF_N_CAL = 200
+
+
+@register(
+    "docs_quality_conformal", None,
+    "ml", "quality", "conformal", "calibration",
+)
+def docs_quality_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the model-based quality gate
+    (Vovk et al.; the split-conformal form of Papadopoulos et al. 2002):
+    instead of gating on an arbitrary probability threshold, pick the
+    cut from a held-out calibration set so that, under exchangeability,
+    at least 1−α of truly-keepable documents survive the filter — the
+    "don't silently throw away good training data" guarantee a curation
+    pipeline owner actually wants.
+
+    Split discipline: the model trains on the md5 TOP-400 ids
+    (``fit_quality_model``'s draw); calibration takes the md5 BOTTOM
+    ``_CONF_N_CAL`` weak-positives (disjoint by construction — the draw
+    orders are reversed and the corpus is larger than both), evaluation
+    is everything else.  Nonconformity for a keep-labeled doc is
+    1e6 − model_score_u; the gate is the ceil((n+1)(1−α))-th smallest
+    calibration nonconformity (the standard finite-sample quantile).
+    Emits one row per α: (alpha_u, n_cal, q_u, n_eval_pos, n_covered,
+    coverage_u) — rows-only (MLlib scores), with pins: coverage within
+    finite-sample slack of 1−α and monotone in α.
+
+    Scale posture: score once (narrow transform over one corpus scan,
+    the docs_quality_classifier plan), calibrate on a bounded frame, and
+    the per-α gate is a broadcast scalar comparison — the sweep costs
+    one extra aggregate per α over the already-scored frame."""
+    from functools import reduce
+
+    from ..ml import quality as Q
+    from .pipeline_queries import quality_rule_set
+
+    docs = _t(spark, sf_dir, "documents")
+    base = Q.weak_label_frame(docs, quality_rule_set()).cache()
+    model = Q.fit_quality_model(base)
+    scored = (
+        Q.score_corpus(base, model)
+        .withColumn("_h", F.md5(F.col("doc_id").cast("string")))
+        .cache()
+    )
+    base.unpersist()
+    pos = scored.filter(F.col("heuristic_keep"))
+    # calibration: md5 BOTTOM n among weak-positives (training used TOP)
+    w_desc = Window.orderBy(F.col("_h").desc(), F.col("doc_id").desc())
+    cal = (
+        pos.withColumn("_rk", F.row_number().over(w_desc))
+        .filter(F.col("_rk") <= _CONF_N_CAL)
+        .select(
+            "doc_id",
+            (F.lit(1_000_000) - F.col("model_score_u")).alias("nc_u"),
+        )
+        .cache()
+    )
+    cal_ids = [r.doc_id for r in cal.select("doc_id").collect()]
+    n_cal = len(cal_ids)
+    frames = []
+    for alpha_u in _CONF_ALPHAS_U:
+        # rank of the conformal quantile: ceil((n+1) * (1 - alpha))
+        rank = -(-(n_cal + 1) * (1_000_000 - alpha_u) // 1_000_000)
+        rank = min(rank, n_cal)
+        w_nc = Window.orderBy(F.col("nc_u").asc(), F.col("doc_id"))
+        q_row = (
+            cal.withColumn("_r", F.row_number().over(w_nc))
+            .filter(F.col("_r") == rank)
+            .select(F.col("nc_u").alias("q_u"))
+        )
+        ev = pos.filter(~F.col("doc_id").isin(cal_ids)).crossJoin(
+            F.broadcast(q_row)
+        )
+        frames.append(
+            ev.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_eval_pos"),
+                F.sum(
+                    F.when(
+                        F.lit(1_000_000) - F.col("model_score_u")
+                        <= F.col("q_u"),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint").alias("n_covered"),
+                F.max("q_u").cast("bigint").alias("q_u"),
+            ).select(
+                F.lit(alpha_u).cast("bigint").alias("alpha_u"),
+                F.lit(n_cal).cast("bigint").alias("n_cal"),
+                "q_u",
+                "n_eval_pos",
+                "n_covered",
+                F.expr(
+                    "CAST((2000000 * n_covered + n_eval_pos)"
+                    " DIV (2 * n_eval_pos) AS BIGINT)"
+                ).alias("coverage_u"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy("alpha_u")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest over the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_forecast_snaive",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS v_u
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT a.event_type, a.h, a.v_u, b.v_u AS pred_u
+  FROM hourly a
+  JOIN hourly b ON b.event_type = a.event_type
+               AND b.h = a.h - INTERVAL 24 HOURS
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(ABS(v_u - pred_u)) AS BIGINT) AS sum_abs_err_u,
+       CAST(SUM(v_u - pred_u) AS BIGINT) AS sum_err_u,
+       CAST((2 * SUM(ABS(v_u - pred_u)) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS mae_u
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "events", "forecast", "backtest", "seasonal-naive",
+)
+def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every real
+    forecasting deployment must beat (M-competition convention): predict
+    each (event_type, hour)'s total value by the SAME hour one day
+    earlier, scored only where the 24h-lag hour exists (an equi-join on
+    the shifted hour key, so calendar gaps never misalign the way a
+    row-offset LAG would).  Exact int64 micro-units; the signed error is
+    emitted as a SUM (never divided — Spark DIV truncates toward zero
+    while DuckDB // floors, and the signed sum can be negative), MAE as
+    a half-up division of the non-negative absolute sum.
+
+    Scale posture: one hourly aggregate (map-side combinable), then a
+    self-equi-join on (event_type, shifted hour) — both sides are the
+    SAME aggregated dim frame, hour-cardinality not event-cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_u"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("v_u").cast("bigint").alias("v_u"))
+    )
+    pred = hourly.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("v_u").alias("pred_u"),
+    )
+    scored = hourly.join(pred, ["event_type", "h"])
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum(F.abs(F.col("v_u") - F.col("pred_u")))
+            .cast("bigint")
+            .alias("sum_abs_err_u"),
+            F.sum(F.col("v_u") - F.col("pred_u"))
+            .cast("bigint")
+            .alias("sum_err_u"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "sum_abs_err_u",
+            "sum_err_u",
+            F.expr(
+                "CAST((2 * sum_abs_err_u + n_hours)"
+                " DIV (2 * n_hours) AS BIGINT)"
+            ).alias("mae_u"),
+        )
+        .orderBy("event_type")
+    )

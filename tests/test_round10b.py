@@ -735,3 +735,93 @@ def test_nprobe_sweep_monotone_with_exact_ceiling(spark):
         assert r.macro_recall_u == (
             2_000_000 * r.sum_hit + r.sum_truth
         ) // (2 * r.sum_truth)
+
+
+# ---------------------------------------------------------------------------
+# Conformal quality gate
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_coverage_and_monotonicity(spark):
+    rows = CATALOG["docs_quality_conformal"].fn(spark, SF).collect()
+    assert [r.alpha_u for r in rows] == [50_000, 100_000, 200_000]
+    for r in rows:
+        # marginal guarantee with finite-sample slack (coverage on a
+        # FIXED split is beta-concentrated around 1 - alpha; 3% covers
+        # the n_cal=200 quantile noise at every committed scale)
+        assert r.coverage_u >= 1_000_000 - r.alpha_u - 30_000, r
+        assert r.n_covered <= r.n_eval_pos
+        assert r.coverage_u == (
+            2_000_000 * r.n_covered + r.n_eval_pos
+        ) // (2 * r.n_eval_pos)
+    # larger alpha -> smaller quantile -> tighter gate -> lower coverage
+    qs = [r.q_u for r in rows]
+    cov = [r.coverage_u for r in rows]
+    assert qs == sorted(qs, reverse=True), qs
+    assert cov == sorted(cov, reverse=True), cov
+
+
+def test_conformal_quantile_replays(spark):
+    """Recompute the conformal quantile independently: md5-bottom-200
+    weak-positives' nonconformities, ceil((n+1)(1-alpha))-th smallest."""
+    import hashlib
+    import math
+
+    scored = CATALOG["docs_quality_classifier"].fn(spark, SF).collect()
+    pos = [r for r in scored if r.heuristic_keep]
+    ranked = sorted(
+        pos,
+        key=lambda r: (
+            hashlib.md5(str(r.doc_id).encode()).hexdigest(),
+            r.doc_id,
+        ),
+        reverse=True,
+    )
+    cal = ranked[:200]
+    n = len(cal)
+    ncs = sorted(
+        (1_000_000 - r.model_score_u, r.doc_id) for r in cal
+    )
+    out = {r.alpha_u: r for r in
+           CATALOG["docs_quality_conformal"].fn(spark, SF).collect()}
+    for alpha_u, r in out.items():
+        rank = min(math.ceil((n + 1) * (1_000_000 - alpha_u) / 1_000_000), n)
+        assert r.n_cal == n
+        assert r.q_u == ncs[rank - 1][0], alpha_u
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive backtest
+# ---------------------------------------------------------------------------
+
+
+def test_snaive_replays_in_python(spark):
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, date_trunc('hour', ts), value
+            FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    hourly = defaultdict(int)
+    for et, h, v in rows:
+        hourly[(et, h)] += math.floor(v * 1_000_000)
+    import datetime
+
+    day = datetime.timedelta(hours=24)
+    per_type = defaultdict(lambda: [0, 0, 0])
+    for (et, h), v in hourly.items():
+        prev = hourly.get((et, h - day))
+        if prev is not None:
+            a = per_type[et]
+            a[0] += 1
+            a[1] += abs(v - prev)
+            a[2] += v - prev
+    got = {r.event_type: r for r in
+           CATALOG["events_forecast_snaive"].fn(spark, SF).collect()}
+    assert set(got) == {et for et, a in per_type.items() if a[0] > 0}
+    for et, (n, sae, se) in per_type.items():
+        r = got[et]
+        assert (r.n_hours, r.sum_abs_err_u, r.sum_err_u) == (n, sae, se)
+        assert r.mae_u == (2 * sae + n) // (2 * n)
