@@ -282,6 +282,7 @@ BENCH_QUERIES = [
     "ann_ivf_nprobe_sweep",
     "docs_quality_conformal",
     "events_forecast_snaive",
+    "stream_cusum_drift",
 ]
 
 # Catalog entries deliberately NOT benched, with the reason committed

@@ -1479,3 +1479,106 @@ def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM: the stateful-ingest twin with a FULL value oracle
+# ---------------------------------------------------------------------------
+
+_CUSUM_STREAM_DIRS: dict[str, str] = {}
+
+_CUSUM_ORACLE = CATALOG["events_cusum_drift"].oracle
+
+
+@register(
+    "stream_cusum_drift",
+    _CUSUM_ORACLE,
+    "streaming", "events", "drift", "cusum", "foreachBatch",
+    twin_of="events_cusum_drift",
+    twin_pin="tests/test_round10b.py::test_stream_cusum_twin",
+)
+def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_cusum_drift: events arrive as three
+    time-ordered micro-batches (global ts ntiles — a fixture-builder
+    sort, not an engine pattern); each batch's excursions are computed
+    from the SAME two stacked windows as the batch entry, continued
+    across batches by the O(1)-per-user prefix-sum state
+    ``(c_last, m = min(0, min prefix c))`` —
+    ``streaming.jobs.run_streaming_cusum``.  Because that state makes
+    the drained result batch-split-INVARIANT, this is the third
+    stateful-streaming entry carrying a FULL value oracle: the SQL is
+    the batch detector verbatim.  The target is the frozen offline
+    corpus mean (prebuilt-scalar serving convention)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs as SJ
+
+    ev = _t(spark, sf_dir, "events")
+    target_u = ev.agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT))"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("t")
+    ).collect()[0].t
+
+    work = _CUSUM_STREAM_DIRS.get(sf_dir)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="stream_cusum_")
+        try:
+            wall = Window.orderBy("ts", "event_id")
+            tiled = ev.select(
+                "event_id", "user_id", "ts", "value"
+            ).withColumn("_b", F.ntile(3).over(wall) - 1)
+            in_dir = f"{work}/in"
+            for b in range(3):
+                tiled.filter(F.col("_b") == b).drop("_b").coalesce(
+                    1
+                ).write.parquet(f"{in_dir}/b{b}")
+            flat = f"{work}/batches"
+            os.makedirs(flat)
+            for i in range(3):
+                for fn in os.listdir(f"{in_dir}/b{i}"):
+                    if fn.endswith(".parquet"):
+                        dst = f"{flat}/batch_{i}.parquet"
+                        shutil.copyfile(f"{in_dir}/b{i}/{fn}", dst)
+                        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        if not _CUSUM_STREAM_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _CUSUM_STREAM_DIRS.values()
+                ]
+            )
+        _CUSUM_STREAM_DIRS[sf_dir] = work
+    flat = f"{work}/batches"
+
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    SJ.run_streaming_cusum(
+        stream,
+        target_u,
+        _CUSUM_SLACK_U,
+        _CUSUM_H_U,
+        f"{work}/state",
+        f"{work}/ckpt",
+    )
+    versions = SJ.mv_versions(spark, f"{work}/state")
+    state = spark.read.parquet(f"{work}/state/v{versions[-1]}")
+    return state.select(
+        "user_id",
+        "n_events",
+        "max_pos_u",
+        "max_neg_u",
+        "n_alarm_events",
+        "first_alarm_event_id",
+    ).orderBy("user_id")

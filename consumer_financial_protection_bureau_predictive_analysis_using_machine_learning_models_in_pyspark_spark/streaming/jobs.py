@@ -1183,3 +1183,179 @@ def run_streaming_model_scoring(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_cusum(
+    stream: DataFrame,
+    target_u: int,
+    slack_u: int,
+    threshold_u: int,
+    state_dir: str,
+    checkpoint: str,
+) -> None:
+    """Continuously-maintained per-user two-sided CUSUM — the streaming
+    form of ``events_cusum_drift``, possible because the prefix-min
+    closed form s_i = c_i − min(0, min_{j≤i} c_j) carries across
+    time-ordered slices with O(1) state per user and side:
+    ``(c_last, m)`` where ``m = min(0, min prefix c) ≤ 0``.  For a batch
+    whose LOCAL running sum/min (computed by the same two stacked
+    windows as the batch entry) are (lc_i, lmin_i), the global values
+    are c_i = c_last + lc_i and m_i = min(m_prev, c_last + lmin_i) — so
+    every event's exact excursion and alarm flag come out at per-batch
+    ingest cost, never a history rescan, and the drained state is
+    batch-split-INVARIANT (what lets the catalog entry carry the batch
+    computation's FULL value oracle).
+
+    The target is FROZEN (a prebuilt offline scalar, the model-serving
+    convention — a drifting target would chase its own signal).
+    Requires time-ordered arrival per user across batches (standard
+    log-ingest; the fixture splits by global ts ntiles).  Same
+    idempotent versioning contract as ``run_streaming_gap_moments``:
+    ``v{b}`` derives only from versions < b plus batch b, so a replayed
+    batch rewrites byte-identically."""
+    from pyspark.sql import Window
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        v = batch_df.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_u"),
+        )
+        loc = v.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("v_u") - F.lit(target_u) - F.lit(slack_u))
+            .over(w)
+            .alias("lc_pos"),
+            F.sum(F.lit(target_u) - F.col("v_u") - F.lit(slack_u))
+            .over(w)
+            .alias("lc_neg"),
+        ).select(
+            "*",
+            F.min("lc_pos").over(w).alias("lmin_pos"),
+            F.min("lc_neg").over(w).alias("lmin_neg"),
+        )
+        prev_versions = [
+            x for x in mv_versions(spark, state_dir) if x < batch_id
+        ]
+        prev = (
+            spark.read.parquet(f"{state_dir}/v{prev_versions[-1]}")
+            if prev_versions
+            else None
+        )
+        carry_cols = [
+            "c_last_pos", "m_pos", "c_last_neg", "m_neg",
+            "n_events", "max_pos_u", "max_neg_u",
+            "n_alarm_events", "first_alarm_event_id",
+        ]
+        if prev is None:
+            prev = spark.createDataFrame(
+                [],
+                "user_id bigint, c_last_pos bigint, m_pos bigint,"
+                " c_last_neg bigint, m_neg bigint, n_events bigint,"
+                " max_pos_u bigint, max_neg_u bigint,"
+                " n_alarm_events bigint, first_alarm_event_id bigint",
+            )
+        carry = prev.select(
+            "user_id", *[F.col(c).alias(f"_p_{c}") for c in carry_cols]
+        )
+        ev = (
+            loc.join(carry, "user_id", "left")
+            .withColumn(
+                "c_pos",
+                F.coalesce(F.col("_p_c_last_pos"), F.lit(0))
+                + F.col("lc_pos"),
+            )
+            .withColumn(
+                "c_neg",
+                F.coalesce(F.col("_p_c_last_neg"), F.lit(0))
+                + F.col("lc_neg"),
+            )
+            .withColumn(
+                "m_pos_i",
+                F.least(
+                    F.coalesce(F.col("_p_m_pos"), F.lit(0)),
+                    F.coalesce(F.col("_p_c_last_pos"), F.lit(0))
+                    + F.col("lmin_pos"),
+                ),
+            )
+            .withColumn(
+                "m_neg_i",
+                F.least(
+                    F.coalesce(F.col("_p_m_neg"), F.lit(0)),
+                    F.coalesce(F.col("_p_c_last_neg"), F.lit(0))
+                    + F.col("lmin_neg"),
+                ),
+            )
+            .withColumn("s_pos", F.col("c_pos") - F.col("m_pos_i"))
+            .withColumn("s_neg", F.col("c_neg") - F.col("m_neg_i"))
+        )
+        alarm = (F.col("s_pos") >= threshold_u) | (
+            F.col("s_neg") >= threshold_u
+        )
+        ordk = F.struct(F.col("ts"), F.col("event_id"))
+        delta = ev.groupBy("user_id").agg(
+            F.max_by(F.col("c_pos"), ordk).alias("_b_c_last_pos"),
+            F.min("m_pos_i").alias("_b_m_pos"),
+            F.max_by(F.col("c_neg"), ordk).alias("_b_c_last_neg"),
+            F.min("m_neg_i").alias("_b_m_neg"),
+            F.count(F.lit(1)).cast("bigint").alias("_b_n"),
+            F.max("s_pos").cast("bigint").alias("_b_max_pos"),
+            F.max("s_neg").cast("bigint").alias("_b_max_neg"),
+            F.sum(F.when(alarm, 1).otherwise(0))
+            .cast("bigint")
+            .alias("_b_al"),
+            F.min(F.when(alarm, F.col("event_id"))).alias("_b_first"),
+        )
+        merged = (
+            prev.join(delta, "user_id", "full_outer")
+            .select(
+                "user_id",
+                F.coalesce("_b_c_last_pos", "c_last_pos").alias(
+                    "c_last_pos"
+                ),
+                F.coalesce("_b_m_pos", "m_pos").alias("m_pos"),
+                F.coalesce("_b_c_last_neg", "c_last_neg").alias(
+                    "c_last_neg"
+                ),
+                F.coalesce("_b_m_neg", "m_neg").alias("m_neg"),
+                (
+                    F.coalesce("n_events", F.lit(0))
+                    + F.coalesce("_b_n", F.lit(0))
+                ).alias("n_events"),
+                F.greatest(
+                    F.coalesce("max_pos_u", F.lit(0)),
+                    F.coalesce("_b_max_pos", F.lit(0)),
+                ).alias("max_pos_u"),
+                F.greatest(
+                    F.coalesce("max_neg_u", F.lit(0)),
+                    F.coalesce("_b_max_neg", F.lit(0)),
+                ).alias("max_neg_u"),
+                (
+                    F.coalesce("n_alarm_events", F.lit(0))
+                    + F.coalesce("_b_al", F.lit(0))
+                ).alias("n_alarm_events"),
+                F.coalesce(
+                    "first_alarm_event_id", "_b_first"
+                ).alias("first_alarm_event_id"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

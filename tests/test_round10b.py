@@ -825,3 +825,37 @@ def test_snaive_replays_in_python(spark):
         r = got[et]
         assert (r.n_hours, r.sum_abs_err_u, r.sum_err_u) == (n, sae, se)
         assert r.mae_u == (2 * sae + n) // (2 * n)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM twin
+# ---------------------------------------------------------------------------
+
+
+def test_stream_cusum_twin(spark):
+    """The drained streaming state equals the batch detector row-for-row
+    (batch-split invariance of the prefix-sum state), and the run left
+    one state version per micro-batch."""
+    b = {r.user_id: r for r in
+         CATALOG["events_cusum_drift"].fn(spark, SF).collect()}
+    s = {r.user_id: r for r in
+         CATALOG["stream_cusum_drift"].fn(spark, SF).collect()}
+    assert set(b) == set(s)
+    for uid, rb in b.items():
+        rs = s[uid]
+        assert (
+            rb.n_events, rb.max_pos_u, rb.max_neg_u,
+            rb.n_alarm_events, rb.first_alarm_event_id,
+        ) == (
+            rs.n_events, rs.max_pos_u, rs.max_neg_u,
+            rs.n_alarm_events, rs.first_alarm_event_id,
+        ), uid
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        breadth10b as B,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.streaming import (  # noqa: E501
+        jobs as SJ,
+    )
+
+    work = B._CUSUM_STREAM_DIRS[SF]
+    assert SJ.mv_versions(spark, f"{work}/state") == [0, 1, 2]

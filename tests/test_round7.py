@@ -150,6 +150,8 @@ def test_twin_registry_integrity():
         "dedup_containment_canonical_fast",
         # r10b: CCNet serving split (prebuilt LM dims + frozen cuts)
         "stream_ref_perplexity",
+        # r10b: stateful streaming CUSUM with a full value oracle
+        "stream_cusum_drift",
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():
