@@ -945,6 +945,26 @@ def edit_distance_pairs(
 SHINGLE_MAX_DF = 128
 
 
+def _df_capped_split(
+    sh: DataFrame,
+    *,
+    max_df: int = SHINGLE_MAX_DF,
+    block_col: str = "lang",
+) -> tuple[DataFrame, DataFrame]:
+    """The df-cap policy in ONE place: split a distinct-per-doc shingle
+    frame into ``(cold, hot)`` by per-block document frequency.  Shared
+    by ``shingle_overlap_pairs`` and the pruned containment path so the
+    two candidate universes can never drift (their bit-equality twin
+    pin depends on it)."""
+    dfreq = sh.groupBy(block_col, "h").agg(F.count(F.lit(1)).alias("_df"))
+    tagged = sh.join(dfreq, [block_col, "h"])
+    cold = tagged.filter(F.col("_df") <= max_df).select(
+        "doc_id", block_col, "h"
+    )
+    hot = tagged.filter(F.col("_df") > max_df).select("doc_id", "h")
+    return cold, hot
+
+
 def shingle_overlap_pairs(
     sh: DataFrame,
     *,
@@ -980,10 +1000,7 @@ def shingle_overlap_pairs(
     probe side; ``directional=True`` emits both (a, b) and (b, a)
     (asymmetric measures like containment), else id_a < id_b.
     """
-    dfreq = sh.groupBy(block_col, "h").agg(F.count(F.lit(1)).alias("_df"))
-    tagged = sh.join(dfreq, [block_col, "h"])
-    cold = tagged.filter(F.col("_df") <= max_df).select("doc_id", block_col, "h")
-    hot = tagged.filter(F.col("_df") > max_df).select("doc_id", "h")
+    cold, hot = _df_capped_split(sh, max_df=max_df, block_col=block_col)
     a_src = cold if probe_filter is None else cold.filter(probe_filter)
     a = a_src.select(F.col("doc_id").alias("id_a"), block_col, "h")
     b = cold.select(F.col("doc_id").alias("id_b"), block_col, "h")
@@ -1150,11 +1167,15 @@ def _containment_pruned_candidates(
       cannot exceed either doc's hot-shingle count), so a pair whose
       ``ub``-containment is already below ``min_u`` can never qualify;
     * winner bound — ``lb(sub) = max(_n_cold)`` over the sub's pairs is
-      a lower bound on the winner's exact intersection, so a pair with
-      ``ub < lb`` is STRICTLY below the max and cannot win even on the
-      (u, −sup_id) tie-break.  The pair attaining ``lb`` always has
-      ``ub ≥ _n_cold = lb`` and survives, so every sub that has any
-      qualifying pair keeps its winner.
+      a lower bound on the winner's exact intersection.  Both bounds
+      compare in ROUNDED half-up micro-units (u(ub) vs u(lb) / min_u),
+      not raw counts: past 1e6 distinct sub shingles two different
+      intersection counts can round to the same containment_u, where
+      the (u, −sup_id) tie-break decides — a raw count prune could drop
+      the tie-winning smaller sup_id.  u() is monotone in the count, so
+      u(ub) < u(lb) still implies a strictly smaller final u; u-ties
+      are kept.  The pair attaining ``lb`` always survives, so every
+      sub that has any qualifying pair keeps its winner.
 
     The bound dims are all doc-keyed and linear (per-doc hot counts,
     per-doc sizes, per-sub running max — a map-side-combinable agg), so
@@ -1163,12 +1184,7 @@ def _containment_pruned_candidates(
     survivor set — at 100 TB with heavy boilerplate (large hot lists)
     that join is the scoring bottleneck the r10 handoff flagged.
     """
-    dfreq = sh.groupBy(block_col, "h").agg(F.count(F.lit(1)).alias("_df"))
-    tagged = sh.join(dfreq, [block_col, "h"])
-    cold = tagged.filter(F.col("_df") <= max_df).select(
-        "doc_id", block_col, "h"
-    )
-    hot = tagged.filter(F.col("_df") > max_df).select("doc_id", "h")
+    cold, hot = _df_capped_split(sh, max_df=max_df, block_col=block_col)
     # sh is distinct-per-doc by contract -> plain counts
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
     hotn = hot.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_hot"))
@@ -1201,12 +1217,17 @@ def _containment_pruned_candidates(
             ),
         )
     )
+    # Both bounds compare in ROUNDED micro-units, not raw intersection
+    # counts: when a sub doc has more than 1e6 distinct shingles, two
+    # different n_inter values can round to the SAME containment_u and
+    # the (u, −sup_id) tie-break decides — a raw `_ub >= _lb` prune
+    # could then drop the tie-winning smaller sup_id.  u() is monotone
+    # in the count, so u(ub) < u(lb) still implies a strictly smaller
+    # final u (safe to prune), while u-ties are kept.
+    ub_u = F.expr("CAST((2000000 * _ub + _n) DIV (2 * _n) AS BIGINT)")
+    lb_u = F.expr("CAST((2000000 * _lb + _n) DIV (2 * _n) AS BIGINT)")
     survivors = bounded.filter(
-        (F.col("_ub") >= F.col("_lb"))
-        & (
-            F.expr("CAST((2000000 * _ub + _n) DIV (2 * _n) AS BIGINT)")
-            >= F.lit(min_u)
-        )
+        (ub_u >= lb_u) & (ub_u >= F.lit(min_u))
     ).select("id_sub", "id_sup", "_n_cold", "_n")
     return cand.select("id_sub", "id_sup", "_n_cold", "_n"), survivors, hot
 

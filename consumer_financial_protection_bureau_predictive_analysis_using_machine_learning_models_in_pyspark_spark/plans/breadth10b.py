@@ -362,8 +362,14 @@ def customer_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     taxonomy (region via the nation dim, $5000 band); classes still
     below k suppress geo+balance entirely (segment-only release).
     Emits one row per customer with its generalization level, released
-    QIDs, and the size of the class it was released in — every released
-    class is ≥ k by construction (pinned).
+    QIDs, and a class-size column: every GENERALIZED release class
+    (levels 0 and 1) is ≥ k by construction (pinned).  Level-2 rows are
+    terminally SUPPRESSED — geo and balance are withheld outright, so
+    k-anonymity over those attributes is vacuous (a '*' cell is
+    consistent with every value; the matching class under the remaining
+    QID is the whole segment).  Their group_size reports the suppressed
+    cohort per segment for AUDITABILITY and may be < k — it is not a
+    release-class guarantee (r10b review clarification).
 
     Scale posture: two grouped aggregates + doc-keyed joins, each on a
     monotonically SHRINKING residue; the nation dim is broadcast.  The
@@ -591,12 +597,26 @@ scored AS (
          CAST((2 * s_int + n_tokens)
               // (2 * n_tokens) AS BIGINT) AS ce_u
   FROM doc
+),
+unscored AS (
+  SELECT tf.doc_id, tf.lang,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_oov,
+         CAST(NULL AS BIGINT) AS ce_u,
+         'unscored' AS bucket
+  FROM tf LEFT JOIN stats s ON s.lang = tf.lang
+  WHERE s.lang IS NULL
+  GROUP BY 1, 2
 )
-SELECT doc_id, lang, n_tokens, n_oov, ce_u,
-       CASE NTILE(3) OVER (PARTITION BY lang ORDER BY ce_u, doc_id)
-         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-       END AS bucket
-FROM scored
+SELECT * FROM (
+  SELECT doc_id, lang, n_tokens, n_oov, ce_u,
+         CASE NTILE(3) OVER (PARTITION BY lang ORDER BY ce_u, doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         END AS bucket
+  FROM scored
+  UNION ALL
+  SELECT * FROM unscored
+) u
 ORDER BY doc_id
 """,
     "text", "lm", "perplexity", "ccnet", "curation",
@@ -630,8 +650,10 @@ def docs_ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     ref, stats = _ppl_dims(docs)
     scored = _ppl_score(docs, ref, stats)
+    # the tercile window must see ONLY scored rows — an unscored
+    # (ref-less lang) row inside the partition would shift every tile
     w = Window.partitionBy("lang").orderBy("ce_u", "doc_id")
-    return scored.select(
+    with_ref = scored.filter(F.col("ce_u").isNotNull()).select(
         "doc_id",
         "lang",
         "n_tokens",
@@ -641,7 +663,12 @@ def docs_ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.ntile(3).over(w) == 2, "middle")
         .otherwise("tail")
         .alias("bucket"),
-    ).orderBy("doc_id")
+    )
+    no_ref = scored.filter(F.col("ce_u").isNull()).select(
+        "doc_id", "lang", "n_tokens", "n_oov", "ce_u",
+        F.lit("unscored").alias("bucket"),
+    )
+    return with_ref.unionByName(no_ref).orderBy("doc_id")
 
 
 def _ppl_dims(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -667,7 +694,10 @@ def _ppl_score(
     """Score any (doc_id, lang, text) frame under the prebuilt dims:
     (doc_id, lang, n_tokens, n_oov, ce_u) — the exact decimal-term fold
     of the batch entry, shared verbatim with the streaming serving twin
-    so where the scoring runs cannot change a value."""
+    so where the scoring runs cannot change a value.  A language with NO
+    reference docs (stats row absent) yields ce_u NULL and n_oov ==
+    n_tokens — callers bucket those as 'unscored' instead of silently
+    dropping tail languages (r10b review finding)."""
     tf = (
         frame.select("doc_id", "lang", F.explode(TF.tokens("text")).alias("t"))
         .groupBy("doc_id", "lang", "t")
@@ -675,7 +705,7 @@ def _ppl_score(
     )
     terms = (
         tf.join(F.broadcast(ref), ["lang", "t"], "left")
-        .join(F.broadcast(stats), "lang")
+        .join(F.broadcast(stats), "lang", "left")
         .withColumn(
             "term_dec",
             (
@@ -881,11 +911,6 @@ def stream_ref_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only (streaming lifecycle); per-doc value equality with the
     oracled batch entry is the pin."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.storagelevel import StorageLevel
 
     from ..streaming import jobs as SJ
@@ -925,38 +950,17 @@ def stream_ref_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cuts.count()
 
-    work = _PPL_STREAM_DIRS.get(sf_dir)
-    if work is None:
-        work = tempfile.mkdtemp(prefix="stream_ppl_")
-        try:
-            in_dir = f"{work}/in"
-            raw = docs.select("doc_id", "lang", "text")
-            raw.filter("pmod(doc_id, 2) == 0").coalesce(1).write.parquet(
-                f"{in_dir}/b0"
-            )
-            raw.filter("pmod(doc_id, 2) == 1").coalesce(1).write.parquet(
-                f"{in_dir}/b1"
-            )
-            flat = f"{work}/batches"
-            os.makedirs(flat)
-            for i, sub in enumerate(("b0", "b1")):
-                for f in os.listdir(f"{in_dir}/{sub}"):
-                    if f.endswith(".parquet"):
-                        dst = f"{flat}/batch_{i}.parquet"
-                        shutil.copyfile(f"{in_dir}/{sub}/{f}", dst)
-                        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
-        except BaseException:
-            shutil.rmtree(work, ignore_errors=True)
-            raise
-        if not _PPL_STREAM_DIRS:
-            atexit.register(
-                lambda: [
-                    shutil.rmtree(d, ignore_errors=True)
-                    for d in _PPL_STREAM_DIRS.values()
-                ]
-            )
-        _PPL_STREAM_DIRS[sf_dir] = work
-    flat = f"{work}/batches"
+    raw = docs.select("doc_id", "lang", "text")
+    flat = SJ.stage_microbatches(
+        _PPL_STREAM_DIRS,
+        sf_dir,
+        [
+            raw.filter("pmod(doc_id, 2) == 0"),
+            raw.filter("pmod(doc_id, 2) == 1"),
+        ],
+        "stream_ppl_",
+    )
+    work = _PPL_STREAM_DIRS[sf_dir]
 
     def score_fn(batch_df: DataFrame) -> DataFrame:
         scored = _ppl_score(batch_df, ref, stats)
@@ -970,7 +974,8 @@ def stream_ref_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "n_oov",
             "ce_u",
-            F.when(lex_le("h_ce", "h_id"), "head")
+            F.when(F.col("ce_u").isNull(), "unscored")
+            .when(lex_le("h_ce", "h_id"), "head")
             .when(lex_le("m_ce", "m_id"), "middle")
             .otherwise("tail")
             .alias("bucket"),
@@ -1147,8 +1152,9 @@ SELECT user_id,
        CAST(SUM(CASE WHEN s_pos >= {_CUSUM_H_U}
                        OR s_neg >= {_CUSUM_H_U} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_alarm_events,
-       MIN(CASE WHEN s_pos >= {_CUSUM_H_U} OR s_neg >= {_CUSUM_H_U}
-                THEN event_id END) AS first_alarm_event_id
+       (MIN(CASE WHEN s_pos >= {_CUSUM_H_U} OR s_neg >= {_CUSUM_H_U}
+                 THEN struct_pack(ts := ts, eid := event_id) END)).eid
+         AS first_alarm_event_id
 FROM s
 GROUP BY user_id
 ORDER BY user_id
@@ -1206,6 +1212,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = c.select(
         "event_id",
         "user_id",
+        "ts",
         (F.col("c_pos") - F.least(F.lit(0), F.min("c_pos").over(w))).alias(
             "s_pos"
         ),
@@ -1223,9 +1230,12 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(alarm, 1).otherwise(0))
             .cast("bigint")
             .alias("n_alarm_events"),
-            F.min(F.when(alarm, F.col("event_id"))).alias(
-                "first_alarm_event_id"
-            ),
+            # first alarm = earliest by (ts, event_id): event ids are
+            # NOT contractually monotone in ts, and the streaming twin's
+            # state merge composes chronologically (r10b review finding)
+            F.min(F.when(alarm, F.struct(F.col("ts"), F.col("event_id"))))[
+                "event_id"
+            ].alias("first_alarm_event_id"),
         )
         .orderBy("user_id")
     )
@@ -1313,10 +1323,14 @@ def docs_quality_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline owner actually wants.
 
     Split discipline: the model trains on the md5 TOP-400 ids
-    (``fit_quality_model``'s draw); calibration takes the md5 BOTTOM
-    ``_CONF_N_CAL`` weak-positives (disjoint by construction — the draw
-    orders are reversed and the corpus is larger than both), evaluation
-    is everything else.  Nonconformity for a keep-labeled doc is
+    (``fit_quality_model``'s draw, replayed here as an explicit rank so
+    the training set can be EXCLUDED); calibration takes the md5 BOTTOM
+    ``_CONF_N_CAL`` weak-positives among NON-training docs, evaluation
+    is the non-training remainder.  The anti-join is load-bearing, not
+    belt-and-suspenders: at sf0.001 the corpus (500 docs) is smaller
+    than train_n + n_cal, so without it ≥100 calibration docs would be
+    in-sample, their scores biased high, and the conformal guarantee
+    void (r10b review finding).  Nonconformity for a keep-labeled doc is
     1e6 − model_score_u; the gate is the ceil((n+1)(1−α))-th smallest
     calibration nonconformity (the standard finite-sample quantile).
     Emits one row per α: (alpha_u, n_cal, q_u, n_eval_pos, n_covered,
@@ -1341,12 +1355,23 @@ def docs_quality_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     base.unpersist()
-    pos = scored.filter(F.col("heuristic_keep"))
-    # calibration: md5 BOTTOM n among weak-positives (training used TOP)
+    # replay fit_quality_model's training draw (md5 ASC top-400) so both
+    # calibration and evaluation can exclude in-sample docs — in-sample
+    # scores are biased high and would void the conformal guarantee
+    w_asc = Window.orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    tagged = scored.withColumn("_train_rk", F.row_number().over(w_asc))
+    pos = tagged.filter(
+        F.col("heuristic_keep") & (F.col("_train_rk") > 400)
+    )
+    # calibration: md5 BOTTOM n among held-out weak-positives; n adapts
+    # to at most HALF the held-out pool so evaluation is never empty
+    # (the sf0.001 fixture holds out only ~100 docs)
+    pool_n = pos.count()
+    n_cal_target = min(_CONF_N_CAL, pool_n // 2)
     w_desc = Window.orderBy(F.col("_h").desc(), F.col("doc_id").desc())
     cal = (
         pos.withColumn("_rk", F.row_number().over(w_desc))
-        .filter(F.col("_rk") <= _CONF_N_CAL)
+        .filter(F.col("_rk") <= n_cal_target)
         .select(
             "doc_id",
             (F.lit(1_000_000) - F.col("model_score_u")).alias("nc_u"),
@@ -1509,11 +1534,6 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful-streaming entry carrying a FULL value oracle: the SQL is
     the batch detector verbatim.  The target is the frozen offline
     corpus mean (prebuilt-scalar serving convention)."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming import jobs as SJ
 
     ev = _t(spark, sf_dir, "events")
@@ -1524,39 +1544,17 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t")
     ).collect()[0].t
 
-    work = _CUSUM_STREAM_DIRS.get(sf_dir)
-    if work is None:
-        work = tempfile.mkdtemp(prefix="stream_cusum_")
-        try:
-            wall = Window.orderBy("ts", "event_id")
-            tiled = ev.select(
-                "event_id", "user_id", "ts", "value"
-            ).withColumn("_b", F.ntile(3).over(wall) - 1)
-            in_dir = f"{work}/in"
-            for b in range(3):
-                tiled.filter(F.col("_b") == b).drop("_b").coalesce(
-                    1
-                ).write.parquet(f"{in_dir}/b{b}")
-            flat = f"{work}/batches"
-            os.makedirs(flat)
-            for i in range(3):
-                for fn in os.listdir(f"{in_dir}/b{i}"):
-                    if fn.endswith(".parquet"):
-                        dst = f"{flat}/batch_{i}.parquet"
-                        shutil.copyfile(f"{in_dir}/b{i}/{fn}", dst)
-                        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
-        except BaseException:
-            shutil.rmtree(work, ignore_errors=True)
-            raise
-        if not _CUSUM_STREAM_DIRS:
-            atexit.register(
-                lambda: [
-                    shutil.rmtree(d, ignore_errors=True)
-                    for d in _CUSUM_STREAM_DIRS.values()
-                ]
-            )
-        _CUSUM_STREAM_DIRS[sf_dir] = work
-    flat = f"{work}/batches"
+    wall = Window.orderBy("ts", "event_id")
+    tiled = ev.select("event_id", "user_id", "ts", "value").withColumn(
+        "_b", F.ntile(3).over(wall) - 1
+    )
+    flat = SJ.stage_microbatches(
+        _CUSUM_STREAM_DIRS,
+        sf_dir,
+        [tiled.filter(F.col("_b") == b).drop("_b") for b in range(3)],
+        "stream_cusum_",
+    )
+    work = _CUSUM_STREAM_DIRS[sf_dir]
 
     schema = spark.read.parquet(flat).schema
     stream = (

@@ -1313,7 +1313,12 @@ def run_streaming_cusum(
             F.sum(F.when(alarm, 1).otherwise(0))
             .cast("bigint")
             .alias("_b_al"),
-            F.min(F.when(alarm, F.col("event_id"))).alias("_b_first"),
+            # earliest alarm by (ts, event_id) — matches the batch
+            # detector; cross-batch composition is chronological by the
+            # time-ordered-arrival contract
+            F.min(F.when(alarm, F.struct(F.col("ts"), F.col("event_id"))))[
+                "event_id"
+            ].alias("_b_first"),
         )
         merged = (
             prev.join(delta, "user_id", "full_outer")
@@ -1359,3 +1364,44 @@ def run_streaming_cusum(
         .start()
     )
     q.awaitTermination()
+
+
+def stage_microbatches(cache: dict, key: str, frames, prefix: str) -> str:
+    """Write each frame in ``frames`` as ONE parquet file under a flat
+    staging dir with strictly increasing mtimes — the file-source
+    micro-batch fixture every ``stream_*`` twin drives (maxFilesPerTrigger
+    1 replays them in mtime order).  ``cache`` is the caller's module
+    dict keyed by ``key`` (reruns reuse the staged corpus); cleanup is
+    registered atexit on first use.  Factored from the five per-entry
+    copies of this scaffold (r10b review finding)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    work = cache.get(key)
+    if work is not None:
+        return f"{work}/batches"
+    work = tempfile.mkdtemp(prefix=prefix)
+    try:
+        in_dir = f"{work}/in"
+        flat = f"{work}/batches"
+        os.makedirs(flat)
+        for i, frame in enumerate(frames):
+            frame.coalesce(1).write.parquet(f"{in_dir}/b{i}")
+            for fn in os.listdir(f"{in_dir}/b{i}"):
+                if fn.endswith(".parquet"):
+                    dst = f"{flat}/batch_{i}.parquet"
+                    shutil.copyfile(f"{in_dir}/b{i}/{fn}", dst)
+                    os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    if not cache:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True) for d in cache.values()
+            ]
+        )
+    cache[key] = work
+    return flat

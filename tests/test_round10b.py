@@ -746,10 +746,12 @@ def test_conformal_coverage_and_monotonicity(spark):
     rows = CATALOG["docs_quality_conformal"].fn(spark, SF).collect()
     assert [r.alpha_u for r in rows] == [50_000, 100_000, 200_000]
     for r in rows:
-        # marginal guarantee with finite-sample slack (coverage on a
-        # FIXED split is beta-concentrated around 1 - alpha; 3% covers
-        # the n_cal=200 quantile noise at every committed scale)
-        assert r.coverage_u >= 1_000_000 - r.alpha_u - 30_000, r
+        # marginal guarantee with finite-sample slack: coverage on a
+        # FIXED split is beta-concentrated around 1 - alpha; the band
+        # widens as ~1/sqrt(n) for the sf0.001 fixture's tiny held-out
+        # pool (the training anti-join leaves ~100 docs there)
+        slack = 30_000 if r.n_eval_pos >= 500 else 150_000
+        assert r.coverage_u >= 1_000_000 - r.alpha_u - slack, r
         assert r.n_covered <= r.n_eval_pos
         assert r.coverage_u == (
             2_000_000 * r.n_covered + r.n_eval_pos
@@ -762,13 +764,26 @@ def test_conformal_coverage_and_monotonicity(spark):
 
 
 def test_conformal_quantile_replays(spark):
-    """Recompute the conformal quantile independently: md5-bottom-200
-    weak-positives' nonconformities, ceil((n+1)(1-alpha))-th smallest."""
+    """Recompute the conformal quantile independently: the training draw
+    (md5-ASC top-400 over ALL docs) is excluded first, then calibration
+    is the md5-DESC top-min(200, pool//2) held-out weak-positives,
+    quantile the ceil((n+1)(1-alpha))-th smallest nonconformity."""
     import hashlib
     import math
 
     scored = CATALOG["docs_quality_classifier"].fn(spark, SF).collect()
-    pos = [r for r in scored if r.heuristic_keep]
+    by_md5 = sorted(
+        scored,
+        key=lambda r: (
+            hashlib.md5(str(r.doc_id).encode()).hexdigest(),
+            r.doc_id,
+        ),
+    )
+    train_ids = {r.doc_id for r in by_md5[:400]}
+    pos = [
+        r for r in scored
+        if r.heuristic_keep and r.doc_id not in train_ids
+    ]
     ranked = sorted(
         pos,
         key=lambda r: (
@@ -777,8 +792,9 @@ def test_conformal_quantile_replays(spark):
         ),
         reverse=True,
     )
-    cal = ranked[:200]
+    cal = ranked[: min(200, len(pos) // 2)]
     n = len(cal)
+    assert n > 10  # the held-out pool must be non-degenerate
     ncs = sorted(
         (1_000_000 - r.model_score_u, r.doc_id) for r in cal
     )
@@ -859,3 +875,69 @@ def test_stream_cusum_twin(spark):
 
     work = B._CUSUM_STREAM_DIRS[SF]
     assert SJ.mv_versions(spark, f"{work}/state") == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# r10b review-fix pins
+# ---------------------------------------------------------------------------
+
+
+def test_containment_prune_u_tie_boundary(spark):
+    """Past 1e6 distinct sub shingles, two intersection counts can round
+    to the SAME containment_u — the winner is then the smaller sup_id,
+    and a raw-count prune would drop it.  Sub doc 1 (1.2M shingles):
+    sup 9 shares 1,080,004, sup 3 shares 1,080,003 — both round to
+    u = 900,003; the rounded-unit bound must keep sup 3."""
+    n, xa, xb = 1_200_000, 1_080_004, 1_080_003
+    assert (2_000_000 * xa + n) // (2 * n) == (2_000_000 * xb + n) // (2 * n)
+    lang = F.lit("en").alias("lang")
+    sub = spark.range(n).select(
+        F.lit(1).cast("long").alias("doc_id"), lang, F.col("id").alias("h")
+    )
+    a = spark.range(xa).select(
+        F.lit(9).cast("long").alias("doc_id"), lang, F.col("id").alias("h")
+    )
+    b = spark.range(xb).select(
+        F.lit(3).cast("long").alias("doc_id"), lang, F.col("id").alias("h")
+    )
+    sh = sub.unionByName(a).unionByName(b)
+    out = {
+        r.id_sub: r
+        for r in DD.containment_best_covering(
+            sh, max_df=128, min_u=900_000
+        ).collect()
+    }
+    assert out[1].id_sup == 3, out[1]
+    assert out[1].containment_u == (2_000_000 * xb + n) // (2 * n)
+    assert out[1].n_shared == xb
+
+
+def test_ppl_refless_language_surfaces_as_unscored(spark):
+    """A language with no reference docs (no doc_id % 7 == 0) must NOT
+    vanish from the output: its docs surface with ce_u NULL, n_oov ==
+    n_tokens, bucket 'unscored' — in both the batch entry and the
+    streaming twin's scoring path."""
+    rows = [
+        (7, "hello world one", "en"),     # en ref doc (7 % 7 == 0)
+        (8, "hello world two", "en"),
+        (15, "foo bar baz", "xx"),        # xx has NO % 7 == 0 doc
+        (16, "foo qux", "xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    import consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.catalog as C
+
+    orig = C.readers.load_table
+    try:
+        C.readers.load_table = lambda s, d, n: df
+        out = {r.doc_id: r for r in
+               CATALOG["docs_ref_perplexity_buckets"].fn(spark, "x").collect()}
+    finally:
+        C.readers.load_table = orig
+    assert set(out) == {7, 8, 15, 16}
+    for d in (15, 16):
+        assert out[d].bucket == "unscored"
+        assert out[d].ce_u is None
+        assert out[d].n_oov == out[d].n_tokens
+    for d in (7, 8):
+        assert out[d].bucket in ("head", "middle", "tail")
+        assert out[d].ce_u is not None
