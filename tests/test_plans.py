@@ -540,9 +540,17 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
     "ann_ivfpq_topk": "probe-cell frame + codebook/LUT literal-bounded; candidates probe-batch-bounded",
     "orders_replica_reconcile": "mismatched-month set: calendar-bounded (months in retention), checksum-filtered",
     "docs_reweighted_sample": "per-domain weight table: domain-bounded (same as docs_temperature_mix)",
+    "docs_unimax_sample": (
+        "water-filling allocation table: domain-bounded"
+        " (same dim as docs_temperature_mix)"
+    ),
     "ann_range_search": "probe set literal-bounded",
     "ann_recall_eval": "probe set literal-bounded (both arms share it)",
     "ann_hard_negatives": "probe set literal-bounded (vec_id < 10)",
+    "ann_ivf_nprobe_sweep": (
+        "probe set literal-bounded (vec_id < 10), one probe-cell frame"
+        " per swept operating point"
+    ),
     "docs_hybrid_rrf": "probe set literal-bounded + vocab-bounded df",
     # (b) vocabulary- or domain-bounded aggregates: keyed by a natural
     #     dim (term vocab, source domain, company) whose cardinality is
@@ -563,6 +571,9 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
     "ann_semantic_canonical": "SemDeDup loser id list: pair-graph-bounded",
     "ann_semantic_canonical_fast": "SemDeDup loser id list: pair-graph-bounded",
     "docs_bpe_encode": "merge rules: 1-row-per-step broadcast (n_merges rows total)",
+    "docs_tokenizer_fertility": (
+        "merge rules: 1-row-per-step broadcast (inherits docs_bpe_encode)"
+    ),
     "docs_training_export": "per-bucket offset table: 256 buckets (same as docs_token_budget_sample)",
     "ann_semantic_dedup_incremental": "batch probe ids: delta-bounded",
     "dedup_canonical_docs": "loser id list: duplicate-pairs-bounded",
