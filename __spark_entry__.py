@@ -69,6 +69,7 @@ _PRIORITY = [
     "docs_quality_conformal",  # never checked — first driver row
     "events_forecast_snaive",  # never checked — first driver row
     "stream_cusum_drift",  # never checked — first driver row
+    "docs_mix_drift_kl",  # never checked — first driver row
     "complaints_json_clean",  # newest driver row r5
     "csv_roundtrip_customer",  # newest driver row r5
     "dedup_incremental_bloom",  # newest driver row r5
@@ -90,8 +91,8 @@ _PRIORITY = [
     "orders_profile_approx",  # newest driver row r5
     "orders_mv_merge",  # newest driver row r5
     "lineitem_zorder_layout",  # newest driver row r5
-    "lineitem_skipping_stats",  # newest driver row r5
     # ---- window boundary (50): overflow is staleness-ordered ----
+    "lineitem_skipping_stats",  # newest driver row r5
     "docs_bigram_pmi",  # newest driver row r5
     "supplier_copurchase_pagerank",  # newest driver row r5
     "q1_pricing_summary",  # newest driver row r6

@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "docs_quality_conformal",
     "events_forecast_snaive",
     "stream_cusum_drift",
+    "docs_mix_drift_kl",
 ]
 
 # Catalog entries deliberately NOT benched, with the reason committed

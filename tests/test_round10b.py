@@ -941,3 +941,47 @@ def test_ppl_refless_language_surfaces_as_unscored(spark):
     for d in (7, 8):
         assert out[d].bucket in ("head", "middle", "tail")
         assert out[d].ce_u is not None
+
+
+# ---------------------------------------------------------------------------
+# Mixture drift monitor
+# ---------------------------------------------------------------------------
+
+
+def test_mix_drift_kl_replays_and_is_nonnegative(spark):
+    """(a) Margin audit: every domain's ln-ratio sits far from its
+    micro-nat rounding boundary.  (b) Independent Python replay of the
+    full surface.  (c) S·KL >= 0 up to the documented rounding bound
+    (each lnratio off by <= 0.5 micro-nats -> sum error <= 0.5·S)."""
+    import math
+
+    rows = CATALOG["docs_mix_drift_kl"].fn(spark, SF).collect()
+    mix = {r.source: r for r in CATALOG["docs_unimax_mix"].fn(spark, SF).collect()}
+    sam = CATALOG["docs_unimax_sample"].fn(spark, SF).collect()
+    from collections import defaultdict
+
+    served = defaultdict(int)
+    for r in sam:
+        served[r.source] += r.n_tokens * r.n_copies
+    s_tot = sum(served.values())
+    b_tot = sum(m.alloc_tokens for m in mix.values())
+    assert len(rows) == len(mix)
+    total = 0
+    min_margin = 1.0
+    for r in rows:
+        assert r.target_tokens == mix[r.source].alloc_tokens
+        assert r.served_tokens == served.get(r.source, 0)
+        assert r.served_total == s_tot and r.target_total == b_tot
+        if r.served_tokens == 0:
+            assert r.lnratio_u is None and r.contrib_num == 0
+            continue
+        x = math.log(
+            r.served_tokens * b_tot / (r.target_tokens * s_tot)
+        )
+        min_margin = min(min_margin, abs((x * 1e6) % 1.0 - 0.5))
+        assert r.lnratio_u == math.floor(x * 1e6 + 0.5), r.source
+        assert r.contrib_num == r.served_tokens * r.lnratio_u
+        total += r.contrib_num
+    assert min_margin > 1e-4, min_margin
+    # S*KL(served||target) >= 0 in exact reals; rounding slack 0.5*S
+    assert total >= -(s_tot + 1) // 2, total
