@@ -544,6 +544,10 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
         "water-filling allocation table: domain-bounded"
         " (same dim as docs_temperature_mix)"
     ),
+    "docs_mix_drift_kl": (
+        "water-filling allocation table + served totals: domain-bounded"
+        " (inherits docs_unimax_sample)"
+    ),
     "ann_range_search": "probe set literal-bounded",
     "ann_recall_eval": "probe set literal-bounded (both arms share it)",
     "ann_hard_negatives": "probe set literal-bounded (vec_id < 10)",
