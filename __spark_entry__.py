@@ -41,57 +41,6 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/gen_priority.py
 # and tests/test_priority_window.py pins committed == generated.
 _PRIORITY = [
-    "dedup_containment_canonical",  # never checked — first driver row
-    "docs_quality_classifier",  # never checked — first driver row
-    "docs_quality_classifier_agreement",  # never checked — first driver row
-    "media_audio_fingerprint",  # never checked — first driver row
-    "ann_ivf_delete_compact",  # never checked — first driver row
-    "dedup_canonical_delete_promote",  # never checked — first driver row
-    "docs_delete_impact",  # never checked — first driver row
-    "docs_dsir_importance",  # never checked — first driver row
-    "docs_dsir_sample",  # never checked — first driver row
-    "stream_quality_classifier",  # never checked — first driver row
-    "docs_quality_classifier_sweep",  # never checked — first driver row
-    "docs_snapshot_diff",  # never checked — first driver row
-    "docs_dsir_score_batch",  # never checked — first driver row
-    "dedup_containment_canonical_fast",  # never checked — first driver row
-    "docs_unimax_mix",  # never checked — first driver row
-    "customer_k_anonymity",  # never checked — first driver row
-    "customer_k_anonymize",  # never checked — first driver row
-    "ann_hard_negatives",  # never checked — first driver row
-    "docs_ref_perplexity_buckets",  # never checked — first driver row
-    "docs_unimax_sample",  # never checked — first driver row
-    "docs_tokenizer_fertility",  # never checked — first driver row
-    "stream_ref_perplexity",  # never checked — first driver row
-    "customer_l_diversity",  # never checked — first driver row
-    "events_cusum_drift",  # never checked — first driver row
-    "ann_ivf_nprobe_sweep",  # never checked — first driver row
-    "docs_quality_conformal",  # never checked — first driver row
-    "events_forecast_snaive",  # never checked — first driver row
-    "stream_cusum_drift",  # never checked — first driver row
-    "docs_mix_drift_kl",  # never checked — first driver row
-    "complaints_json_clean",  # newest driver row r5
-    "csv_roundtrip_customer",  # newest driver row r5
-    "dedup_incremental_bloom",  # newest driver row r5
-    "docs_filter_chain",  # newest driver row r5
-    "q17_small_quantity_revenue",  # newest driver row r5
-    "events_funnel",  # newest driver row r5
-    "lineitem_unpivot",  # newest driver row r5
-    "ann_range_search",  # newest driver row r5
-    "orders_scd2",  # newest driver row r5
-    "events_active_users_approx",  # newest driver row r5
-    "docs_temperature_mix",  # newest driver row r5
-    "docs_pack_manifest",  # newest driver row r5
-    "docs_bm25_rank",  # newest driver row r5
-    "docs_hybrid_rrf",  # newest driver row r5
-    "events_value_outliers_mad",  # newest driver row r5
-    "events_value_outliers_mad_approx",  # newest driver row r5
-    "ann_semantic_dedup_incremental",  # newest driver row r5
-    "orders_profile",  # newest driver row r5
-    "orders_profile_approx",  # newest driver row r5
-    "orders_mv_merge",  # newest driver row r5
-    "lineitem_zorder_layout",  # newest driver row r5
-    # ---- window boundary (50): overflow is staleness-ordered ----
     "lineitem_skipping_stats",  # newest driver row r5
     "docs_bigram_pmi",  # newest driver row r5
     "supplier_copurchase_pagerank",  # newest driver row r5
@@ -142,6 +91,7 @@ _PRIORITY = [
     "orders_price_psi",  # newest driver row r6
     "orders_status_priority_chi2",  # newest driver row r6
     "orders_price_ks",  # newest driver row r6
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "q6_forecast_revenue",  # newest driver row r7
     "complaints_frequency_encode",  # newest driver row r7
     "complaints_date_parts",  # newest driver row r7
@@ -292,6 +242,56 @@ _PRIORITY = [
     "docs_self_repetition_spans",  # newest driver row r9
     "events_bot_users",  # newest driver row r9
     "stream_bot_users",  # newest driver row r9
+    "complaints_json_clean",  # newest driver row r10
+    "csv_roundtrip_customer",  # newest driver row r10
+    "dedup_incremental_bloom",  # newest driver row r10
+    "docs_filter_chain",  # newest driver row r10
+    "q17_small_quantity_revenue",  # newest driver row r10
+    "events_funnel",  # newest driver row r10
+    "lineitem_unpivot",  # newest driver row r10
+    "ann_range_search",  # newest driver row r10
+    "orders_scd2",  # newest driver row r10
+    "events_active_users_approx",  # newest driver row r10
+    "docs_temperature_mix",  # newest driver row r10
+    "docs_pack_manifest",  # newest driver row r10
+    "docs_bm25_rank",  # newest driver row r10
+    "docs_hybrid_rrf",  # newest driver row r10
+    "events_value_outliers_mad",  # newest driver row r10
+    "events_value_outliers_mad_approx",  # newest driver row r10
+    "ann_semantic_dedup_incremental",  # newest driver row r10
+    "orders_profile",  # newest driver row r10
+    "orders_profile_approx",  # newest driver row r10
+    "orders_mv_merge",  # newest driver row r10
+    "lineitem_zorder_layout",  # newest driver row r10
+    "dedup_containment_canonical",  # newest driver row r10
+    "docs_quality_classifier",  # newest driver row r10
+    "docs_quality_classifier_agreement",  # newest driver row r10
+    "media_audio_fingerprint",  # newest driver row r10
+    "ann_ivf_delete_compact",  # newest driver row r10
+    "dedup_canonical_delete_promote",  # newest driver row r10
+    "docs_delete_impact",  # newest driver row r10
+    "docs_dsir_importance",  # newest driver row r10
+    "docs_dsir_sample",  # newest driver row r10
+    "stream_quality_classifier",  # newest driver row r10
+    "docs_quality_classifier_sweep",  # newest driver row r10
+    "docs_snapshot_diff",  # newest driver row r10
+    "docs_dsir_score_batch",  # newest driver row r10
+    "dedup_containment_canonical_fast",  # newest driver row r10
+    "docs_unimax_mix",  # newest driver row r10
+    "customer_k_anonymity",  # newest driver row r10
+    "customer_k_anonymize",  # newest driver row r10
+    "ann_hard_negatives",  # newest driver row r10
+    "docs_ref_perplexity_buckets",  # newest driver row r10
+    "docs_unimax_sample",  # newest driver row r10
+    "docs_tokenizer_fertility",  # newest driver row r10
+    "stream_ref_perplexity",  # newest driver row r10
+    "customer_l_diversity",  # newest driver row r10
+    "events_cusum_drift",  # newest driver row r10
+    "ann_ivf_nprobe_sweep",  # newest driver row r10
+    "docs_quality_conformal",  # newest driver row r10
+    "events_forecast_snaive",  # newest driver row r10
+    "stream_cusum_drift",  # newest driver row r10
+    "docs_mix_drift_kl",  # newest driver row r10
 ]
 
 

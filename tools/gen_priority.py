@@ -40,14 +40,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50  # driver correctness coverage (observed r1: first 50 entries)
 
 
-def latest_rounds(repo: str = REPO) -> dict[str, int]:
-    """Map entry name -> round of its newest driver row (any status)."""
+def latest_rounds(repo: str = REPO, max_round: int | None = None) -> dict[str, int]:
+    """Map entry name -> round of its newest driver row (any status).
+
+    ``max_round`` ignores artifacts from rounds above it — used by the
+    drift test to reconstruct the generator's view *before* the driver
+    wrote the current round's artifact (the committed window is always
+    generated at round open, one artifact behind the post-round tree).
+    """
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         match = re.search(r"r(\d+)\.json$", path)
         if not match:
             continue
         rnd = int(match.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as fh:
             rows = json.load(fh)
         for name in rows:
@@ -55,7 +63,17 @@ def latest_rounds(repo: str = REPO) -> dict[str, int]:
     return latest
 
 
-def generate(repo: str = REPO) -> list[str]:
+def max_artifact_round(repo: str = REPO) -> int:
+    """Highest round number among committed CORRECTNESS artifacts."""
+    rounds = [
+        int(m.group(1))
+        for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"r(\d+)\.json$", path))
+    ]
+    return max(rounds, default=0)
+
+
+def generate(repo: str = REPO, max_round: int | None = None) -> list[str]:
     """Full catalog emission order per the rotation policy above."""
     sys.path.insert(0, repo)
     from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
@@ -64,7 +82,7 @@ def generate(repo: str = REPO) -> list[str]:
 
     names = list(catalog.CATALOG)
     order = {name: idx for idx, name in enumerate(names)}
-    latest = latest_rounds(repo)
+    latest = latest_rounds(repo, max_round=max_round)
     never = [n for n in names if n not in latest]
     seen = sorted((n for n in names if n in latest), key=lambda n: (latest[n], order[n]))
     return never + seen
