@@ -236,6 +236,102 @@ def _murmur3_program(
 # ---------------------------------------------------------------------------
 # Spark DataFrame surface
 # ---------------------------------------------------------------------------
+#
+# The Spark rendering is a HIGHER-ORDER-FUNCTION program, not the
+# unrolled word loop the DuckDB oracle uses.  The unrolled form emitted
+# ~100 lateral-alias steps → a ~255 KB whole-stage-codegen unit: ~3 s of
+# Janino compile PER QUERY (the docs_hashed_features bench constant
+# adjudicated in r11) and eager evaluation of all 8 word rounds for
+# every token even though natural-language tokens average ~6 bytes.
+# Folding the word loop into aggregate()/transform() emits the mix
+# expression ONCE (≈40 KB codegen unit, compiles in well under a
+# second) and iterates DATA-DEPENDENTLY — a 6-byte token runs one word
+# round, not eight.  Measured at sf0.1 (270k tokens, local[8]): 4.6 s →
+# 1.2 s end-to-end; fixed plan cost 3.2 s → 0.6 s.
+#
+# Value parity with the DuckDB unrolled rendering is pinned three ways:
+# murmur3_py (property tests), pyspark.ml HashingTF.indexOf
+# (tests/test_hashingtf_parity.py), and the driver's DuckDB oracle
+# compare on every hashed-features entry.
+
+
+def _murmur3_hof_steps(
+    col_sql: str, prefix: str, max_bytes: int = 32, seed: int = _SEED
+) -> tuple[list[tuple[str, str]], str]:
+    """Emit the Spark-only higher-order-function step program: a short
+    ``(name, expr)`` list (hex, length, word array, one aggregate() over
+    the murmur3 word mix, tail fold, fmix) whose final name holds the
+    signed 32-bit murmur3 of ``col_sql``'s UTF-8 bytes.
+
+    All arithmetic is the same overflow-free non-negative-BIGINT program
+    as ``_murmur3_program`` (16-bit-split multiplies, div-based shifts);
+    only the loop structure differs.  NULL inputs propagate to NULL
+    through the NULL word array (slice/transform/aggregate of NULL).
+    """
+    if max_bytes % 4 != 0 or max_bytes <= 0:
+        raise ValueError(f"max_bytes must be a positive multiple of 4, got {max_bytes}")
+    items: list[tuple[str, str]] = []
+
+    def emit(name: str, expr: str) -> str:
+        items.append((f"{prefix}_{name}", expr))
+        return f"{prefix}_{name}"
+
+    def mul32(a: str, c: int) -> str:
+        c_lo, c_hi = c & 0xFFFF, c >> 16
+        if c_hi == 0:
+            return f"(({a}) * {c_lo} % {_M32})"
+        return f"((({a}) * {c_lo} + (({a}) * {c_hi} % 65536) * 65536) % {_M32})"
+
+    def rotl(a: str, r: int) -> str:
+        return f"((({a}) * {1 << r} % {_M32}) + (({a}) div {1 << (32 - r)}))"
+
+    hx = emit("hx", f"hex(encode({col_sql}, 'UTF-8'))")
+    nb = emit("nb", f"cast(octet_length({col_sql}) as bigint)")
+    # one hex parse per word (big-endian), then a second transform pass
+    # byte-swaps to little-endian — two passes so the parse is evaluated
+    # ONCE per word (a single-pass expr references the parse 4×, and
+    # higher-order lambdas evaluate per reference, not per name)
+    bes = emit(
+        "bes",
+        f"transform(slice(sequence(0, {max_bytes // 4 - 1}), 1,"
+        f" cast({nb} div 4 as int)),"
+        f" __w -> coalesce(cast(conv(substring({hx}, 8 * __w + 1, 8),"
+        f" 16, 10) as bigint), 0))",
+    )
+    swap = (
+        "((__be) div 16777216 + ((__be) div 65536 % 256) * 256"
+        " + ((__be) div 256 % 256) * 65536 + ((__be) % 256) * 16777216)"
+    )
+    words = emit("words", f"transform({bes}, __be -> {swap})")
+    kc = mul32(rotl(mul32("__k", _C1), 15), _C2)
+    hmix = f"({mul32(rotl(f'(__h ^ {kc})', 13), 5)} + 3864292196) % {_M32}"
+    h_words = emit(
+        "hW",
+        f"aggregate({words}, cast({seed} as bigint), (__h, __k) -> {hmix})",
+    )
+    # tail: little-endian fold of the 0-3 trailing bytes, one hex parse
+    tv = emit(
+        "tv",
+        f"coalesce(cast(conv(substring({hx}, {nb} div 4 * 8 + 1,"
+        f" ({nb} % 4) * 2), 16, 10) as bigint), 0)",
+    )
+    tk = emit(
+        "tk",
+        f"(case when {nb} % 4 = 1 then {tv}"
+        f" when {nb} % 4 = 2 then ({tv} div 256) + ({tv} % 256) * 256"
+        f" when {nb} % 4 = 3 then ({tv} div 65536)"
+        f" + (({tv} div 256) % 256) * 256 + ({tv} % 256) * 65536"
+        f" else cast(0 as bigint) end)",
+    )
+    tc = mul32(rotl(mul32(tk, _C1), 15), _C2)
+    h = emit("f0", f"(({h_words} ^ {tc}) ^ {nb})")
+    h = emit("f1", f"({h} ^ ({h} div 65536))")
+    h = emit("f2", mul32(h, 0x85EBCA6B))
+    h = emit("f3", f"({h} ^ ({h} div 8192))")
+    h = emit("f4", mul32(h, 0xC2B2AE35))
+    h = emit("f5", f"({h} ^ ({h} div 65536))")
+    final = emit("m3", f"(case when {h} >= {1 << 31} then {h} - {_M32} else {h} end)")
+    return items, final
 
 
 def with_murmur3(
@@ -244,16 +340,14 @@ def with_murmur3(
     """Append ``out_col`` = standard murmur3_x86_32(seed 42) of the
     UTF-8 bytes of string column ``in_col`` (signed 32-bit, as bigint).
 
-    Native SQL expressions only — stays inside whole-stage codegen; at
-    100 TB this hashes tokens JVM-side with zero Python transfer.
-    Values longer than ``max_bytes`` raise at runtime (assert_true).
-
-    Spark's analyzer resolves the lateral aliases into a nested Project
-    chain, so the plan stays LINEAR in the number of steps (a naive
-    single column expression duplicates operands per rotate/multiply
-    and grows exponentially — it OOMed a 1 GiB driver at 32 bytes).
+    Native SQL expressions only — no Python transfer; at 100 TB this
+    hashes tokens JVM-side.  The word loop is a data-dependent
+    ``aggregate()`` higher-order function (see module-section comment:
+    ~8× smaller codegen unit and no wasted rounds on short tokens vs
+    the unrolled form the DuckDB oracle rendering keeps).  Values
+    longer than ``max_bytes`` raise at runtime (assert_true).
     """
-    steps, final = _murmur3_program(in_col, f"__m3_{out_col}", _SparkDialect(), max_bytes)
+    steps, final = _murmur3_hof_steps(in_col, f"__m3_{out_col}", max_bytes)
     items = [f"{expr} AS {name}" for name, expr in steps]
     # NULL terms pass the guard and hash to NULL (the nb=NULL chain
     # propagates) — matching the DuckDB rendering; without the IS NULL

@@ -1263,7 +1263,14 @@ def containment_best_covering(
     )
     # the survivor frame feeds BOTH the hot add-back probe side and the
     # exact-score join; persisting it (pair-scale, already pruned) stops
-    # the candidate+bound subtree from executing twice
+    # the candidate+bound subtree from executing twice.  Intentional
+    # session-cache, same contract as plans.breadth8._ct_shingles:
+    # Spark's CacheManager dedupes by analyzed plan, so repeated
+    # invocations over the same input (bench loops, soak rotations)
+    # reuse ONE cache entry rather than accumulating; distinct inputs
+    # each cache once for the session.  Callers that stream many
+    # distinct corpora through this operator should unpersist via
+    # spark.catalog.clearCache() between corpora.
     survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
     ha = hot.select(F.col("doc_id").alias("id_sub"), "h")
     hb = hot.select(F.col("doc_id").alias("id_sup"), "h")

@@ -383,11 +383,16 @@ def customer_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("b1"),
         F.floor(F.col("c_acctbal") / 5000.0).cast("int").alias("b5"),
-    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    # Level-0 class sizes are computed BEFORE the nation join, mirroring
+    # the oracle's CTE order (g0 groups the pre-join q): a nationkey
+    # missing from the nation dim must not shrink release-class sizes.
     g0 = q.groupBy("c_nationkey", "c_mktsegment", "b1").agg(
         F.count(F.lit(1)).alias("s0")
     )
-    l0 = q.join(g0, ["c_nationkey", "c_mktsegment", "b1"])
+    l0 = q.join(g0, ["c_nationkey", "c_mktsegment", "b1"]).join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
     ok0 = l0.filter(F.col("s0") >= _KANON_K).select(
         "c_custkey",
         F.lit(0).cast("int").alias("anon_level"),
@@ -995,6 +1000,11 @@ def stream_ref_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SJ.run_streaming_model_scoring(
         stream, score_fn, f"{work}/scores", f"{work}/ckpt"
     )
+    # the scoring run is synchronous and the returned frame reads from
+    # the written parquet, so the prebuilt dims are dead here — release
+    # them instead of leaking session-lifetime cache (ADVICE r10)
+    for dim in (ref, stats, cuts):
+        dim.unpersist()
     return (
         spark.read.parquet(f"{work}/scores")
         .select(
@@ -1195,8 +1205,15 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_u"),
     )
+    # Floor division in exact integer arithmetic: DuckDB's `//` floors
+    # while Spark's DIV truncates toward zero, which diverges the moment
+    # SUM(v_u) goes negative (values can be < 0 in general).  Subtracting
+    # pmod first makes the dividend exactly divisible, so DIV == floor.
     tgt = v.agg(
-        F.expr("CAST(SUM(v_u) DIV COUNT(*) AS BIGINT)").alias("target_u")
+        F.expr(
+            "CAST((SUM(v_u) - pmod(SUM(v_u), COUNT(*)))"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("target_u")
     )
     w = (
         Window.partitionBy("user_id")
@@ -1542,10 +1559,14 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs as SJ
 
     ev = _t(spark, sf_dir, "events")
+    # Same explicit-floor division as the batch detector (pmod trick):
+    # keeps the frozen target identical to the oracle's `//` semantics
+    # even for negative sums.
     target_u = ev.agg(
         F.expr(
-            "CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT))"
-            " DIV COUNT(*) AS BIGINT)"
+            "CAST((SUM(CAST(FLOOR(value * 1000000) AS BIGINT))"
+            " - pmod(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)),"
+            " COUNT(*))) DIV COUNT(*) AS BIGINT)"
         ).alias("t")
     ).collect()[0].t
 

@@ -191,9 +191,9 @@ def test_unimax_matches_independent_replay(spark):
 
 
 def test_unimax_waterline_shape():
-    """Hand-checkable closed form: caps [2,4,20,40], budget 33 ->
-    domains 1-2 capped (2+4=6), waterline (33-6)/2 = 13 rem 1 -> 14,13
-    (first uncapped in cap-order gets the remainder token)."""
+    """Hand-checkable closed form: caps [2,4,20,40], budget 33//2 = 16
+    -> domains a,b capped (2+4=6), remaining 10 over 2 uncapped domains
+    -> waterline 10//2 = 5 each, remainder 0."""
     budget, alloc = _unimax_replay({"a": 1, "b": 2, "c": 10, "d": 20}, 2)
     assert budget == 16
     # caps: a=2 b=4 c=20 d=40; order a,b,c,d
