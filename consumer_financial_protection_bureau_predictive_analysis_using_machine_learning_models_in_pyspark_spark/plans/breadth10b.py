@@ -86,11 +86,11 @@ def dedup_containment_canonical_fast(
 _UNIMAX_EPOCH_CAP = 2  # each domain contributes at most 2 epochs of itself
 
 
-_UNIMAX_CTES = f"""
-dom AS (
-  SELECT source, CAST(SUM(len({_D_TOKS})) AS BIGINT) AS n
-  FROM documents GROUP BY source HAVING SUM(len({_D_TOKS})) > 0
-),
+# The water-filling tail (tot → s → g → kk → alloc) is split from the
+# ``dom`` head so docs_curation_e2e (breadth11) can reuse the identical
+# allocation arithmetic over ITS survivor corpus: one definition, two
+# oracle consumers.
+_UNIMAX_TAIL_CTES = f"""
 tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS d,
          CAST(SUM(n) // 2 AS BIGINT) AS budget
@@ -127,6 +127,14 @@ alloc AS (
          END AS alloc
   FROM g CROSS JOIN kk
 )
+""".strip()
+
+_UNIMAX_CTES = f"""
+dom AS (
+  SELECT source, CAST(SUM(len({_D_TOKS})) AS BIGINT) AS n
+  FROM documents GROUP BY source HAVING SUM(len({_D_TOKS})) > 0
+),
+{_UNIMAX_TAIL_CTES}
 """.strip()
 
 
@@ -175,10 +183,14 @@ def docs_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-def _unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _unimax_alloc(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """The UniMax water-filling allocation frame (source, n, cap, alloc)
-    — shared by the mix report and the apply step."""
-    docs = _t(spark, sf_dir, "documents")
+    — shared by the mix report, the apply step, and the curation
+    pipeline's mixture stage (breadth11 passes its survivor corpus)."""
+    if docs is None:
+        docs = _t(spark, sf_dir, "documents")
     dom = (
         docs.select("source", F.size(TF.tokens("text")).alias("_nt"))
         .groupBy("source")
@@ -747,11 +759,9 @@ def _ppl_score(
 # ---------------------------------------------------------------------------
 
 
-_UNIMAX_SAMPLE_CTES = f"""
-doc AS (
-  SELECT doc_id, source, CAST(len({_D_TOKS}) AS BIGINT) AS n_tok
-  FROM documents
-),
+# Split like _UNIMAX_TAIL_CTES: the ``doc`` head is corpus-specific,
+# the ranked/sel tail is the reusable apply arithmetic (breadth11).
+_UNIMAX_SAMPLE_TAIL_CTES = """
 ranked AS (
   SELECT d.doc_id, d.source, d.n_tok,
          SUM(d.n_tok) OVER (
@@ -766,6 +776,14 @@ sel AS (
          CASE WHEN r.cum <= a.alloc % a.n THEN 1 ELSE 0 END AS extra
   FROM ranked r JOIN alloc a ON a.source = r.source
 )
+""".strip()
+
+_UNIMAX_SAMPLE_CTES = f"""
+doc AS (
+  SELECT doc_id, source, CAST(len({_D_TOKS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+{_UNIMAX_SAMPLE_TAIL_CTES}
 """.strip()
 
 
@@ -799,6 +817,16 @@ def docs_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast dim join — the same shape at any corpus size."""
     alloc = _unimax_alloc(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
+    sel = _unimax_select(alloc, docs)
+    return sel.filter(F.col("n_copies") > 0).orderBy("source", "doc_id")
+
+
+def _unimax_select(alloc: DataFrame, docs: DataFrame) -> DataFrame:
+    """The UniMax apply step over an arbitrary corpus frame: per-domain
+    epoch replication + md5-hash-rank greedy remainder fill.  Returns
+    (doc_id, source, n_tokens, n_copies) for EVERY corpus doc (n_copies
+    may be 0) — shared by docs_unimax_sample and the curation pipeline's
+    mixture stage (breadth11)."""
     doc = docs.select(
         "doc_id", "source", F.size(TF.tokens("text")).cast("bigint").alias("n_tok")
     )
@@ -808,7 +836,7 @@ def docs_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ranked = doc.withColumn("cum", F.sum("n_tok").over(w))
-    sel = ranked.join(F.broadcast(alloc), "source").select(
+    return ranked.join(F.broadcast(alloc), "source").select(
         "doc_id",
         "source",
         F.col("n_tok").alias("n_tokens"),
@@ -819,7 +847,6 @@ def docs_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_copies"),
     )
-    return sel.filter(F.col("n_copies") > 0).orderBy("source", "doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,176 @@
+"""Round-11 pins: the end-to-end curation funnel (docs_curation_e2e).
+
+Conservation discipline: every stage's reason rows must exactly
+partition the previous stage's kept set (docs AND tokens), the pack
+stage must conserve the realized mixture stream to the token, and the
+ledger plan must read only checkpointed stage outputs — no ledger
+branch may re-derive a prefix of the funnel from the raw corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+    CATALOG,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ledger(spark):
+    rows = CATALOG["docs_curation_e2e"].fn(spark, SF).collect()
+    by_stage: dict[int, dict[str, tuple[int, int]]] = {}
+    for r in rows:
+        by_stage.setdefault(r.stage_ix, {})[r.reason] = (r.n_docs, r.n_tokens)
+    return by_stage
+
+
+def _totals(stage: dict[str, tuple[int, int]]) -> tuple[int, int]:
+    return (
+        sum(d for d, _ in stage.values()),
+        sum(t for _, t in stage.values()),
+    )
+
+
+def test_funnel_stage_partitions(ledger):
+    """Stages 1-3 each partition the previous stage's kept set."""
+    # stage 1 input == ingest train
+    assert _totals(ledger[1]) == ledger[0]["train"]
+    # stage 2 input == stage 1 kept
+    assert _totals(ledger[2]) == ledger[1]["kept"]
+    # stage 3 input == stage 2 kept
+    assert _totals(ledger[3]) == ledger[2]["kept"]
+
+
+def test_funnel_reason_vocabulary(ledger):
+    assert set(ledger[0]) == {"train", "benchmark_holdout"}
+    assert set(ledger[1]) <= {
+        "kept", "min_chars", "min_tokens", "alpha_ratio", "stopword_ratio"
+    }
+    assert "kept" in ledger[1]
+    assert set(ledger[2]) <= {"kept", "contained"}
+    assert set(ledger[3]) <= {"kept", "contaminated"}
+    assert set(ledger[4]) <= {"selected", "unselected"}
+    assert set(ledger[5]) == {"sequences", "tail_padding"}
+
+
+def test_funnel_monotone_and_nonneg(ledger):
+    for stage in ledger.values():
+        for n_docs, n_tokens in stage.values():
+            assert n_docs >= 0 and n_tokens >= 0
+    # the funnel shrinks (docs) monotonically through the drop stages
+    assert ledger[1]["kept"][0] <= ledger[0]["train"][0]
+    assert ledger[2]["kept"][0] <= ledger[1]["kept"][0]
+    assert ledger[3]["kept"][0] <= ledger[2]["kept"][0]
+
+
+def test_mixture_docs_partition_and_budget(ledger):
+    """Mixture docs partition stage-3 kept; realized tokens stay within
+    one epoch-cap replication of the input and within n_domains max doc
+    lengths of the exact budget (docs_unimax_sample's pin, summed)."""
+    sel_d, sel_t = ledger[4].get("selected", (0, 0))
+    uns_d, _ = ledger[4].get("unselected", (0, 0))
+    kept_d, kept_t = ledger[3]["kept"]
+    assert sel_d + uns_d == kept_d
+    # budget = total DIV 2; realized stream lands at or below it
+    assert sel_t <= kept_t // 2
+    # ... and strictly positive when anything survived
+    if kept_d:
+        assert sel_t > 0
+
+
+def test_pack_conserves_realized_stream(ledger):
+    n_seq, packed = ledger[5]["sequences"]
+    _, padding = ledger[5]["tail_padding"]
+    sel_t = ledger[4].get("selected", (0, 0))[1]
+    assert packed == sel_t
+    assert n_seq == (packed + 127) // 128
+    assert n_seq * 128 == packed + padding
+    assert 0 <= padding < 128
+
+
+def test_ledger_plan_reads_only_checkpoints(spark):
+    """The plan audit VERDICT r10 item 3 asks for: no ledger branch
+    re-scans the raw corpus — every stage boundary is a localCheckpoint
+    (the single-box analogue of an inter-stage parquet checkpoint), so
+    the final union's scan leaves are checkpointed RDDs, not parquet."""
+    df = CATALOG["docs_curation_e2e"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, (
+        "ledger plan re-scans parquet — a stage boundary lost its "
+        "checkpoint:\n" + plan[:2000]
+    )
+
+
+def test_near_dedup_keeps_canonical_superset(spark):
+    """Constructed corpus: doc B's shingles ⊂ doc A's (A strictly
+    larger) → B drops, A survives; mutual exact dups keep the lower id.
+    Exercises the one-pass keep-superset rule directly on the operator
+    composition the e2e stage uses."""
+    from pyspark.sql import functions as F
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.functions import (  # noqa: E501
+        textfns as TF,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "en", base + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        (2, "en", base),                      # contained in 1 -> drops
+        (3, "en", "one two three four five six seven eight nine ten"),
+        (4, "en", "one two three four five six seven eight nine ten"),  # exact dup of 3 -> drops
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    sh = df.select("doc_id", "lang", TF.tokens("text").alias("_toks")).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.transform(TF.shingles(F.col("_toks"), 3), TF.token_hash)
+            )
+        ).alias("h"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = DD.shingle_overlap_pairs(sh, directional=True)
+    scored = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_sub")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_sup")),
+            "id_b",
+        )
+        .withColumn(
+            "u",
+            F.expr("CAST((2000000 * n_inter + n_sub) DIV (2 * n_sub) AS BIGINT)"),
+        )
+    )
+    dropped = sorted(
+        r.id_a
+        for r in scored.filter(
+            (F.col("u") >= 900_000)
+            & (
+                (F.col("n_sup") > F.col("n_sub"))
+                | (
+                    (F.col("n_sup") == F.col("n_sub"))
+                    & (F.col("id_b") < F.col("id_a"))
+                )
+            )
+        )
+        .select("id_a")
+        .distinct()
+        .collect()
+    )
+    assert dropped == [2, 4]
