@@ -425,12 +425,65 @@ def ivf_build(
     )
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
     centroids = [list(map(float, c)) for c in km.clusterCenters()]
-    assigned = corpus.select(
+    assigned = ivf_assign(
+        corpus, centroids, n_assign, id_col=id_col, vec_col=vec_col
+    )
+    return IvfIndex(assigned, centroids, n_assign)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    n_assign: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign a corpus (or ingest batch) to cells under an EXISTING
+    codebook — the serving-side half of ``ivf_build``, exposed so the
+    ingest path and the rebuild-policy monitor can index new vectors
+    without re-fitting the quantizer.  One shuffle-free projection:
+    the codebook rides as a nested array literal (driver-small by the
+    IVF contract) folded per row with higher-order functions."""
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         F.explode(_top_cells(F.col(vec_col), centroids, n_assign)).alias("cell"),
     )
-    return IvfIndex(assigned, centroids, n_assign)
+
+
+def cell_occupancy_drift_u(
+    ref_assigned: DataFrame,
+    new_assigned: DataFrame,
+    n_cells: int,
+) -> int:
+    """KL(new ‖ ref) in integer micro-nats between the cell-occupancy
+    histograms of a served index and a candidate ingest batch — the
+    drift statistic the IVF rebuild policy triggers on.
+
+    Rationale: the coarse quantizer is only as good as its fit to the
+    CURRENT data distribution.  A batch whose occupancy concentrates in
+    cells the build-time corpus rarely used signals codebook staleness
+    (new mass lives in a region the centroids don't tile), which is
+    exactly when probing n_probe cells starts missing neighbors.  Both
+    histograms are add-one smoothed over the full cell range so empty
+    cells are defined; the reduction is two n_cells-sized aggregates —
+    the corpus never moves, and the scalar collect is one row.
+    """
+    import math
+
+    def hist(assigned: DataFrame) -> dict[int, int]:
+        rows = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        return {int(r.cell): int(r.n) for r in rows}
+
+    ref, new = hist(ref_assigned), hist(new_assigned)
+    t_ref = sum(ref.values()) + n_cells
+    t_new = sum(new.values()) + n_cells
+    drift = 0.0
+    for cell in range(n_cells):
+        p_new = (new.get(cell, 0) + 1) / t_new
+        p_ref = (ref.get(cell, 0) + 1) / t_ref
+        drift += p_new * math.log(p_new / p_ref)
+    return int(round(drift * 1_000_000))
 
 
 def ivf_query(

@@ -110,6 +110,41 @@ def test_ledger_plan_reads_only_checkpoints(spark):
     )
 
 
+def test_ivf_rebuild_policy_scenarios(spark):
+    """VERDICT r10 item 4's pinned scenario: the in-distribution control
+    batch must NOT trip the rebuild trigger; the injected shift must
+    trip it, and the rebuilt codebook must restore the recall floor."""
+    rows = {
+        r.scenario: r
+        for r in CATALOG["ann_ivf_rebuild_policy"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {"control", "shifted"}
+    ctl, shf = rows["control"], rows["shifted"]
+    # trigger separation with wide margins around the 200k threshold
+    assert not ctl.rebuild and ctl.drift_u < 100_000
+    assert shf.rebuild and shf.drift_u > 400_000
+    # no rebuild -> serving continues on the stale index unchanged
+    assert ctl.recall_after == ctl.recall_stale
+    # rebuild restores the recall floor and never degrades serving
+    assert shf.recall_after >= shf.recall_stale
+    assert shf.recall_after >= 0.85
+    assert ctl.recall_stale >= 0.8
+    assert ctl.n_batch == shf.n_batch > 0
+
+
+def test_ivf_occupancy_drift_identity(spark):
+    """Drift of an assignment against itself is ~0 (smoothing exact)."""
+    from pyspark.sql import functions as F
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        similarity as SIM,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = SIM.ivf_build(emb.filter(F.col("vec_id") % 4 != 0), n_cells=8, n_assign=2)
+    assert SIM.cell_occupancy_drift_u(idx.assigned, idx.assigned, 8) == 0
+
+
 def test_near_dedup_keeps_canonical_superset(spark):
     """Constructed corpus: doc B's shingles ⊂ doc A's (A strictly
     larger) → B drops, A survives; mutual exact dups keep the lower id.
