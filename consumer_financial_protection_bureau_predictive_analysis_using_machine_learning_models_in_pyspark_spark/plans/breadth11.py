@@ -427,6 +427,102 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance canonical serving twin (VERDICT r10 item 5): govern the
+# pair anchor's clone-clique quadratic — collapse exact clones to one
+# representative per distinct text, verify over representatives only,
+# emit the per-doc argmin.  Same corpus as the anchor.
+# ---------------------------------------------------------------------------
+
+from .breadth8 import (  # noqa: E402
+    _ED_CORPUS_CTE,
+    _ED_MAXBLK,
+    _ED_MAXD,
+    _ED_PREFIX,
+    _ed_corpus,
+)
+
+
+@register(
+    "dedup_edit_distance_canonical",
+    f"""
+WITH corpus AS ({_ED_CORPUS_CTE}),
+c AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS txt
+  FROM corpus
+),
+g1 AS (SELECT txt, MIN(doc_id) AS gid, COUNT(*) AS cnt FROM c GROUP BY txt),
+g2 AS (
+  SELECT c.txt, MIN(c.doc_id) AS m2
+  FROM c JOIN g1 ON g1.txt = c.txt AND c.doc_id > g1.gid
+  GROUP BY c.txt
+),
+blk AS (
+  SELECT gid, txt, substring(txt, 1, {_ED_PREFIX}) AS b FROM g1
+),
+ok AS (SELECT b FROM blk GROUP BY b HAVING COUNT(*) <= {_ED_MAXBLK}),
+p AS (SELECT blk.gid, blk.txt, blk.b FROM blk JOIN ok USING (b)),
+rp AS (
+  SELECT a.gid AS ga, b2.gid AS gb,
+         CAST(levenshtein(a.txt, b2.txt) AS BIGINT) AS dist
+  FROM p a JOIN p b2 USING (b)
+  WHERE a.gid <> b2.gid
+    AND abs(length(a.txt) - length(b2.txt)) <= {_ED_MAXD}
+    AND levenshtein(a.txt, b2.txt) <= {_ED_MAXD}
+),
+rbest AS (
+  SELECT ga AS gid,
+         MIN(struct_pack(d := dist, m := gb)).m AS match_gid,
+         MIN(struct_pack(d := dist, m := gb)).d AS rdist
+  FROM rp GROUP BY ga
+)
+SELECT c.doc_id,
+       CAST(CASE WHEN g1.cnt > 1 THEN
+                 CASE WHEN c.doc_id = g1.gid THEN g2.m2 ELSE g1.gid END
+            ELSE rb.match_gid END AS BIGINT) AS match_id,
+       CAST(CASE WHEN g1.cnt > 1 THEN 0 ELSE rb.rdist END AS BIGINT) AS dist
+FROM c
+JOIN g1 ON g1.txt = c.txt
+LEFT JOIN g2 ON g2.txt = c.txt
+LEFT JOIN rbest rb ON rb.gid = g1.gid
+WHERE (CASE WHEN g1.cnt > 1 THEN
+            CASE WHEN c.doc_id = g1.gid THEN g2.m2 ELSE g1.gid END
+       ELSE rb.match_gid END) IS NOT NULL
+ORDER BY doc_id
+""",
+    "dedup", "edit-distance", "canonical", "serving",
+    twin_of="dedup_edit_distance",
+    twin_pin="tests/test_round11.py::test_edit_canonical_equals_anchor_argmin",
+)
+def dedup_edit_distance_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One best fuzzy match per doc (operators.dedup
+    .edit_distance_canonical) over the edit-distance fixture corpus:
+    exact clones collapse to representatives BEFORE the blocked
+    banded-levenshtein verify, so a clone clique of m docs costs m
+    hash-group rows instead of m² comparisons — the governance for the
+    anchor's worst decade tail (sf1 soak: every doc ×10 ⇒ anchor 81×).
+    Output equals the argmin-collapse of the anchor's pair list wherever
+    the anchor's block cap doesn't fire (pinned); under clone-inflated
+    blocks this form's cap counts DISTINCT texts — strictly better
+    recall.  Fully value-oracled.
+
+    Measured crossover (honest negative at base scale, the
+    dedup_incremental_bloom discipline): at sf0.1 the fixture has only
+    ~10% exact clones, so the collapse saves little while the
+    text-keyed groupBy adds a shuffle — twin 5.1 s vs anchor 4.4 s
+    (1.17x).  The regime this form exists for is clone-heavy corpora:
+    the sf1 soak corpus replicates every doc x10, where the anchor's
+    per-block comparisons grow 100x (its 81x decade ratio) and this
+    form's grow ~1x — the committed BENCH_SF1 twin-pair ratio is the
+    evidence."""
+    return DD.edit_distance_canonical(
+        _ed_corpus(spark, sf_dir),
+        max_dist=_ED_MAXD,
+        prefix_len=_ED_PREFIX,
+        max_block=_ED_MAXBLK,
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # IVF rebuild policy (VERDICT r10 "What's missing" #2): the index
 # lifecycle covered build → serve → ingest → delete → compact → recall
 # re-eval, but nothing decided WHEN to retrain the codebook.  This entry

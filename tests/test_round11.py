@@ -110,6 +110,54 @@ def test_ledger_plan_reads_only_checkpoints(spark):
     )
 
 
+def test_edit_canonical_equals_anchor_argmin(spark):
+    """Twin pin: the canonical serving form equals the argmin-collapse
+    of the anchor's pair list — per doc, min (dist, partner_id) over
+    both directions — on the fixture (no block caps fire there)."""
+    anchor = CATALOG["dedup_edit_distance"].fn(spark, SF).collect()
+    twin = {
+        r.doc_id: (r.match_id, r.dist)
+        for r in CATALOG["dedup_edit_distance_canonical"].fn(spark, SF).collect()
+    }
+    best: dict[int, tuple[int, int]] = {}
+    for r in anchor:
+        for me, other in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            cur = best.get(me)
+            if cur is None or (r.dist, other) < cur:
+                best[me] = (r.dist, other)
+    derived = {doc: (m, d) for doc, (d, m) in best.items()}
+    assert twin == derived
+
+
+def test_edit_canonical_clone_semantics(spark):
+    """Constructed corpus: a 3-clone group plus a 1-edit singleton pair
+    — clones report dist 0 with the right partner (group min, second-min
+    for the representative); singletons report the rep-level match."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (5, "the quick brown fox jumps over the lazy dog tonight"),
+        (9, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely different text about ships and harbors here"),
+        (3, "completely different text about ships and harbors hers"),
+    ]
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.match_id, r.dist)
+        for r in DD.edit_distance_canonical(df, max_dist=4).collect()
+    }
+    assert out == {
+        1: (5, 0),   # representative -> second-min member
+        5: (1, 0),
+        9: (1, 0),
+        2: (3, 1),   # singleton -> rep-level 1-edit partner
+        3: (2, 1),
+    }
+
+
 def test_ivf_rebuild_policy_scenarios(spark):
     """VERDICT r10 item 4's pinned scenario: the in-distribution control
     batch must NOT trip the rebuild trigger; the injected shift must

@@ -67,6 +67,11 @@ PANEL = [
     "dedup_containment_canonical_fast",
     "docs_ref_perplexity_buckets",
     "events_cusum_drift",
+    # r11: clone-collapse governor for the worst r10 decade tail (81x),
+    # plus the curation composition entry
+    "dedup_edit_distance",
+    "dedup_edit_distance_canonical",
+    "docs_curation_e2e",
 ]
 
 # (anchor, twin) pairs surfaced as an explicit ratio comparison in the
@@ -76,6 +81,7 @@ TWIN_PAIRS = [
     ("dedup_containment_canonical", "dedup_containment_canonical_fast"),
     ("dedup_incremental", "dedup_incremental_bloom"),
     ("docs_quality_deciles", "docs_quality_deciles_approx"),
+    ("dedup_edit_distance", "dedup_edit_distance_canonical"),
 ]
 
 
