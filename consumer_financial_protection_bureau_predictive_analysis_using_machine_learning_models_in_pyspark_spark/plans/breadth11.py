@@ -218,6 +218,31 @@ ORDER BY stage_ix, reason
 _LEDGER_COLS = ["stage_ix", "stage", "reason", "n_docs", "n_tokens"]
 
 
+def _shingles_of(frame: DataFrame) -> DataFrame:
+    """(doc_id, lang, h): distinct-in-row 3-gram shingle hashes — ONE
+    expression shared by the batch funnel's index build and the stream
+    twin's per-batch probe side, so replayed docs hash identically."""
+    return frame.select(
+        "doc_id", "lang", TF.tokens("text").alias("_toks")
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.transform(TF.shingles(F.col("_toks"), 3), TF.token_hash)
+            )
+        ).alias("h"),
+    )
+
+
+def _grams8_of(frame: DataFrame) -> DataFrame:
+    """(doc_id, gram): distinct word 8-grams (decontamination probe)."""
+    grams = TF.shingles(F.col("_toks"), 8)
+    return frame.select("doc_id", TF.tokens("text").alias("_toks")).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+
+
 def _ledger_row(frame: DataFrame, stage_ix: int, stage: str, reason) -> DataFrame:
     """Shape a 1-row-or-grouped aggregate into the ledger schema.
     ``reason`` is a literal string or an existing Column."""
@@ -285,15 +310,7 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1k = j1.filter(F.col("reason") == "kept").drop("reason")
 
     # stage 2 — containment near-dedup over stage-1 survivors
-    sh = s1k.select("doc_id", "lang", TF.tokens("text").alias("_toks")).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.array_distinct(
-                F.transform(TF.shingles(F.col("_toks"), 3), TF.token_hash)
-            )
-        ).alias("h"),
-    )
+    sh = _shingles_of(s1k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = DD.shingle_overlap_pairs(sh, directional=True)
     scored = (
@@ -643,3 +660,209 @@ def ann_ivf_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scenario string, n_batch bigint, drift_u bigint, rebuild boolean, "
         "recall_stale double, recall_after double",
     ).orderBy("scenario")
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation twin (VERDICT r10 stretch item 8): the funnel's
+# per-doc gate stages as a foreachBatch ingest loop with _batch_id
+# idempotence — the stream_substring_decontaminate discipline applied
+# to the composed pipeline.
+# ---------------------------------------------------------------------------
+
+_CUR_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "stream_curation_e2e", None,
+    "streaming", "pipeline", "curation", "funnel", "foreachBatch",
+    twin_of="docs_curation_e2e",
+    twin_pin="tests/test_round11.py::test_stream_curation_matches_batch",
+)
+def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the curation funnel's per-doc gate stages:
+    train documents arrive as three deterministic micro-batches
+    (doc_id % 3, mtime-ordered file source) and each batch is screened
+    at ingest by PREBUILT frozen dims — the CCNet serving split
+    (stream_ref_perplexity's convention) applied to the whole gate
+    chain:
+
+    * stage 1 (quality filter) is stateless — computed from batch text;
+    * stage 2 (containment near-dedup) probes the OFFLINE shingle index
+      of stage-1 survivors: the batch side re-hashes its own text
+      through the shared shingle expression, candidates come from the
+      frozen df-capped cold postings, hot overlaps add back exactly, and
+      the keep-superset rule compares against frozen survivor sizes;
+    * stage 3 (decontamination) joins batch 8-grams against the frozen
+      benchmark gram set.
+
+    Each batch emits its per-stage funnel ledger under an idempotent
+    ``_batch_id`` partition overwrite.  Mixture/pack are corpus-global
+    decisions and stay offline (the batch entry).  Rows-only
+    (streaming lifecycle); summing the per-batch ledgers over batches
+    must reproduce the batch funnel's stage 0-3 rows exactly (pinned —
+    possible because every verdict is a pure function of (doc, frozen
+    dims), independent of batch placement)."""
+    from ..streaming import jobs as SJ
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", "text",
+        F.size(TF.tokens("text")).cast("bigint").alias("nt"),
+    )
+    train = base.filter(F.col("doc_id") % 25 != 0)
+    bench = base.filter(F.col("doc_id") % 25 == 0)
+
+    # ---- frozen dims (offline build, checkpointed) ----
+    flags = PL.filter_chain(train, quality_rule_set())
+    s1k = (
+        train.join(flags.select("doc_id", "reason"), "doc_id")
+        .filter(F.col("reason") == "kept")
+        .drop("reason")
+    )
+    sh = _shingles_of(s1k).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
+    dfh = sh.groupBy("lang", "h").agg(
+        F.count(F.lit(1)).alias("df")
+    ).localCheckpoint()
+    cold_keys = dfh.filter(F.col("df") <= DD.SHINGLE_MAX_DF).select("lang", "h")
+    hot_keys = dfh.filter(F.col("df") > DD.SHINGLE_MAX_DF).select("lang", "h")
+    idx_cold = sh.join(cold_keys, ["lang", "h"], "left_semi").localCheckpoint()
+    idx_hot = sh.join(hot_keys, ["lang", "h"], "left_semi").select(
+        "doc_id", "h"
+    ).localCheckpoint()
+    bgrams = (
+        _grams8_of(bench).select("gram").distinct().localCheckpoint()
+    )
+
+    # ---- staged micro-batches ----
+    flat = SJ.stage_microbatches(
+        _CUR_STREAM_DIRS,
+        sf_dir,
+        [train.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b) for b in range(3)],
+        "stream_cur_",
+    )
+    work = _CUR_STREAM_DIRS[sf_dir]
+
+    def _ledger(df: DataFrame, stage_ix: int, stage: str) -> DataFrame:
+        return df.groupBy("reason").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(stage_ix).cast("int").alias("stage_ix"),
+            F.lit(stage).alias("stage"),
+            "reason",
+            "n_docs",
+            "n_tokens",
+        )
+
+    def score_fn(batch_df: DataFrame) -> DataFrame:
+        b = batch_df.select("doc_id", "lang", "text", "nt")
+        fb = PL.filter_chain(b.select("doc_id", "lang", "text"), quality_rule_set())
+        jb = b.join(fb.select("doc_id", "reason"), "doc_id")
+        s1b = jb.filter(F.col("reason") == "kept").drop("reason")
+
+        # stage 2: probe the frozen index with batch-side shingles
+        bsh = _shingles_of(s1b)
+        n_sub = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sub"))
+        bcold = bsh.join(cold_keys, ["lang", "h"], "left_semi")
+        cand = (
+            bcold.select(F.col("doc_id").alias("id_a"), "lang", "h")
+            .join(
+                idx_cold.select(F.col("doc_id").alias("id_b"), "lang", "h"),
+                ["lang", "h"],
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_n_cold"))
+        )
+        bhot = bsh.join(hot_keys, ["lang", "h"], "left_semi").select(
+            F.col("doc_id").alias("id_a"), "h"
+        )
+        hotx = (
+            cand.select("id_a", "id_b")
+            .join(bhot, "id_a")
+            .join(idx_hot.select(F.col("doc_id").alias("id_b"), "h"), ["id_b", "h"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_n_hot"))
+        )
+        scored = (
+            cand.join(hotx, ["id_a", "id_b"], "left")
+            .withColumn(
+                "n_inter", F.col("_n_cold") + F.coalesce(F.col("_n_hot"), F.lit(0))
+            )
+            .join(n_sub.select(F.col("doc_id").alias("id_a"), "n_sub"), "id_a")
+            .join(
+                sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_sup")),
+                "id_b",
+            )
+            .withColumn(
+                "u",
+                F.expr(
+                    "CAST((2000000 * n_inter + n_sub) DIV (2 * n_sub) AS BIGINT)"
+                ),
+            )
+        )
+        dropped_b = (
+            scored.filter(
+                (F.col("u") >= _E2E_CT_MIN_U)
+                & (
+                    (F.col("n_sup") > F.col("n_sub"))
+                    | (
+                        (F.col("n_sup") == F.col("n_sub"))
+                        & (F.col("id_b") < F.col("id_a"))
+                    )
+                )
+            )
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+            .withColumn("_ct_drop", F.lit(1))
+        )
+        j2b = s1b.join(dropped_b, "doc_id", "left")
+        s2b = j2b.filter(F.col("_ct_drop").isNull()).drop("_ct_drop")
+
+        # stage 3: batch grams vs the frozen benchmark gram set
+        contam_b = (
+            _grams8_of(s2b)
+            .join(bgrams, "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("_contam", F.lit(1))
+        )
+        j3b = s2b.join(contam_b, "doc_id", "left")
+
+        l0 = _ledger(b.withColumn("reason", F.lit("train")), 0, "ingest")
+        l1 = _ledger(jb, 1, "quality_filter")
+        l2 = _ledger(
+            j2b.withColumn(
+                "reason",
+                F.when(F.col("_ct_drop").isNull(), "kept").otherwise("contained"),
+            ),
+            2,
+            "near_dedup",
+        )
+        l3 = _ledger(
+            j3b.withColumn(
+                "reason",
+                F.when(F.col("_contam").isNull(), "kept").otherwise("contaminated"),
+            ),
+            3,
+            "decontaminate",
+        )
+        return l0.unionByName(l1).unionByName(l2).unionByName(l3)
+
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    SJ.run_streaming_model_scoring(
+        stream, score_fn, f"{work}/ledger", f"{work}/ckpt"
+    )
+    return (
+        spark.read.parquet(f"{work}/ledger")
+        .select("_batch_id", "stage_ix", "stage", "reason", "n_docs", "n_tokens")
+        .orderBy("_batch_id", "stage_ix", "reason")
+    )

@@ -110,6 +110,29 @@ def test_ledger_plan_reads_only_checkpoints(spark):
     )
 
 
+def test_stream_curation_matches_batch(spark, ledger):
+    """Twin pin: summing the streaming funnel's per-batch ledgers over
+    batches reproduces the batch funnel's stage 0-3 rows EXACTLY —
+    possible because every gate verdict is a pure function of
+    (doc, frozen dims), independent of batch placement."""
+    stream_rows = CATALOG["stream_curation_e2e"].fn(spark, SF).collect()
+    batches = {r._batch_id for r in stream_rows}
+    assert batches == {0, 1, 2}
+    summed: dict[tuple[int, str], tuple[int, int]] = {}
+    for r in stream_rows:
+        key = (r.stage_ix, r.reason)
+        d, t = summed.get(key, (0, 0))
+        summed[key] = (d + r.n_docs, t + r.n_tokens)
+    batch_side = {
+        (ix, reason): v
+        for ix, stage in ledger.items()
+        if ix <= 3
+        for reason, v in stage.items()
+        if (ix, reason) != (0, "benchmark_holdout")
+    }
+    assert summed == batch_side
+
+
 def test_edit_canonical_equals_anchor_argmin(spark):
     """Twin pin: the canonical serving form equals the argmin-collapse
     of the anchor's pair list — per doc, min (dist, partner_id) over
