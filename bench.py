@@ -184,6 +184,11 @@ BENCH_QUERIES = [
     "media_audio_fingerprint",
     "media_phash_dedup",
     "media_phash_near_pairs",
+    # r11 additions
+    "docs_curation_e2e",
+    "stream_curation_e2e",
+    "dedup_edit_distance_canonical",
+    "ann_ivf_rebuild_policy",
     # r8 coverage sweep (VERDICT r7 item 3): every remaining catalog
     # entry is benched unless it appears in BENCH_EXCLUDED with a reason.
     # -- reference-parity complaints pipeline
