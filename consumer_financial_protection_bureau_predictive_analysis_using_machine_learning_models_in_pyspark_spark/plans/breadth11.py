@@ -40,19 +40,27 @@ _E2E_CT_MIN_U = 900_000  # containment >= 0.9, micro-units
 #
 #   0 ingest        train (doc_id % 25 != 0)  |  benchmark_holdout (% 25 == 0)
 #   1 quality_filter  docs_filter_chain's four ordered gates, first-failure
-#   2 near_dedup      shingle containment >= 0.9: drop the contained doc when
+#   2 exact_dedup     byte-identical text collapse, keep the min doc_id — the
+#                     stage every curation run puts FIRST among dedups: one
+#                     linear hash-groupBy that kills clone-clique quadratics
+#                     before the pair stage ever sees them (the r11 sf1 soak
+#                     corpus — every doc ×10 — blew the containment stage's
+#                     candidate join past 70 GB of DuckDB spill until this
+#                     stage landed; with it, the pair stage sees distinct
+#                     texts only, on BOTH engines)
+#   3 near_dedup      shingle containment >= 0.9: drop the contained doc when
 #                     a strictly-larger (or equal-size, lower-id) survivor
 #                     covers it — one-pass canonical keep-superset rule over
-#                     stage-1 survivors (the containment family's serving
+#                     stage-2 survivors (the containment family's serving
 #                     semantics; non-recursive by design)
-#   3 decontaminate   word-8-gram overlap vs the held-out benchmark slice
+#   4 decontaminate   word-8-gram overlap vs the held-out benchmark slice
 #                     (docs_decontaminate convention) — any hit drops the doc
-#   4 mixture         UniMax epoch-capped water-filling over `source` domains
+#   5 mixture         UniMax epoch-capped water-filling over `source` domains
 #                     of the surviving corpus (docs_unimax_mix arithmetic,
 #                     cap 2 epochs, budget = total DIV 2), applied via the
 #                     md5-rank greedy selection (docs_unimax_sample); tokens
 #                     leaving this stage are the REALIZED replicated stream
-#   5 pack            closed-form 128-token sequence stats over the realized
+#   6 pack            closed-form 128-token sequence stats over the realized
 #                     stream (pack conserves tokens; padding = last-sequence
 #                     remainder)
 #
@@ -93,11 +101,16 @@ flags AS (
 s1k AS (
   SELECT t.* FROM t JOIN flags USING (doc_id) WHERE flags.reason = 'kept'
 ),
+eg AS (SELECT text, MIN(doc_id) AS keeper FROM s1k GROUP BY text),
+s1x AS (
+  SELECT s1k.* FROM s1k JOIN eg ON eg.text = s1k.text
+  WHERE s1k.doc_id = eg.keeper
+),
 sh AS (
   SELECT doc_id, lang,
          unnest(list_distinct(list_transform(range(1, len(toks) - 1),
                 j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))) AS s
-  FROM s1k WHERE len(toks) >= 3
+  FROM s1x WHERE len(toks) >= 3
 ),
 hashed AS (
   SELECT DISTINCT doc_id, lang,
@@ -144,8 +157,8 @@ dropped AS (
     AND (n_sup > n_sub OR (n_sup = n_sub AND id_sup < id_sub))
 ),
 s2k AS (
-  SELECT s1k.* FROM s1k
-  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = s1k.doc_id)
+  SELECT s1x.* FROM s1x
+  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = s1x.doc_id)
 ),
 cpos AS (
   SELECT doc_id, toks AS w, unnest(generate_series(1, len(toks) - 7)) AS i
@@ -189,26 +202,31 @@ FROM (
   SELECT 1, 'quality_filter', reason, COUNT(*), SUM(nt)
   FROM flags GROUP BY reason
   UNION ALL
-  SELECT 2, 'near_dedup',
-         CASE WHEN d.doc_id IS NULL THEN 'kept' ELSE 'contained' END,
+  SELECT 2, 'exact_dedup',
+         CASE WHEN s1k.doc_id = eg.keeper THEN 'kept' ELSE 'exact_dup' END,
          COUNT(*), SUM(s1k.nt)
-  FROM s1k LEFT JOIN dropped d USING (doc_id) GROUP BY 3
+  FROM s1k JOIN eg ON eg.text = s1k.text GROUP BY 3
   UNION ALL
-  SELECT 3, 'decontaminate',
+  SELECT 3, 'near_dedup',
+         CASE WHEN d.doc_id IS NULL THEN 'kept' ELSE 'contained' END,
+         COUNT(*), SUM(s1x.nt)
+  FROM s1x LEFT JOIN dropped d USING (doc_id) GROUP BY 3
+  UNION ALL
+  SELECT 4, 'decontaminate',
          CASE WHEN c.doc_id IS NULL THEN 'kept' ELSE 'contaminated' END,
          COUNT(*), SUM(s2k.nt)
   FROM s2k LEFT JOIN contam c USING (doc_id) GROUP BY 3
   UNION ALL
-  SELECT 4, 'mixture',
+  SELECT 5, 'mixture',
          CASE WHEN n_copies > 0 THEN 'selected' ELSE 'unselected' END,
          COUNT(*),
          SUM(CASE WHEN n_copies > 0 THEN n_tok * n_copies ELSE n_tok END)
   FROM chosen GROUP BY 3
   UNION ALL
-  SELECT 5, 'pack', 'sequences', (tt + {_E2E_SEQ_LEN - 1}) // {_E2E_SEQ_LEN}, tt
+  SELECT 6, 'pack', 'sequences', (tt + {_E2E_SEQ_LEN - 1}) // {_E2E_SEQ_LEN}, tt
   FROM p
   UNION ALL
-  SELECT 5, 'pack', 'tail_padding', 0,
+  SELECT 6, 'pack', 'tail_padding', 0,
          ((tt + {_E2E_SEQ_LEN - 1}) // {_E2E_SEQ_LEN}) * {_E2E_SEQ_LEN} - tt
   FROM p
 ) ledger
@@ -309,8 +327,17 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     j1 = train.join(flags.select("doc_id", "reason"), "doc_id").localCheckpoint()
     s1k = j1.filter(F.col("reason") == "kept").drop("reason")
 
-    # stage 2 — containment near-dedup over stage-1 survivors
-    sh = _shingles_of(s1k)
+    # stage 2 — exact dedup: byte-identical text collapse, keep min id.
+    # One linear text-keyed groupBy BEFORE any pair stage — under clone
+    # load (the sf1 soak corpus replicates every doc x10) the downstream
+    # containment candidate join is quadratic in clone multiplicity on
+    # both engines without this (the oracle spilled >70 GB at sf1).
+    keepers = s1k.groupBy("text").agg(F.min("doc_id").alias("_keeper"))
+    j1x = s1k.join(keepers, "text").localCheckpoint()
+    s1x = j1x.filter(F.col("doc_id") == F.col("_keeper")).drop("_keeper")
+
+    # stage 3 — containment near-dedup over exact-distinct survivors
+    sh = _shingles_of(s1x)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = DD.shingle_overlap_pairs(sh, directional=True)
     scored = (
@@ -339,10 +366,10 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_ct_drop", F.lit(1))
     )
-    j2 = s1k.join(dropped, "doc_id", "left").localCheckpoint()
+    j2 = s1x.join(dropped, "doc_id", "left").localCheckpoint()
     s2k = j2.filter(F.col("_ct_drop").isNull()).drop("_ct_drop")
 
-    # stage 3 — 8-gram decontamination vs the held-out benchmark slice
+    # stage 4 — 8-gram decontamination vs the held-out benchmark slice
     hits = (
         PL.decontaminate(s2k, bench, n=8)
         .select("doc_id")
@@ -351,7 +378,7 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     j3 = s2k.join(hits, "doc_id", "left").localCheckpoint()
     s3k = j3.filter(F.col("_contam").isNull()).drop("_contam")
 
-    # stage 4 — UniMax mixture over the surviving corpus
+    # stage 5 — UniMax mixture over the surviving corpus
     alloc = _unimax_alloc(spark, sf_dir, docs=s3k)
     sel = _unimax_select(alloc, s3k).localCheckpoint()
 
@@ -372,13 +399,23 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_filter",
         F.col("reason"),
     )
+    l2x = _ledger_row(
+        j1x.groupBy(
+            F.when(F.col("doc_id") == F.col("_keeper"), "kept")
+            .otherwise("exact_dup")
+            .alias("reason")
+        ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")),
+        2,
+        "exact_dedup",
+        F.col("reason"),
+    )
     l2 = _ledger_row(
         j2.groupBy(
             F.when(F.col("_ct_drop").isNull(), "kept")
             .otherwise("contained")
             .alias("reason")
         ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")),
-        2,
+        3,
         "near_dedup",
         F.col("reason"),
     )
@@ -388,7 +425,7 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("contaminated")
             .alias("reason")
         ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")),
-        3,
+        4,
         "decontaminate",
         F.col("reason"),
     )
@@ -405,7 +442,7 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.col("n_tokens"))
             ).alias("n_tokens"),
         ),
-        4,
+        5,
         "mixture",
         F.col("reason"),
     )
@@ -422,7 +459,7 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST((tt + {seq - 1}) DIV {seq} AS BIGINT)").alias("n_docs"),
             F.col("tt").alias("n_tokens"),
         ),
-        5,
+        6,
         "pack",
         "sequences",
     )
@@ -433,12 +470,12 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST((tt + {seq - 1}) DIV {seq} * {seq} - tt AS BIGINT)"
             ).alias("n_tokens"),
         ),
-        5,
+        6,
         "pack",
         "tail_padding",
     )
     ledger = l0a
-    for part in (l0b, l1, l2, l3, l4, l5a, l5b):
+    for part in (l0b, l1, l2x, l2, l3, l4, l5a, l5b):
         ledger = ledger.unionByName(part)
     return ledger.orderBy("stage_ix", "reason")
 
@@ -728,7 +765,16 @@ def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("reason") == "kept")
         .drop("reason")
     )
-    sh = _shingles_of(s1k).localCheckpoint()
+    # frozen exact-dedup index: text -> canonical (min) doc id
+    keepers = s1k.groupBy("text").agg(
+        F.min("doc_id").alias("_keeper")
+    ).localCheckpoint()
+    s1x = (
+        s1k.join(keepers, "text")
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .drop("_keeper")
+    )
+    sh = _shingles_of(s1x).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n")
     ).localCheckpoint()
@@ -772,8 +818,12 @@ def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         jb = b.join(fb.select("doc_id", "reason"), "doc_id")
         s1b = jb.filter(F.col("reason") == "kept").drop("reason")
 
-        # stage 2: probe the frozen index with batch-side shingles
-        bsh = _shingles_of(s1b)
+        # stage 2: exact dedup vs the frozen text -> keeper map
+        j2xb = s1b.join(keepers, "text")
+        s1xb = j2xb.filter(F.col("doc_id") == F.col("_keeper")).drop("_keeper")
+
+        # stage 3: probe the frozen index with batch-side shingles
+        bsh = _shingles_of(s1xb)
         n_sub = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sub"))
         bcold = bsh.join(cold_keys, ["lang", "h"], "left_semi")
         cand = (
@@ -828,10 +878,10 @@ def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .withColumn("_ct_drop", F.lit(1))
         )
-        j2b = s1b.join(dropped_b, "doc_id", "left")
+        j2b = s1xb.join(dropped_b, "doc_id", "left")
         s2b = j2b.filter(F.col("_ct_drop").isNull()).drop("_ct_drop")
 
-        # stage 3: batch grams vs the frozen benchmark gram set
+        # stage 4: batch grams vs the frozen benchmark gram set
         contam_b = (
             _grams8_of(s2b)
             .join(bgrams, "gram", "left_semi")
@@ -843,12 +893,22 @@ def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         l0 = _ledger(b.withColumn("reason", F.lit("train")), 0, "ingest")
         l1 = _ledger(jb, 1, "quality_filter")
+        l2x = _ledger(
+            j2xb.withColumn(
+                "reason",
+                F.when(F.col("doc_id") == F.col("_keeper"), "kept").otherwise(
+                    "exact_dup"
+                ),
+            ),
+            2,
+            "exact_dedup",
+        )
         l2 = _ledger(
             j2b.withColumn(
                 "reason",
                 F.when(F.col("_ct_drop").isNull(), "kept").otherwise("contained"),
             ),
-            2,
+            3,
             "near_dedup",
         )
         l3 = _ledger(
@@ -856,10 +916,12 @@ def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "reason",
                 F.when(F.col("_contam").isNull(), "kept").otherwise("contaminated"),
             ),
-            3,
+            4,
             "decontaminate",
         )
-        return l0.unionByName(l1).unionByName(l2).unionByName(l3)
+        return (
+            l0.unionByName(l1).unionByName(l2x).unionByName(l2).unionByName(l3)
+        )
 
     schema = spark.read.parquet(flat).schema
     stream = (

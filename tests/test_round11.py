@@ -41,13 +41,15 @@ def _totals(stage: dict[str, tuple[int, int]]) -> tuple[int, int]:
 
 
 def test_funnel_stage_partitions(ledger):
-    """Stages 1-3 each partition the previous stage's kept set."""
+    """Stages 1-4 each partition the previous stage's kept set."""
     # stage 1 input == ingest train
     assert _totals(ledger[1]) == ledger[0]["train"]
-    # stage 2 input == stage 1 kept
+    # stage 2 (exact dedup) input == stage 1 kept
     assert _totals(ledger[2]) == ledger[1]["kept"]
-    # stage 3 input == stage 2 kept
+    # stage 3 (containment) input == stage 2 kept
     assert _totals(ledger[3]) == ledger[2]["kept"]
+    # stage 4 (decontaminate) input == stage 3 kept
+    assert _totals(ledger[4]) == ledger[3]["kept"]
 
 
 def test_funnel_reason_vocabulary(ledger):
@@ -56,10 +58,11 @@ def test_funnel_reason_vocabulary(ledger):
         "kept", "min_chars", "min_tokens", "alpha_ratio", "stopword_ratio"
     }
     assert "kept" in ledger[1]
-    assert set(ledger[2]) <= {"kept", "contained"}
-    assert set(ledger[3]) <= {"kept", "contaminated"}
-    assert set(ledger[4]) <= {"selected", "unselected"}
-    assert set(ledger[5]) == {"sequences", "tail_padding"}
+    assert set(ledger[2]) <= {"kept", "exact_dup"}
+    assert set(ledger[3]) <= {"kept", "contained"}
+    assert set(ledger[4]) <= {"kept", "contaminated"}
+    assert set(ledger[5]) <= {"selected", "unselected"}
+    assert set(ledger[6]) == {"sequences", "tail_padding"}
 
 
 def test_funnel_monotone_and_nonneg(ledger):
@@ -70,15 +73,16 @@ def test_funnel_monotone_and_nonneg(ledger):
     assert ledger[1]["kept"][0] <= ledger[0]["train"][0]
     assert ledger[2]["kept"][0] <= ledger[1]["kept"][0]
     assert ledger[3]["kept"][0] <= ledger[2]["kept"][0]
+    assert ledger[4]["kept"][0] <= ledger[3]["kept"][0]
 
 
 def test_mixture_docs_partition_and_budget(ledger):
     """Mixture docs partition stage-3 kept; realized tokens stay within
     one epoch-cap replication of the input and within n_domains max doc
     lengths of the exact budget (docs_unimax_sample's pin, summed)."""
-    sel_d, sel_t = ledger[4].get("selected", (0, 0))
-    uns_d, _ = ledger[4].get("unselected", (0, 0))
-    kept_d, kept_t = ledger[3]["kept"]
+    sel_d, sel_t = ledger[5].get("selected", (0, 0))
+    uns_d, _ = ledger[5].get("unselected", (0, 0))
+    kept_d, kept_t = ledger[4]["kept"]
     assert sel_d + uns_d == kept_d
     # budget = total DIV 2; realized stream lands at or below it
     assert sel_t <= kept_t // 2
@@ -88,9 +92,9 @@ def test_mixture_docs_partition_and_budget(ledger):
 
 
 def test_pack_conserves_realized_stream(ledger):
-    n_seq, packed = ledger[5]["sequences"]
-    _, padding = ledger[5]["tail_padding"]
-    sel_t = ledger[4].get("selected", (0, 0))[1]
+    n_seq, packed = ledger[6]["sequences"]
+    _, padding = ledger[6]["tail_padding"]
+    sel_t = ledger[5].get("selected", (0, 0))[1]
     assert packed == sel_t
     assert n_seq == (packed + 127) // 128
     assert n_seq * 128 == packed + padding
@@ -112,7 +116,7 @@ def test_ledger_plan_reads_only_checkpoints(spark):
 
 def test_stream_curation_matches_batch(spark, ledger):
     """Twin pin: summing the streaming funnel's per-batch ledgers over
-    batches reproduces the batch funnel's stage 0-3 rows EXACTLY —
+    batches reproduces the batch funnel's stage 0-4 rows EXACTLY —
     possible because every gate verdict is a pure function of
     (doc, frozen dims), independent of batch placement."""
     stream_rows = CATALOG["stream_curation_e2e"].fn(spark, SF).collect()
@@ -126,7 +130,7 @@ def test_stream_curation_matches_batch(spark, ledger):
     batch_side = {
         (ix, reason): v
         for ix, stage in ledger.items()
-        if ix <= 3
+        if ix <= 4
         for reason, v in stage.items()
         if (ix, reason) != (0, "benchmark_holdout")
     }

@@ -152,6 +152,10 @@ def test_twin_registry_integrity():
         "stream_ref_perplexity",
         # r10b: stateful streaming CUSUM with a full value oracle
         "stream_cusum_drift",
+        # r11: clone-collapse serving twin for the edit-distance anchor
+        "dedup_edit_distance_canonical",
+        # r11: curation funnel gate stages served at ingest (frozen dims)
+        "stream_curation_e2e",
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():
