@@ -282,13 +282,17 @@ def _ledger_row(frame: DataFrame, stage_ix: int, stage: str, reason) -> DataFram
 def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation DAG in one entry, emitting the per-stage funnel
     ledger (stage_ix, stage, reason, n_docs, n_tokens): heuristic filter
-    chain → containment near-dedup (canonical keep-superset) → 8-gram
+    chain → exact dedup (byte-identical collapse, keep min id) →
+    containment near-dedup (canonical keep-superset) → 8-gram
     benchmark decontamination → UniMax mixture (alloc + apply) → packed-
     sequence stats.  Every stage reuses the exact operator the standalone
     catalog entry oracles (PL.filter_chain + quality_rule_set,
     DD.shingle_overlap_pairs, PL.decontaminate, breadth10b's
     _unimax_alloc/_unimax_select), so the composition cannot drift from
-    the pieces.
+    the pieces.  The exact-dedup stage is load-bearing at scale: without
+    it the containment candidate join is quadratic in clone multiplicity
+    on BOTH engines (the sf1 soak corpus killed the first draft's oracle
+    with >70 GB of spill — see the stage table above).
 
     Scale posture: the raw corpus is scanned twice (train backbone,
     benchmark slice); each inter-stage survivor frame is persisted —
