@@ -20,20 +20,26 @@ and against the real ``HashingTF.indexOf`` in
 
 * :func:`murmur3_py` — pure-Python reference implementation;
 * :func:`with_murmur3` / :func:`with_hashingtf_index` — native Spark
-  SQL expressions (whole-stage-codegen friendly, no Python UDF);
-* :func:`hashingtf_index_duckdb_items` — the SAME generated program
-  rendered in DuckDB's dialect, so hashed-feature queries are
+  SQL expressions (no Python UDF), rendered as a data-dependent
+  ``aggregate()``/``transform()`` higher-order program since r11 (see
+  the Spark-surface section comment: the unrolled form's ~255 KB
+  codegen unit cost ~3 s of Janino compile per query and evaluated all
+  8 word rounds for every token);
+* :func:`hashingtf_index_duckdb_items` — the unrolled word-round
+  program rendered in DuckDB's dialect, so hashed-feature queries are
   DuckDB-oracle-checkable.
 
-Both SQL renderings are emitted from ONE generator
-(:func:`_murmur3_program`) parameterized by a dialect, so they cannot
-drift apart.  The hash rounds are unrolled over 4-byte words up to a
-fixed ``max_bytes`` (the natural-language-token case); terms longer
-than the cap FAIL LOUDLY on the Spark side via ``assert_true`` — never
-silent truncation.  Every round writes a NAMED intermediate (lateral
-column aliases), keeping the expression tree linear — a naive nested
-column expression duplicates operands per rotate/multiply and grows
-exponentially (~50M nodes at 32 bytes; it OOMed a 1 GiB driver).
+The two renderings share the same overflow-free non-negative-BIGINT
+arithmetic (16-bit-split multiplies, div-based shifts) and differ only
+in loop structure; value agreement is pinned three ways — murmur3_py
+property tests, real ``HashingTF.indexOf`` parity, and the driver's
+DuckDB oracle compare on every hashed-features entry.  Terms longer
+than ``max_bytes`` FAIL LOUDLY on the Spark side via ``assert_true`` —
+never silent truncation.  The DuckDB rendering writes a NAMED
+intermediate per step (nested subqueries), keeping the expression tree
+linear — a naive nested column expression duplicates operands per
+rotate/multiply and grows exponentially (~50M nodes at 32 bytes; it
+OOMed a 1 GiB driver).
 
 All arithmetic stays in non-negative BIGINT space: 32-bit multiplies
 split into 16-bit halves so no intermediate exceeds 2^49 — overflow-free
