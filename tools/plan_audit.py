@@ -58,11 +58,32 @@ AUDIT = {
         "persisted share frame (InMemoryTableScan), not the raw scan."
     ),
     "docs_hashed_features": (
-        "The 60-step murmur3 projection is pure column expressions inside "
-        "one codegen stage (no Python eval of any kind, no join anywhere); "
-        "the only wide op is the partial-agg exchange with <= num_features "
-        "reduce groups, so the shuffle is constant-size regardless of "
-        "corpus scale."
+        "The murmur3 hash is a short higher-order-function projection "
+        "(aggregate() folds the word mix data-dependently - short tokens "
+        "run fewer rounds; r11 rewrite of the 100-step unrolled chain "
+        "whose 255 KB codegen unit cost ~3 s of Janino compile per "
+        "query); no Python eval of any kind, no join anywhere; the only "
+        "wide op is the partial-agg exchange with <= num_features reduce "
+        "groups, so the shuffle is constant-size regardless of corpus "
+        "scale."
+    ),
+    "dedup_edit_distance_canonical": (
+        "ONE text-keyed hash aggregate collapses exact clones before any "
+        "pair work (clique of m docs -> m group rows, never m^2 "
+        "comparisons); representative candidates come only from the "
+        "prefix-block equi-join with the banded levenshtein(threshold) "
+        "verify; the per-doc argmin is a partial min(struct) aggregate, "
+        "and every post-collapse join keys on integer group ids - text "
+        "shuffles exactly once."
+    ),
+    "docs_curation_e2e": (
+        "Every stage boundary is a localCheckpoint, so the ledger's "
+        "union branches read checkpointed stage outputs (scan leaves "
+        "are ExistingRDDs - ZERO parquet re-scans in the final plan, "
+        "pinned in tests/test_round11.py); the exact-dedup stage is one "
+        "linear text-keyed hash aggregate; containment candidates come "
+        "only from the df-capped cold-shingle equi-join; the benchmark "
+        "gram set broadcasts; UniMax windows run on the domain dim."
     ),
     "dedup_edit_distance": (
         "Candidates come ONLY from the prefix-block equi-join (no "
