@@ -157,3 +157,21 @@ def test_null_terms_hash_to_null_on_both_engines(spark):
     got = dict(con.execute(f"select term, h from {sub} q").fetchall())
     assert got["abc"] == H.murmur3_py(b"abc")
     assert got[None] is None
+
+
+def test_hash_plan_stays_compact(spark):
+    """Regression pin for the r11 HOF rewrite: the Spark murmur3 program
+    must stay a SHORT step list (the unrolled form emitted ~100 lateral
+    aliases -> a ~255 KB whole-stage-codegen unit costing ~3 s of Janino
+    compile per query).  Step count is the structural invariant: each
+    step becomes one nested Project level, and the generated code size
+    scales with it."""
+    steps, _final = H._murmur3_hof_steps("term", "__m3_t", 32)
+    assert len(steps) < 20, len(steps)
+    # and the plan built from it carries the same bound of Projects
+    df = spark.createDataFrame([("hello",), ("worlds",)], "term string")
+    plan = (
+        H.with_murmur3(df, "term", "h")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Project") < 25, plan.count("Project")
