@@ -823,8 +823,14 @@ def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1b = jb.filter(F.col("reason") == "kept").drop("reason")
 
         # stage 2: exact dedup vs the frozen text -> keeper map
-        j2xb = s1b.join(keepers, "text")
-        s1xb = j2xb.filter(F.col("doc_id") == F.col("_keeper")).drop("_keeper")
+        # LEFT join: a text absent from the frozen map is genuinely novel
+        # — no known duplicate, so it is KEPT (on the replay fixture every
+        # batch text is in the map, so this arm never fires and the twin
+        # pin stays exact; the left join is the production semantics)
+        j2xb = s1b.join(keepers, "text", "left")
+        s1xb = j2xb.filter(
+            F.col("_keeper").isNull() | (F.col("doc_id") == F.col("_keeper"))
+        ).drop("_keeper")
 
         # stage 3: probe the frozen index with batch-side shingles
         bsh = _shingles_of(s1xb)
@@ -900,9 +906,11 @@ def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2x = _ledger(
             j2xb.withColumn(
                 "reason",
-                F.when(F.col("doc_id") == F.col("_keeper"), "kept").otherwise(
-                    "exact_dup"
-                ),
+                F.when(
+                    F.col("_keeper").isNull()
+                    | (F.col("doc_id") == F.col("_keeper")),
+                    "kept",
+                ).otherwise("exact_dup"),
             ),
             2,
             "exact_dedup",
