@@ -248,16 +248,16 @@ grid AS (
 agg AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
          COUNT(*) AS n,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*), 6)
-           AS avg_val
+         CAST((2 * CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT)
+               * 10000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS avg_u
   FROM events GROUP BY event_type, h
 )
 SELECT g.event_type, CAST(g.h AS STRING) AS hour,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
-       last_value(a.avg_val IGNORE NULLS) OVER (
+       last_value(a.avg_u IGNORE NULLS) OVER (
          PARTITION BY g.event_type ORDER BY g.h
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS locf_avg_value
+       ) AS locf_avg_value_u
 FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.h = g.h
 ORDER BY g.event_type, hour
 """,
@@ -288,15 +288,20 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.col("_h0"), F.col("_h1"), F.expr("INTERVAL 1 HOUR"))
         ).alias("_h"),
     )
+    # hourly mean in half-up integer MICRO-UNITS: ROUND(double_mean, 6)
+    # diverged at sf1 the way the verify notes predict — a mean over a
+    # 2^k·5 count lands exactly on the 7th-decimal 5 and Spark HALF_UP
+    # disagrees with DuckDB half-even (soak r11: 43.472812 vs .472813).
+    # (2·cents·10⁴ + n) DIV (2n) is exact integer arithmetic on both
+    # engines at any scale.
     agg = ev.groupBy(
         F.col("event_type").alias("_at"), F.date_trunc("hour", "ts").alias("_ah")
     ).agg(
         F.count(F.lit(1)).alias("_n"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("_avg_val"),
+        F.expr(
+            "CAST((2 * CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT)"
+            " * 10000 + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("_avg_u"),
     )
     locf = (
         Window.partitionBy("event_type")
@@ -313,7 +318,7 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("_h").cast("string").alias("hour"),
             F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
-            F.last("_avg_val", ignorenulls=True).over(locf).alias("locf_avg_value"),
+            F.last("_avg_u", ignorenulls=True).over(locf).alias("locf_avg_value_u"),
         )
         .orderBy("event_type", "hour")
     )

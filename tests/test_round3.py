@@ -128,7 +128,7 @@ def test_gap_fill_dense_grid_and_locf(spark):
         prev = None
         for r in seq:
             if r.n_events == 0 and prev is not None:
-                assert r.locf_avg_value == prev.locf_avg_value
+                assert r.locf_avg_value_u == prev.locf_avg_value_u
             prev = r
 
 
