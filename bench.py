@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "media_phash_dedup",
     "media_phash_near_pairs",
     # r11 additions
+    "docs_decontaminate_fuzzy",
     "docs_curation_e2e",
     "stream_curation_e2e",
     "dedup_edit_distance_canonical",

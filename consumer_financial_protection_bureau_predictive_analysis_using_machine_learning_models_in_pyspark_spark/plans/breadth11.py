@@ -949,3 +949,165 @@ def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_batch_id", "stage_ix", "stage", "reason", "n_docs", "n_tokens")
         .orderBy("_batch_id", "stage_ix", "reason")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy benchmark decontamination (r11 second wave): the MinHash/LSH
+# companion to exact word-8-gram overlap (docs_decontaminate) — catches
+# PARAPHRASED/lightly-edited benchmark leaks whose exact n-grams differ
+# but whose shingle sets stay near-identical (the GSM8K-style fuzzy
+# decontamination convention).
+# ---------------------------------------------------------------------------
+
+from .text_queries import _D_HASH, _PERM_VALUES  # noqa: E402
+from ..functions.textfns import HASH_P as _P  # noqa: E402
+
+_FD_MIN_U = 500_000  # jaccard >= 0.5 in half-up micro-units
+
+# corpus = train split ∪ a synthetic leaked slice (benchmark docs with two
+# appended tokens, re-keyed +6,000,000 — near-identical but not exact, so
+# the exact 8-gram entry's suffix grams miss part of them while the
+# shingle-set jaccard stays ~0.9); benchmark = the held-out %25 slice.
+_FD_CORPUS_CTE = """
+SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0
+UNION ALL
+SELECT doc_id + 6000000 AS doc_id, text || ' zq yw' AS text
+FROM documents WHERE doc_id % 50 = 0
+""".strip()
+
+
+@register(
+    "docs_decontaminate_fuzzy",
+    f"""
+WITH corpus_raw AS ({_FD_CORPUS_CTE}),
+bench_raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+allsh AS (
+  SELECT side, doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))) AS s
+  FROM (
+    SELECT 'c' AS side, doc_id,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+    FROM corpus_raw
+    UNION ALL
+    SELECT 'b', doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+    FROM bench_raw
+  ) WHERE len(toks) >= 3
+),
+hashed AS (
+  SELECT side, doc_id, {_D_HASH.format(x='s')} AS h FROM allsh
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+sigs AS (
+  SELECT side, doc_id, i, MIN((a * h + b) % {_P}) AS mh
+  FROM hashed CROSS JOIN perms GROUP BY side, doc_id, i
+),
+bands AS (
+  SELECT side, doc_id, i // {DD.BAND_ROWS} AS band,
+         string_agg(CAST(mh AS STRING), ',' ORDER BY i) AS key
+  FROM sigs GROUP BY side, doc_id, i // {DD.BAND_ROWS}
+),
+cands AS (
+  SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+  FROM bands c JOIN bands b
+    ON c.side = 'c' AND b.side = 'b' AND c.band = b.band AND c.key = b.key
+),
+sizes AS (
+  SELECT side, doc_id, COUNT(DISTINCT h) AS n FROM hashed GROUP BY side, doc_id
+),
+inter AS (
+  SELECT c.cid, c.bid, COUNT(*) AS ni
+  FROM cands c
+  JOIN (SELECT DISTINCT doc_id, h FROM hashed WHERE side = 'c') hc
+    ON hc.doc_id = c.cid
+  JOIN (SELECT DISTINCT doc_id, h FROM hashed WHERE side = 'b') hb
+    ON hb.doc_id = c.bid AND hb.h = hc.h
+  GROUP BY c.cid, c.bid
+),
+scored AS (
+  SELECT c.cid, c.bid,
+         CAST((2000000 * COALESCE(i.ni, 0) + (sa.n + sb.n - COALESCE(i.ni, 0)))
+              // (2 * (sa.n + sb.n - COALESCE(i.ni, 0))) AS BIGINT) AS jacc_u
+  FROM cands c
+  LEFT JOIN inter i ON i.cid = c.cid AND i.bid = c.bid
+  JOIN sizes sa ON sa.side = 'c' AND sa.doc_id = c.cid
+  JOIN sizes sb ON sb.side = 'b' AND sb.doc_id = c.bid
+),
+flagged AS (SELECT * FROM scored WHERE jacc_u >= {_FD_MIN_U})
+SELECT cid AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+       MIN(struct_pack(d := -jacc_u, b := bid)).b AS best_bench_id,
+       CAST(-MIN(struct_pack(d := -jacc_u, b := bid)).d AS BIGINT)
+         AS best_jaccard_u
+FROM flagged GROUP BY cid ORDER BY doc_id
+""",
+    "pipeline", "decontamination", "minhash", "lsh", "fuzzy",
+)
+def docs_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/benchmark decontamination: MinHash-LSH banding between
+    the corpus and the held-out benchmark slice, exact shingle-Jaccard
+    verify at ≥ 0.5 (half-up integer micro-units — the gap-fill soak
+    lesson applied preemptively: no ROUND(double) on an oracled ratio),
+    one row per flagged corpus doc with its hit count and best-matching
+    benchmark doc.  Fixture adds a leaked slice (benchmark docs + two
+    appended tokens, re-keyed) whose exact-8-gram twin coverage is
+    partial by construction — the paraphrase case this operator exists
+    for.
+
+    Scale posture: candidates come ONLY from the (band, key) equi-join —
+    the benchmark side is eval-suite-small by definition, so its banded
+    keys broadcast and the 100 TB corpus side never self-joins; the
+    verify touches candidate pairs only (bipartite
+    ``jaccard_on_pairs_lr`` join shape)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    leaked = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zq yw")).alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 25 != 0).unionByName(leaked)
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    hc = DD.shingle_hashes(corpus)
+    hb = DD.shingle_hashes(bench)
+    bc = DD.minhash_band_keys(hc)
+    bb = DD.minhash_band_keys(hb)
+    cands = (
+        bc.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        .join(
+            F.broadcast(bb.select(F.col("doc_id").alias("doc_b"), "band", "key")),
+            ["band", "key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = hc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    sb = hb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        cands.join(hc.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(hb.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    scored = (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"ni": 0})
+        .join(sa.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sb.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumn(
+            "jacc_u",
+            F.expr(
+                "CAST((2000000 * ni + (n_a + n_b - ni))"
+                " DIV (2 * (n_a + n_b - ni)) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("jacc_u") >= _FD_MIN_U)
+    )
+    best = scored.groupBy("doc_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_hits"),
+        F.min(F.struct((-F.col("jacc_u")).alias("d"), F.col("doc_b").alias("b"))).alias("_m"),
+    )
+    return best.select(
+        F.col("doc_a").alias("doc_id"),
+        "n_bench_hits",
+        F.col("_m.b").alias("best_bench_id"),
+        (-F.col("_m.d")).cast("bigint").alias("best_jaccard_u"),
+    ).orderBy("doc_id")

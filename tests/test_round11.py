@@ -284,3 +284,31 @@ def test_near_dedup_keeps_canonical_superset(spark):
         .collect()
     )
     assert dropped == [2, 4]
+
+
+def test_fuzzy_decontaminate_leaked_slice(spark):
+    """The synthetic leaked slice (benchmark docs + two appended tokens,
+    re-keyed +6e6) must be caught: >= 80% flagged (LSH banding at
+    jaccard ~0.9 has a small per-doc miss probability — 9/10 and 10/10
+    measured at sf0.001/sf0.01) and every flagged leak's best match is
+    its SOURCE benchmark doc; jaccard_u values sit in (500000, 1000000)
+    — near-identical but never exact."""
+    from pyspark.sql import functions as F
+
+    out = {
+        r.doc_id: r
+        for r in CATALOG["docs_decontaminate_fuzzy"].fn(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    leaked = [
+        r.doc_id + 6_000_000
+        for r in docs.filter("doc_id % 50 = 0").select("doc_id").collect()
+    ]
+    flagged = [i for i in leaked if i in out]
+    assert len(flagged) >= 0.8 * len(leaked), (len(flagged), len(leaked))
+    for i in flagged:
+        assert out[i].best_bench_id == i - 6_000_000, out[i]
+        assert 500_000 < out[i].best_jaccard_u < 1_000_000, out[i]
+    # and the exact-8-gram entry's complementarity: at least one leaked
+    # doc is caught here (its appended suffix changes the tail grams)
+    assert flagged
