@@ -46,6 +46,7 @@ _PRIORITY = [
     "ann_ivf_rebuild_policy",  # never checked — first driver row
     "stream_curation_e2e",  # never checked — first driver row
     "docs_decontaminate_fuzzy",  # never checked — first driver row
+    "docs_padded_batches",  # never checked — first driver row
     "lineitem_skipping_stats",  # newest driver row r5
     "docs_bigram_pmi",  # newest driver row r5
     "supplier_copurchase_pagerank",  # newest driver row r5
@@ -90,8 +91,8 @@ _PRIORITY = [
     "part_association_rules",  # newest driver row r6
     "supplier_strong_components",  # newest driver row r6
     "part_similar_items",  # newest driver row r6
-    "star_constraint_audit",  # newest driver row r6
     # ---- window boundary (50): overflow is staleness-ordered ----
+    "star_constraint_audit",  # newest driver row r6
     "orders_snapshot_diff",  # newest driver row r6
     "lineitem_numeric_corr",  # newest driver row r6
     "orders_price_psi",  # newest driver row r6

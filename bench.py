@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "media_phash_near_pairs",
     # r11 additions
     "docs_decontaminate_fuzzy",
+    "docs_padded_batches",
     "docs_curation_e2e",
     "stream_curation_e2e",
     "dedup_edit_distance_canonical",

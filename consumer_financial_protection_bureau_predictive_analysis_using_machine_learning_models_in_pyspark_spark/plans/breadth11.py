@@ -16,7 +16,7 @@ domain this engine serves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns as TF
@@ -1111,3 +1111,109 @@ def docs_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_m.b").alias("best_bench_id"),
         (-F.col("_m.d")).cast("bigint").alias("best_jaccard_u"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed padded batches (r11 second wave): the finetuning-side
+# counterpart to concat-packing (docs_pack_sequences).  Seq2seq/SFT
+# loaders pad every example in a batch to the batch max; bucketing by
+# length bounds the waste.  Batches form inside (bucket, shard) cells —
+# the shard (first md5 hex char) is the window-salting pattern: a plain
+# per-bucket window would collapse a 100 TB sort onto 4 reduce tasks.
+# ---------------------------------------------------------------------------
+
+_PB_BUCKETS = (16, 32, 64, 128)  # token-length band caps; docs cap at 128
+_PB_BATCH = 8                    # examples per padded batch
+
+
+@register(
+    "docs_padded_batches",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         LEAST(CAST(len({_D_TOKS}) AS BIGINT), 128) AS nt,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+),
+b AS (
+  SELECT doc_id, nt, shard, rk,
+         CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+              WHEN nt <= 64 THEN 64 ELSE 128 END AS bucket
+  FROM d
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                               ORDER BY rk, doc_id) AS rn
+  FROM b
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, shard,
+       CAST((rn - 1) // {_PB_BATCH} AS BIGINT) AS batch_ix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(nt) AS BIGINT) AS batch_max_len,
+       CAST(SUM(nt) AS BIGINT) AS real_tokens,
+       CAST(MAX(nt) * COUNT(*) AS BIGINT) AS padded_tokens,
+       CAST((2000000 * (MAX(nt) * COUNT(*) - SUM(nt)) + MAX(nt) * COUNT(*))
+            // (2 * MAX(nt) * COUNT(*)) AS BIGINT) AS pad_waste_u
+FROM r
+GROUP BY bucket, shard, (rn - 1) // {_PB_BATCH}
+ORDER BY bucket, shard, batch_ix
+""",
+    "pipeline", "batching", "padding", "length-bucketing", "training-loader",
+)
+def docs_padded_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed padded-batch assembly: docs land in power-of-two
+    token-length bands (16/32/64/128, capped), order deterministically by
+    md5 hash rank inside each (bucket, shard) cell, and group into
+    batches of {_PB_BATCH}; each batch row reports its real vs padded
+    token counts and the padding-waste ratio in half-up micro-units.
+
+    Scale posture: ONE projection computes length/bucket/shard/rank from
+    the scan; the only wide op is the (bucket, shard)-partitioned window
+    — the 16-way md5 shard is load-bearing: without it the window sorts
+    each of the 4 buckets on a single reduce task at any corpus size
+    (the salting-for-windows pattern).  Batch identity (bucket, shard,
+    batch_ix) is a pure function of the data — engine- and
+    partitioning-independent, like docs_epoch_shuffle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.least(F.size(TF.tokens("text")).cast("bigint"), F.lit(128)).alias("nt"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("nt") <= 16, 16)
+        .when(F.col("nt") <= 32, 32)
+        .when(F.col("nt") <= 64, 64)
+        .otherwise(128),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("rk", "doc_id")
+    r = d.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy(
+            "bucket", "shard", F.expr(f"(rn - 1) DIV {_PB_BATCH}").alias("batch_ix")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("nt").cast("bigint").alias("batch_max_len"),
+            F.sum("nt").cast("bigint").alias("real_tokens"),
+            (F.max("nt") * F.count(F.lit(1))).cast("bigint").alias("padded_tokens"),
+            F.expr(
+                f"CAST((2000000 * (MAX(nt) * COUNT(*) - SUM(nt))"
+                f" + MAX(nt) * COUNT(*)) DIV (2 * MAX(nt) * COUNT(*)) AS BIGINT)"
+            ).alias("pad_waste_u"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "shard",
+            F.col("batch_ix").cast("bigint").alias("batch_ix"),
+            "n_docs",
+            "batch_max_len",
+            "real_tokens",
+            "padded_tokens",
+            "pad_waste_u",
+        )
+        .orderBy("bucket", "shard", "batch_ix")
+    )

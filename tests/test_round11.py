@@ -312,3 +312,29 @@ def test_fuzzy_decontaminate_leaked_slice(spark):
     # and the exact-8-gram entry's complementarity: at least one leaked
     # doc is caught here (its appended suffix changes the tail grams)
     assert flagged
+
+
+def test_padded_batches_invariants(spark):
+    """Every doc lands in exactly one batch; batches hold <= 8 docs with
+    only the LAST batch of a (bucket, shard) cell partial; batch max
+    respects the bucket cap; the padding identity holds exactly."""
+    rows = CATALOG["docs_padded_batches"].fn(spark, SF).collect()
+    n_docs_total = sum(r.n_docs for r in rows)
+    corpus_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert n_docs_total == corpus_n
+    by_cell: dict[tuple, list] = {}
+    for r in rows:
+        assert 1 <= r.n_docs <= 8
+        assert r.batch_max_len <= r.bucket
+        assert r.padded_tokens == r.batch_max_len * r.n_docs
+        assert r.real_tokens <= r.padded_tokens
+        waste = r.padded_tokens - r.real_tokens
+        assert r.pad_waste_u == (2_000_000 * waste + r.padded_tokens) // (
+            2 * r.padded_tokens
+        )
+        by_cell.setdefault((r.bucket, r.shard), []).append(r)
+    for cell, batches in by_cell.items():
+        batches.sort(key=lambda r: r.batch_ix)
+        assert [r.batch_ix for r in batches] == list(range(len(batches)))
+        for r in batches[:-1]:
+            assert r.n_docs == 8, (cell, r)  # only the tail batch is partial
