@@ -549,6 +549,12 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
         " (inherits docs_unimax_sample)"
     ),
     "ann_range_search": "probe set literal-bounded",
+    "docs_decontaminate_fuzzy": (
+        "benchmark-side banded keys: the benchmark is an eval suite —"
+        " KBs-MBs by definition (here the %25 fixture slice); 4 band"
+        " rows per benchmark doc, so the broadcast is benchmark-bounded"
+        " and the 100 TB corpus side never self-joins"
+    ),
     "ann_recall_eval": "probe set literal-bounded (both arms share it)",
     "ann_hard_negatives": "probe set literal-bounded (vec_id < 10)",
     "ann_ivf_nprobe_sweep": (
