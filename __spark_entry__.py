@@ -41,57 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/gen_priority.py
 # and tests/test_priority_window.py pins committed == generated.
 _PRIORITY = [
-    "docs_curation_e2e",  # never checked — first driver row
-    "dedup_edit_distance_canonical",  # never checked — first driver row
-    "ann_ivf_rebuild_policy",  # never checked — first driver row
-    "stream_curation_e2e",  # never checked — first driver row
-    "docs_decontaminate_fuzzy",  # never checked — first driver row
-    "docs_padded_batches",  # never checked — first driver row
-    "lineitem_skipping_stats",  # newest driver row r5
-    "docs_bigram_pmi",  # newest driver row r5
-    "supplier_copurchase_pagerank",  # newest driver row r5
-    "q1_pricing_summary",  # newest driver row r6
-    "complaints_clean",  # newest driver row r6
-    "complaints_flagship",  # newest driver row r6
-    "q18_large_volume_customers",  # newest driver row r6
-    "events_multires_rollup",  # newest driver row r6
-    "dedup_minhash_lsh",  # newest driver row r6
-    "docs_repetition_stats",  # newest driver row r6
-    "docs_pii_redact",  # newest driver row r6
-    "dedup_minhash_fast",  # newest driver row r6
-    "dedup_components_star",  # newest driver row r6
-    "ann_int8_rerank_topk",  # newest driver row r6
-    "docs_bpe_encode",  # newest driver row r6
-    "ml_lda_topics",  # newest driver row r6
-    "ml_timely_lr_lift",  # newest driver row r6
-    "ml_timely_lr_lift_approx",  # newest driver row r6
-    "media_meta_stats",  # newest driver row r6
-    "media_decode_features",  # newest driver row r6
-    "stream_windowed_counts",  # newest driver row r6
-    "stream_quality_gate",  # newest driver row r6
-    "orc_roundtrip_part",  # newest driver row r6
-    "orders_merge_upsert",  # newest driver row r6
-    "events_compact_latest",  # newest driver row r6
-    "q14_promo_effect",  # newest driver row r6
-    "q19_disjunctive_revenue",  # newest driver row r6
-    "events_user_paths",  # newest driver row r6
-    "docs_shard_export",  # newest driver row r6
-    "events_purchase_attribution",  # newest driver row r6
-    "events_top_session_paths",  # newest driver row r6
-    "docs_unigram_logprob",  # newest driver row r6
-    "docs_weighted_topk_sample",  # newest driver row r6
-    "ann_semantic_canonical",  # newest driver row r6
-    "ann_semantic_dedup",  # newest driver row r6
-    "ann_semantic_dedup_incremental_lsh",  # newest driver row r6
-    "docs_vocab_coverage",  # newest driver row r6
-    "stream_mv_maintenance",  # newest driver row r6
-    "docs_training_export",  # newest driver row r6
-    "lineitem_zorder_export",  # newest driver row r6
-    "part_copurchase_triangles",  # newest driver row r6
-    "part_association_rules",  # newest driver row r6
-    "supplier_strong_components",  # newest driver row r6
-    "part_similar_items",  # newest driver row r6
-    # ---- window boundary (50): overflow is staleness-ordered ----
+    "docs_curation_restartable",  # never checked — first driver row
+    "docs_decontaminate_fuzzy_prebuilt",  # never checked — first driver row
+    "stream_decontaminate_fuzzy",  # never checked — first driver row
+    "docs_padded_batch_manifest",  # never checked — first driver row
     "star_constraint_audit",  # newest driver row r6
     "orders_snapshot_diff",  # newest driver row r6
     "lineitem_numeric_corr",  # newest driver row r6
@@ -138,6 +91,7 @@ _PRIORITY = [
     "dedup_canonical_best",  # newest driver row r7
     "stream_join_mv",  # newest driver row r7
     "docs_pack_sequences",  # newest driver row r7
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "docs_domain_reweight",  # newest driver row r7
     "ann_pq_adc_topk",  # newest driver row r7
     "docs_reweighted_sample",  # newest driver row r7
@@ -298,6 +252,56 @@ _PRIORITY = [
     "events_forecast_snaive",  # newest driver row r10
     "stream_cusum_drift",  # newest driver row r10
     "docs_mix_drift_kl",  # newest driver row r10
+    "q1_pricing_summary",  # newest driver row r11
+    "complaints_clean",  # newest driver row r11
+    "complaints_flagship",  # newest driver row r11
+    "q18_large_volume_customers",  # newest driver row r11
+    "events_multires_rollup",  # newest driver row r11
+    "dedup_minhash_lsh",  # newest driver row r11
+    "docs_repetition_stats",  # newest driver row r11
+    "docs_pii_redact",  # newest driver row r11
+    "dedup_minhash_fast",  # newest driver row r11
+    "dedup_components_star",  # newest driver row r11
+    "ann_int8_rerank_topk",  # newest driver row r11
+    "docs_bpe_encode",  # newest driver row r11
+    "ml_lda_topics",  # newest driver row r11
+    "ml_timely_lr_lift",  # newest driver row r11
+    "ml_timely_lr_lift_approx",  # newest driver row r11
+    "media_meta_stats",  # newest driver row r11
+    "media_decode_features",  # newest driver row r11
+    "stream_windowed_counts",  # newest driver row r11
+    "stream_quality_gate",  # newest driver row r11
+    "orc_roundtrip_part",  # newest driver row r11
+    "orders_merge_upsert",  # newest driver row r11
+    "events_compact_latest",  # newest driver row r11
+    "q14_promo_effect",  # newest driver row r11
+    "q19_disjunctive_revenue",  # newest driver row r11
+    "events_user_paths",  # newest driver row r11
+    "docs_shard_export",  # newest driver row r11
+    "events_purchase_attribution",  # newest driver row r11
+    "events_top_session_paths",  # newest driver row r11
+    "docs_unigram_logprob",  # newest driver row r11
+    "docs_weighted_topk_sample",  # newest driver row r11
+    "ann_semantic_canonical",  # newest driver row r11
+    "ann_semantic_dedup",  # newest driver row r11
+    "ann_semantic_dedup_incremental_lsh",  # newest driver row r11
+    "lineitem_skipping_stats",  # newest driver row r11
+    "docs_bigram_pmi",  # newest driver row r11
+    "docs_vocab_coverage",  # newest driver row r11
+    "stream_mv_maintenance",  # newest driver row r11
+    "docs_training_export",  # newest driver row r11
+    "lineitem_zorder_export",  # newest driver row r11
+    "docs_curation_e2e",  # newest driver row r11
+    "dedup_edit_distance_canonical",  # newest driver row r11
+    "ann_ivf_rebuild_policy",  # newest driver row r11
+    "stream_curation_e2e",  # newest driver row r11
+    "docs_decontaminate_fuzzy",  # newest driver row r11
+    "docs_padded_batches",  # newest driver row r11
+    "supplier_copurchase_pagerank",  # newest driver row r11
+    "part_copurchase_triangles",  # newest driver row r11
+    "part_association_rules",  # newest driver row r11
+    "supplier_strong_components",  # newest driver row r11
+    "part_similar_items",  # newest driver row r11
 ]
 
 

@@ -191,6 +191,11 @@ BENCH_QUERIES = [
     "stream_curation_e2e",
     "dedup_edit_distance_canonical",
     "ann_ivf_rebuild_policy",
+    # r12 additions
+    "docs_curation_restartable",
+    "docs_decontaminate_fuzzy_prebuilt",
+    "stream_decontaminate_fuzzy",
+    "docs_padded_batch_manifest",
     # r8 coverage sweep (VERDICT r7 item 3): every remaining catalog
     # entry is benched unless it appears in BENCH_EXCLUDED with a reason.
     # -- reference-parity complaints pipeline

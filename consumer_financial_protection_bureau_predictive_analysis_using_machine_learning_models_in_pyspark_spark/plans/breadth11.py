@@ -311,36 +311,56 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     replication + budget truncation); the docs split selected/unselected
     does partition stage-3 survivors (pinned).
     """
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", "lang", "source", "text",
-        F.size(TF.tokens("text")).cast("bigint").alias("nt"),
-    )
-    train = base.filter(F.col("doc_id") % 25 != 0)
     # Inter-stage materialization: localCheckpoint (not persist) — it
     # TRUNCATES lineage, so every downstream stage and ledger branch
     # analyzes a leaf-rooted plan instead of the whole funnel prefix
     # (with persist the shared-DAG analysis cost dominated the run:
     # warm sf0.01 was SLOWER than sf0.1, 14 s vs 9 s fixed).  This is
     # the single-box analogue of the parquet checkpoint a 100 TB
-    # pipeline writes between stages.
-    bench = base.filter(F.col("doc_id") % 25 == 0).localCheckpoint()
+    # pipeline writes between stages — docs_curation_restartable
+    # (breadth12) runs the SAME stage functions with a parquet+manifest
+    # materializer and a resume path.
+    frames = curation_frames(
+        spark, sf_dir, materialize=lambda _name, df: df.localCheckpoint()
+    )
+    return curation_ledger(frames)
 
-    # stage 1 — quality filter chain (same rules docs_filter_chain oracles)
+
+# The funnel's stage functions, shared verbatim by docs_curation_e2e
+# (localCheckpoint materializer) and docs_curation_restartable
+# (parquet-artifact materializer with a stage manifest + resume path,
+# breadth12).  Each stage consumes only MATERIALIZED upstream frames, so
+# a resumed run that reads a stage boundary back from parquet feeds the
+# next stage bit-identical input.
+
+
+def _stage_bench(spark: SparkSession, sf_dir: str, frames: dict) -> DataFrame:
+    return _curation_base(spark, sf_dir).filter(F.col("doc_id") % 25 == 0)
+
+
+def _stage_quality(spark: SparkSession, sf_dir: str, frames: dict) -> DataFrame:
+    # quality filter chain (same rules docs_filter_chain oracles)
+    train = _curation_base(spark, sf_dir).filter(F.col("doc_id") % 25 != 0)
     flags = PL.filter_chain(train, quality_rule_set())
-    j1 = train.join(flags.select("doc_id", "reason"), "doc_id").localCheckpoint()
-    s1k = j1.filter(F.col("reason") == "kept").drop("reason")
+    return train.join(flags.select("doc_id", "reason"), "doc_id")
 
-    # stage 2 — exact dedup: byte-identical text collapse, keep min id.
-    # One linear text-keyed groupBy BEFORE any pair stage — under clone
-    # load (the sf1 soak corpus replicates every doc x10) the downstream
+
+def _stage_exact_dedup(spark: SparkSession, sf_dir: str, frames: dict) -> DataFrame:
+    # exact dedup: byte-identical text collapse, keep min id.  One linear
+    # text-keyed groupBy BEFORE any pair stage — under clone load (the
+    # sf1 soak corpus replicates every doc x10) the downstream
     # containment candidate join is quadratic in clone multiplicity on
     # both engines without this (the oracle spilled >70 GB at sf1).
+    s1k = frames["j1"].filter(F.col("reason") == "kept").drop("reason")
     keepers = s1k.groupBy("text").agg(F.min("doc_id").alias("_keeper"))
-    j1x = s1k.join(keepers, "text").localCheckpoint()
-    s1x = j1x.filter(F.col("doc_id") == F.col("_keeper")).drop("_keeper")
+    return s1k.join(keepers, "text")
 
-    # stage 3 — containment near-dedup over exact-distinct survivors
+
+def _stage_near_dedup(spark: SparkSession, sf_dir: str, frames: dict) -> DataFrame:
+    # containment near-dedup over exact-distinct survivors
+    s1x = (
+        frames["j1x"].filter(F.col("doc_id") == F.col("_keeper")).drop("_keeper")
+    )
     sh = _shingles_of(s1x)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = DD.shingle_overlap_pairs(sh, directional=True)
@@ -370,23 +390,67 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_ct_drop", F.lit(1))
     )
-    j2 = s1x.join(dropped, "doc_id", "left").localCheckpoint()
-    s2k = j2.filter(F.col("_ct_drop").isNull()).drop("_ct_drop")
+    return s1x.join(dropped, "doc_id", "left")
 
-    # stage 4 — 8-gram decontamination vs the held-out benchmark slice
+
+def _stage_decontaminate(spark: SparkSession, sf_dir: str, frames: dict) -> DataFrame:
+    # 8-gram decontamination vs the held-out benchmark slice
+    s2k = frames["j2"].filter(F.col("_ct_drop").isNull()).drop("_ct_drop")
     hits = (
-        PL.decontaminate(s2k, bench, n=8)
+        PL.decontaminate(s2k, frames["bench"], n=8)
         .select("doc_id")
         .withColumn("_contam", F.lit(1))
     )
-    j3 = s2k.join(hits, "doc_id", "left").localCheckpoint()
-    s3k = j3.filter(F.col("_contam").isNull()).drop("_contam")
+    return s2k.join(hits, "doc_id", "left")
 
-    # stage 5 — UniMax mixture over the surviving corpus
+
+def _stage_mixture(spark: SparkSession, sf_dir: str, frames: dict) -> DataFrame:
+    # UniMax mixture over the surviving corpus
+    s3k = frames["j3"].filter(F.col("_contam").isNull()).drop("_contam")
     alloc = _unimax_alloc(spark, sf_dir, docs=s3k)
-    sel = _unimax_select(alloc, s3k).localCheckpoint()
+    return _unimax_select(alloc, s3k)
 
-    # ledger
+
+# Ordered (name, fn) stage list — the unit of restartability.  Names are
+# the artifact/manifest keys; order is the resume prefix order.
+CURATION_STAGES: list = [
+    ("bench", _stage_bench),
+    ("j1", _stage_quality),
+    ("j1x", _stage_exact_dedup),
+    ("j2", _stage_near_dedup),
+    ("j3", _stage_decontaminate),
+    ("sel", _stage_mixture),
+]
+
+
+def _curation_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", "source", "text",
+        F.size(TF.tokens("text")).cast("bigint").alias("nt"),
+    )
+
+
+def curation_frames(spark: SparkSession, sf_dir: str, materialize) -> dict:
+    """Run the curation funnel's stages in order, materializing each
+    stage boundary through ``materialize(name, df) -> DataFrame`` (the
+    e2e entry passes localCheckpoint; the restartable runner writes a
+    parquet artifact + manifest entry and returns the read-back frame).
+    Returns the dict of materialized stage frames the ledger reads."""
+    frames: dict = {}
+    for name, fn in CURATION_STAGES:
+        frames[name] = materialize(name, fn(spark, sf_dir, frames))
+    return frames
+
+
+def curation_ledger(frames: dict) -> DataFrame:
+    """Assemble the per-stage funnel ledger from materialized stage
+    frames — every aggregate reads a checkpoint/artifact, never a
+    recomputed funnel prefix (plan-audited in tests/test_round11.py)."""
+    bench, j1, j1x, j2, j3, sel = (
+        frames["bench"], frames["j1"], frames["j1x"],
+        frames["j2"], frames["j3"], frames["sel"],
+    )
     def _agg(df: DataFrame, tok_col) -> DataFrame:
         return df.agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1059,17 +1123,49 @@ def docs_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys broadcast and the 100 TB corpus side never self-joins; the
     verify touches candidate pairs only (bipartite
     ``jaccard_on_pairs_lr`` join shape)."""
+    corpus = fd_corpus(spark, sf_dir)
+    bench = fd_bench(spark, sf_dir)
+    hc = DD.shingle_hashes(corpus)
+    bc = DD.minhash_band_keys(hc)
+    hb = DD.shingle_hashes(bench)
+    bb = DD.minhash_band_keys(hb)
+    return fuzzy_flagged(hc, bc, hb, bb).orderBy("doc_id")
+
+
+def fd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-decontamination corpus fixture: train split ∪ the
+    synthetic leaked slice (benchmark docs + two appended tokens,
+    re-keyed +6,000,000) — shared by the batch entry, the prebuilt-index
+    twin, and the streaming ingest twin (breadth12)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     leaked = docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 6_000_000).alias("doc_id"),
         F.concat("text", F.lit(" zq yw")).alias("text"),
     )
-    corpus = docs.filter(F.col("doc_id") % 25 != 0).unionByName(leaked)
-    bench = docs.filter(F.col("doc_id") % 25 == 0)
-    hc = DD.shingle_hashes(corpus)
-    hb = DD.shingle_hashes(bench)
-    bc = DD.minhash_band_keys(hc)
-    bb = DD.minhash_band_keys(hb)
+    return docs.filter(F.col("doc_id") % 25 != 0).unionByName(leaked)
+
+
+def fd_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The held-out benchmark slice the fuzzy family screens against."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 25 == 0)
+    )
+
+
+def fuzzy_flagged(
+    hc: DataFrame, bc: DataFrame, hb: DataFrame, bb: DataFrame
+) -> DataFrame:
+    """MinHash-LSH banding + exact shingle-Jaccard verify between a
+    corpus side (hashes ``hc``, band keys ``bc``) and a benchmark side
+    (``hb``/``bb``), one row per flagged corpus doc: (doc_id,
+    n_bench_hits, best_bench_id, best_jaccard_u).  The benchmark side is
+    eval-suite-small by definition, so its banded keys BROADCAST and the
+    corpus never self-joins; the verify touches candidate pairs only.
+    Shared verbatim by docs_decontaminate_fuzzy (inline index), the
+    prebuilt-index twin, and the streaming twin's per-batch probe
+    (breadth12) — the composition cannot drift from the anchor."""
     cands = (
         bc.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(
@@ -1110,7 +1206,7 @@ def docs_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bench_hits",
         F.col("_m.b").alias("best_bench_id"),
         (-F.col("_m.d")).cast("bigint").alias("best_jaccard_u"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1126,10 +1222,11 @@ _PB_BUCKETS = (16, 32, 64, 128)  # token-length band caps; docs cap at 128
 _PB_BATCH = 8                    # examples per padded batch
 
 
-@register(
-    "docs_padded_batches",
-    f"""
-WITH d AS (
+# The d/b/r CTE chain is shared with docs_padded_batch_manifest
+# (breadth12): one definition of length/bucket/shard/rank, two oracle
+# consumers — stats here, per-batch ordered doc-id lists there.
+_PB_CTES = f"""
+d AS (
   SELECT doc_id,
          LEAST(CAST(len({_D_TOKS}) AS BIGINT), 128) AS nt,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
@@ -1147,6 +1244,35 @@ r AS (
                                ORDER BY rk, doc_id) AS rn
   FROM b
 )
+""".strip()
+
+
+def padded_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranked frame behind the padded-batch family: (doc_id, nt,
+    shard, rk, bucket, rn) — ONE projection computing length/bucket/
+    shard/rank from the scan plus the (bucket, shard)-salted window.
+    Shared by docs_padded_batches and docs_padded_batch_manifest."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.least(F.size(TF.tokens("text")).cast("bigint"), F.lit(128)).alias("nt"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("nt") <= 16, 16)
+        .when(F.col("nt") <= 32, 32)
+        .when(F.col("nt") <= 64, 64)
+        .otherwise(128),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("rk", "doc_id")
+    return d.withColumn("rn", F.row_number().over(w))
+
+
+@register(
+    "docs_padded_batches",
+    f"""
+WITH {_PB_CTES}
 SELECT CAST(bucket AS INTEGER) AS bucket, shard,
        CAST((rn - 1) // {_PB_BATCH} AS BIGINT) AS batch_ix,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1176,21 +1302,7 @@ def docs_padded_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_ix) is a pure function of the data — engine- and
     partitioning-independent, like docs_epoch_shuffle.
     """
-    docs = _t(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.least(F.size(TF.tokens("text")).cast("bigint"), F.lit(128)).alias("nt"),
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
-        F.md5(F.col("doc_id").cast("string")).alias("rk"),
-    ).withColumn(
-        "bucket",
-        F.when(F.col("nt") <= 16, 16)
-        .when(F.col("nt") <= 32, 32)
-        .when(F.col("nt") <= 64, 64)
-        .otherwise(128),
-    )
-    w = Window.partitionBy("bucket", "shard").orderBy("rk", "doc_id")
-    r = d.withColumn("rn", F.row_number().over(w))
+    r = padded_ranked(spark, sf_dir)
     return (
         r.groupBy(
             "bucket", "shard", F.expr(f"(rn - 1) DIV {_PB_BATCH}").alias("batch_ix")
