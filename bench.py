@@ -449,10 +449,30 @@ def run_panel() -> None:
                 reproduced[name] = [prev[name], rec["median"]]
             else:
                 cleared[name] = [prev[name], rec["median"]]
+    # r12 lesson: panel-vs-prev-FULL is apples-to-oranges (fresh cold
+    # session vs a 250-query warm session) — all 7 of r11's "reproduced"
+    # flags dissolved under idle isolated re-measure + plan-fingerprint
+    # identity (tools/isolate_one.py, tools/plan_fingerprint.py,
+    # ADJUDICATE_r12.json).  Keep the full-bench compare for continuity,
+    # but ALSO record the like-for-like compare against the previous
+    # round's PANEL medians; a flag that appears in BOTH views (and on
+    # an idle box) is worth a bisect, one that appears only against the
+    # warm full bench is session composition, not code.
+    prev_panel = _prior_round_panel()
+    vs_prev_panel = {}
+    for name, rec in panel.items():
+        p = prev_panel.get(name)
+        if p and p >= 0.25:
+            vs_prev_panel[name] = {
+                "prev_panel": p,
+                "median": rec["median"],
+                "ratio": round(rec["median"] / p, 3),
+            }
     section = {
         "queries": panel,
         "reproduced_regressions": reproduced,
         "cleared_as_load": cleared,
+        "vs_prev_panel": vs_prev_panel,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, f"BENCH_LOCAL_r{_round_number():02d}.json")
@@ -633,6 +653,34 @@ def _regressions_vs_previous_round(
         if cur > bar * prev[name]:
             out[name] = (prev[name], cur)
     return out
+
+
+def _prior_round_panel() -> dict[str, float]:
+    """Per-query PANEL medians of the newest prior round that has a
+    panel section (fresh-session like-for-like baseline for run_panel)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cur_round = _round_number()
+    paths = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
+            if int(re.search(r"r(\d+)", os.path.basename(p)).group(1)) < cur_round
+        ),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            q = doc.get("panel", {}).get("queries", {})
+        except (OSError, ValueError, AttributeError):
+            continue
+        if q:
+            return {k: v["median"] for k, v in q.items() if "median" in v}
+    return {}
 
 
 def _prior_round_queries(limit: int = 2) -> list[dict[str, float]]:

@@ -72,6 +72,13 @@ PANEL = [
     "dedup_edit_distance",
     "dedup_edit_distance_canonical",
     "docs_curation_e2e",
+    # r12: durable-checkpoint twin of the curation funnel, the fuzzy
+    # decontamination serving pair, and the padded-batch manifest
+    "docs_curation_restartable",
+    "docs_decontaminate_fuzzy",
+    "docs_decontaminate_fuzzy_prebuilt",
+    "stream_decontaminate_fuzzy",
+    "docs_padded_batch_manifest",
 ]
 
 # (anchor, twin) pairs surfaced as an explicit ratio comparison in the
@@ -82,6 +89,8 @@ TWIN_PAIRS = [
     ("dedup_incremental", "dedup_incremental_bloom"),
     ("docs_quality_deciles", "docs_quality_deciles_approx"),
     ("dedup_edit_distance", "dedup_edit_distance_canonical"),
+    ("docs_curation_e2e", "docs_curation_restartable"),
+    ("docs_decontaminate_fuzzy", "docs_decontaminate_fuzzy_prebuilt"),
 ]
 
 
