@@ -107,6 +107,26 @@ def test_orphan_artifact_not_trusted(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_restartable_ledger_reads_only_artifacts(spark):
+    """The durable mirror of test_round11's checkpoint plan audit: every
+    parquet scan in the restartable ledger's plan points at a stage
+    artifact under the work dir — none at the raw corpus — so a resumed
+    run can assemble the ledger without touching documents.parquet."""
+    work = tempfile.mkdtemp(prefix="curation_restart_plan_")
+    try:
+        frames, _ = RS.run_stages(spark, SF, breadth11.CURATION_STAGES, work)
+        plan = (
+            breadth11.curation_ledger(frames)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "documents.parquet" not in plan, plan[:2000]
+        assert "curation_restart_plan_" in plan  # artifacts ARE the leaves
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_resume_is_noop_when_complete(spark):
     """A second run over a fully-committed work dir resumes every stage
     (zero recomputation) and still assembles the full ledger."""

@@ -157,6 +157,27 @@ AUDIT = {
         "realizes the order with partitionBy(shard) + "
         "sortWithinPartitions — local sorts only."
     ),
+    "docs_curation_restartable": (
+        "The resumable funnel's ledger reads ONLY the durable stage "
+        "artifacts: every Scan parquet in this plan points at a "
+        "stage_NN_*.parquet work-dir path, none at documents.parquet — "
+        "a resumed run and a fresh run analyze the same leaf-rooted "
+        "plan, and no ledger branch can re-derive a funnel prefix from "
+        "the raw corpus."
+    ),
+    "docs_decontaminate_fuzzy_prebuilt": (
+        "The corpus side is the only live scan: the frozen benchmark "
+        "band index enters as in-memory leaves (localCheckpoint — no "
+        "benchmark re-hash per run) and rides the candidate join as the "
+        "broadcast side; the corpus never self-joins."
+    ),
+    "docs_padded_batch_manifest": (
+        "Same single (bucket, shard)-salted window pass as "
+        "docs_padded_batches: one projection computes length/bucket/"
+        "shard/rank from the scan, ONE window sort per shard cell, and "
+        "the manifest string is an in-group collect canonicalized by "
+        "array_sort — no extra wide exchange vs the stats entry."
+    ),
 }
 
 _KEEP_DETail_PREFIXES = (
