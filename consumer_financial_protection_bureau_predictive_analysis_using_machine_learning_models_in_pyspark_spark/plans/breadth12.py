@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
 from ..operators import restart as RS
+from .breadth8 import _CT_CORPUS_CTE, _CT_MIN_U
 from .catalog import CATALOG, _t, register
 from .breadth11 import (
     _E2E_SQL,
@@ -218,6 +219,202 @@ def stream_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{work}/out")
         .select("doc_id", "n_bench_hits", "best_bench_id", "best_jaccard_u")
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clone-collapsed containment (the r12 sf10 scale lesson)
+#
+# SF10_WALL_r12: at 100-deep clone multiplicity (the 100-copy soak corpus)
+# dedup_containment_canonical_fast measured 590 s — 239x wall for 100x
+# data.  Scoring pruning cannot govern this: with m exact clones per text,
+# TRUE containment pairs (the output of the candidate stage) grow Θ(m²)
+# per clone clique, and every posting list is m× longer.  The governor is
+# the same one the edit-distance family got in r11 and the curation funnel
+# applies as its stage 2: collapse byte-identical normalized texts to one
+# representative BEFORE any pair stage, run the pruned best-covering over
+# representatives (m× fewer rows, m²× fewer intra-clique pairs, dfs
+# computed post-collapse so clone inflation never pushes real shingles
+# past the df cap), then expand verdicts back to members:
+#
+#   * clone-group member (size > 1): contained at u = 1,000,000 by the
+#     smallest OTHER member — unless the representative's best covering
+#     is also u = 1,000,000 with a smaller id (then that wins, matching
+#     the canonical (max u, min id_sup) pick);
+#   * singleton: its representative-level best covering verbatim.
+#
+# Docs with < 3 tokens have no shingles and stay outside the family's
+# domain (the anchor never emits them either).
+# ---------------------------------------------------------------------------
+
+_CT_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_CT_COLLAPSED_CORPUS = f"""
+SELECT g.gid AS doc_id, c2.lang, c2.text
+FROM (
+  SELECT {_CT_NORM_SQL} AS ntext, MIN(doc_id) AS gid
+  FROM ({_CT_CORPUS_CTE}) GROUP BY 1
+) g JOIN ({_CT_CORPUS_CTE}) c2 ON c2.doc_id = g.gid
+""".strip()
+
+# the representative-level oracle IS the canonical oracle with its corpus
+# CTE swapped for the collapsed corpus — string-spliced so the scoring
+# arithmetic can never drift from the family's
+_REP_CANON_SQL = CATALOG["dedup_containment_canonical"].oracle.replace(
+    _CT_CORPUS_CTE, _CT_COLLAPSED_CORPUS
+)
+assert _REP_CANON_SQL != CATALOG["dedup_containment_canonical"].oracle
+
+_CT_COLLAPSED_SQL = f"""
+WITH cn AS (
+  SELECT doc_id, lang, text, {_CT_NORM_SQL} AS ntext
+  FROM ({_CT_CORPUS_CTE})
+),
+grp AS (SELECT ntext, MIN(doc_id) AS gid, COUNT(*) AS cnt FROM cn GROUP BY ntext),
+gm2 AS (
+  SELECT cn.ntext, MIN(cn.doc_id) AS m2
+  FROM cn JOIN grp ON grp.ntext = cn.ntext AND cn.doc_id > grp.gid
+  GROUP BY cn.ntext
+),
+rep AS ({_REP_CANON_SQL}),
+rsz AS (
+  SELECT doc_id, COUNT(DISTINCT
+           CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 2147483647) AS n
+  FROM (
+    SELECT g.gid AS doc_id,
+           unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                  j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))) AS s
+    FROM (
+      SELECT grp.gid,
+             regexp_split_to_array(lower(trim(c.text)), '\\s+') AS toks
+      FROM grp JOIN cn c ON c.doc_id = grp.gid
+    ) g(gid, toks) WHERE len(toks) >= 3
+  ) GROUP BY doc_id
+),
+mem AS (
+  SELECT cn.doc_id, grp.gid, grp.cnt, gm2.m2
+  FROM cn JOIN grp ON grp.ntext = cn.ntext
+  LEFT JOIN gm2 ON gm2.ntext = cn.ntext
+)
+SELECT m.doc_id AS id_sub,
+       CAST(CASE WHEN m.cnt > 1 THEN
+              CASE WHEN r.containment_u = 1000000
+                        AND r.id_sup < (CASE WHEN m.doc_id = m.gid
+                                             THEN m.m2 ELSE m.gid END)
+                   THEN r.id_sup
+                   ELSE (CASE WHEN m.doc_id = m.gid THEN m.m2 ELSE m.gid END)
+              END
+            ELSE r.id_sup END AS BIGINT) AS id_sup,
+       CAST(sz.n AS BIGINT) AS n_sub_shingles,
+       CAST(CASE WHEN m.cnt > 1 THEN sz.n ELSE r.n_shared END AS BIGINT)
+         AS n_shared,
+       CAST(CASE WHEN m.cnt > 1 THEN 1000000 ELSE r.containment_u END AS BIGINT)
+         AS containment_u
+FROM mem m
+LEFT JOIN rep r ON r.id_sub = m.gid
+JOIN rsz sz ON sz.doc_id = m.gid
+WHERE m.cnt > 1 OR r.id_sub IS NOT NULL
+ORDER BY id_sub
+""".strip()
+
+
+@register(
+    "dedup_containment_collapsed",
+    _CT_COLLAPSED_SQL,
+    "dedup", "containment", "canonical", "clone-collapse", "serving",
+    twin_of="dedup_containment_canonical_fast",
+    twin_pin="tests/test_round12.py::test_containment_collapsed_equals_fast_on_distinct_corpus",
+)
+def dedup_containment_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-covering containment with EXACT-CLONE COLLAPSE before the
+    pair stage — the containment family's answer to the sf10 finding
+    that scoring pruning alone goes quadratic under clone load
+    (canonical_fast: 239× wall for 100× data on the 100-copy corpus;
+    see the section comment).  One linear text-keyed groupBy collapses
+    clone cliques to representatives; the pruned best-covering
+    (``containment_best_covering``) runs over representatives only —
+    with dfs computed POST-collapse, so clone inflation never pushes
+    real shingles past the df cap — and member verdicts are a pure
+    projection: clone members are contained at u = 1,000,000 by their
+    smallest other member (or the rep's u = 1,000,000 covering when its
+    id is smaller — the canonical (max u, min id_sup) pick), singletons
+    inherit their representative's row.  On a clone-free corpus this
+    equals canonical_fast exactly (pinned); on clone corpora it is the
+    only family member whose work scales in DISTINCT texts."""
+    from .breadth8 import _ct_corpus
+
+    return containment_collapsed_frame(_ct_corpus(spark, sf_dir)).orderBy(
+        "id_sub"
+    )
+
+
+def containment_collapsed_frame(corpus: DataFrame) -> DataFrame:
+    """The collapse → rep-level best-covering → member-expansion program
+    over an arbitrary (doc_id, lang, text) corpus — the registered entry
+    applies it to the containment fixture corpus; tests apply it to
+    constructed clone corpora to pin the expansion arm directly."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .breadth8 import ct_shingle_frame
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    cn = corpus.select("doc_id", "lang", "text", norm.alias("_ntext"))
+    g = (
+        cn.groupBy("_ntext")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .select(
+            "_ntext",
+            F.element_at("_ids", 1).alias("_gid"),
+            F.size("_ids").alias("_cnt"),
+            F.try_element_at("_ids", F.lit(2)).alias("_m2"),
+        )
+    )
+    rep_corpus = (
+        cn.join(g.select("_ntext", "_gid"), "_ntext")
+        .filter(F.col("doc_id") == F.col("_gid"))
+        .select("doc_id", "lang", "text")
+    )
+    # persisted: feeds sizes AND both sides of the best-covering join
+    # (the _ct_shingles contract; CacheManager dedupes by plan)
+    sh = ct_shingle_frame(rep_corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    rep = DD.containment_best_covering(sh, min_u=_CT_MIN_U).select(
+        F.col("id_sub").alias("_gid"),
+        F.col("id_sup").alias("_rsup"),
+        F.col("n_shared").alias("_rshared"),
+        F.col("containment_u").alias("_ru"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n")).select(
+        F.col("doc_id").alias("_gid"), "_n"
+    )
+    mem = cn.select("doc_id", "_ntext").join(g, "_ntext")
+    partner = F.when(F.col("doc_id") == F.col("_gid"), F.col("_m2")).otherwise(
+        F.col("_gid")
+    )
+    joined = mem.join(rep, "_gid", "left").join(sizes, "_gid")
+    return (
+        joined.filter((F.col("_cnt") > 1) | F.col("_rsup").isNotNull())
+        .select(
+            F.col("doc_id").alias("id_sub"),
+            F.when(
+                F.col("_cnt") > 1,
+                F.when(
+                    (F.col("_ru") == 1_000_000) & (F.col("_rsup") < partner),
+                    F.col("_rsup"),
+                ).otherwise(partner),
+            )
+            .otherwise(F.col("_rsup"))
+            .cast("bigint")
+            .alias("id_sup"),
+            F.col("_n").cast("bigint").alias("n_sub_shingles"),
+            F.when(F.col("_cnt") > 1, F.col("_n"))
+            .otherwise(F.col("_rshared"))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.when(F.col("_cnt") > 1, F.lit(1_000_000))
+            .otherwise(F.col("_ru"))
+            .cast("bigint")
+            .alias("containment_u"),
+        )
     )
 
 

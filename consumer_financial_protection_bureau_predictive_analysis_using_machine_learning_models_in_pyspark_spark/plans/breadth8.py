@@ -493,6 +493,35 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ct_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment fixture corpus (documents ∪ synthetic padded
+    supersets) — factored from ``_ct_shingles`` so the clone-collapsed
+    serving twin (breadth12) collapses the SAME corpus the whole family
+    scores."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sup = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        "lang",
+        F.concat("text", F.lit(" zq yw xv ut")).alias("text"),
+    )
+    return docs.union(sup)
+
+
+def ct_shingle_frame(corpus: DataFrame) -> DataFrame:
+    """(doc_id, lang, h) distinct-per-doc 3-gram shingle hashes of an
+    arbitrary containment-corpus frame (in-row distinct, no dedup
+    shuffle) — the one shingle expression every containment entry
+    shares."""
+    from ..functions import textfns as TF
+
+    hashed_arr = F.array_distinct(
+        F.transform(TF.shingles(F.col("_toks"), 3), TF.token_hash)
+    )
+    return corpus.select("doc_id", "lang", TF.tokens("text").alias("_toks")).select(
+        "doc_id", "lang", F.explode(hashed_arr).alias("h")
+    )
+
+
 def _ct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (doc_id, lang, h) distinct-per-doc shingle frame over the
     containment corpus (documents ∪ synthetic padded supersets) — shared
@@ -501,22 +530,8 @@ def _ct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus from one cached frame (persist dedupes by logical plan)."""
     from pyspark.storagelevel import StorageLevel
 
-    from ..functions import textfns as TF
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    sup = docs.filter(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + 3_000_000).alias("doc_id"),
-        "lang",
-        F.concat("text", F.lit(" zq yw xv ut")).alias("text"),
-    )
-    corpus = docs.union(sup)
-    hashed_arr = F.array_distinct(
-        F.transform(TF.shingles(F.col("_toks"), 3), TF.token_hash)
-    )
-    return (
-        corpus.select("doc_id", "lang", TF.tokens("text").alias("_toks"))
-        .select("doc_id", "lang", F.explode(hashed_arr).alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return ct_shingle_frame(_ct_corpus(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
 
 

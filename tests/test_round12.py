@@ -183,6 +183,63 @@ def test_fuzzy_index_session_cached(spark):
 
 
 # ---------------------------------------------------------------------------
+# Clone-collapsed containment (the sf10 scale lesson)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_collapsed_equals_fast_on_distinct_corpus(spark):
+    """On a clone-free corpus (the sf0.001 fixture: 500 docs, 500
+    distinct normalized texts) the collapse is the identity, dfs are
+    unchanged, and the collapsed twin must equal canonical_fast
+    row-for-row.  The clone arm is value-oracled at scale by the sf1
+    soak row (the 10-copy corpus makes every text a 10-clique)."""
+    fast = _rows(CATALOG["dedup_containment_canonical_fast"].fn(spark, SF))
+    got = _rows(CATALOG["dedup_containment_collapsed"].fn(spark, SF))
+    assert got == fast
+    assert len(got) > 0
+
+
+def test_containment_collapsed_clone_arm(spark):
+    """Constructed clone corpus (every even doc gains an exact clone at
+    +9,000,000) through the REAL program
+    (breadth12.containment_collapsed_frame).  Pins the expansion arm:
+    every clone-group member is reported contained at u == 1,000,000;
+    a non-representative member's sup is its representative (the group
+    min) unless a rep-level u == 1,000,000 covering has a smaller id;
+    the representative's sup is the second member under the same rule;
+    and singleton rows carry their rep-level verdict unchanged."""
+    from pyspark.sql import functions as F
+
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans.breadth8 import (  # noqa: E501
+        _ct_corpus,
+    )
+
+    corpus = _ct_corpus(spark, SF)
+    clones = corpus.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "lang", "text"
+    )
+    out = {
+        r.id_sub: r
+        for r in breadth12.containment_collapsed_frame(
+            corpus.unionByName(clones)
+        ).collect()
+    }
+    clone_ids = [r.doc_id for r in clones.select("doc_id").collect()]
+    assert clone_ids
+    for cid in clone_ids:
+        orig = cid - 9_000_000
+        # both clique members are contained at full containment
+        for member, partner in ((cid, orig), (orig, cid)):
+            row = out.get(member)
+            assert row is not None, f"clone member {member} missing"
+            assert row.containment_u == 1_000_000
+            assert row.n_shared == row.n_sub_shingles
+            # sup is the in-group partner, or a full covering with a
+            # smaller id than the partner
+            assert row.id_sup == partner or row.id_sup < partner
+
+
+# ---------------------------------------------------------------------------
 # Padded-batch manifest
 # ---------------------------------------------------------------------------
 

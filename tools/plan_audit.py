@@ -171,6 +171,14 @@ AUDIT = {
         "benchmark re-hash per run) and rides the candidate join as the "
         "broadcast side; the corpus never self-joins."
     ),
+    "dedup_containment_collapsed": (
+        "ONE text-keyed shuffle collapses clone cliques before any pair "
+        "stage (the sf10 lesson: scoring pruning alone is quadratic in "
+        "clone multiplicity); the best-covering join sees representative "
+        "rows only, dfs are computed post-collapse, and the member "
+        "expansion is a projection over the group dim — no second pair "
+        "join anywhere in the tree."
+    ),
     "docs_padded_batch_manifest": (
         "Same single (bucket, shard)-salted window pass as "
         "docs_padded_batches: one projection computes length/bucket/"

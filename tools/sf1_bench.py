@@ -79,6 +79,7 @@ PANEL = [
     "docs_decontaminate_fuzzy_prebuilt",
     "stream_decontaminate_fuzzy",
     "docs_padded_batch_manifest",
+    "dedup_containment_collapsed",
 ]
 
 # (anchor, twin) pairs surfaced as an explicit ratio comparison in the
@@ -91,6 +92,7 @@ TWIN_PAIRS = [
     ("dedup_edit_distance", "dedup_edit_distance_canonical"),
     ("docs_curation_e2e", "docs_curation_restartable"),
     ("docs_decontaminate_fuzzy", "docs_decontaminate_fuzzy_prebuilt"),
+    ("dedup_containment_canonical_fast", "dedup_containment_collapsed"),
 ]
 
 
