@@ -555,6 +555,11 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
         " rows per benchmark doc, so the broadcast is benchmark-bounded"
         " and the 100 TB corpus side never self-joins"
     ),
+    "docs_decontaminate_fuzzy_prebuilt": (
+        "same benchmark-side banded keys as the anchor, read from the"
+        " frozen per-session index (fuzzy_bench_index_for) instead of"
+        " rebuilt — benchmark-bounded by the same eval-suite argument"
+    ),
     "ann_recall_eval": "probe set literal-bounded (both arms share it)",
     "ann_hard_negatives": "probe set literal-bounded (vec_id < 10)",
     "ann_ivf_nprobe_sweep": (
