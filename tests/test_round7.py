@@ -156,6 +156,16 @@ def test_twin_registry_integrity():
         "dedup_edit_distance_canonical",
         # r11: curation funnel gate stages served at ingest (frozen dims)
         "stream_curation_e2e",
+        # r12: durable-checkpoint twin of the curation funnel
+        "docs_curation_restartable",
+        # r12: fuzzy decontamination serving pair (frozen benchmark index)
+        "docs_decontaminate_fuzzy_prebuilt",
+        "stream_decontaminate_fuzzy",
+        # r12: per-batch ordered doc-id manifest of the padded batches
+        "docs_padded_batch_manifest",
+        # r12: clone-collapse governor for the containment family (the
+        # sf10 clone-quadratic finding)
+        "dedup_containment_collapsed",
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():
