@@ -45,6 +45,7 @@ _PRIORITY = [
     "docs_decontaminate_fuzzy_prebuilt",  # never checked — first driver row
     "stream_decontaminate_fuzzy",  # never checked — first driver row
     "dedup_containment_collapsed",  # never checked — first driver row
+    "dedup_minhash_canonical",  # never checked — first driver row
     "docs_padded_batch_manifest",  # never checked — first driver row
     "star_constraint_audit",  # newest driver row r6
     "orders_snapshot_diff",  # newest driver row r6
@@ -90,8 +91,8 @@ _PRIORITY = [
     "ann_semantic_canonical_fast",  # newest driver row r7
     "docs_quality_zscore",  # newest driver row r7
     "dedup_canonical_best",  # newest driver row r7
-    "stream_join_mv",  # newest driver row r7
     # ---- window boundary (50): overflow is staleness-ordered ----
+    "stream_join_mv",  # newest driver row r7
     "docs_pack_sequences",  # newest driver row r7
     "docs_domain_reweight",  # newest driver row r7
     "ann_pq_adc_topk",  # newest driver row r7

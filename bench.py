@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "stream_decontaminate_fuzzy",
     "docs_padded_batch_manifest",
     "dedup_containment_collapsed",
+    "dedup_minhash_canonical",
     # r8 coverage sweep (VERDICT r7 item 3): every remaining catalog
     # entry is benched unless it appears in BENCH_EXCLUDED with a reason.
     # -- reference-parity complaints pipeline

@@ -38,6 +38,7 @@ from ..operators import dedup as DD
 from ..operators import restart as RS
 from .breadth8 import _CT_CORPUS_CTE, _CT_MIN_U
 from .catalog import CATALOG, _t, register
+from .text_queries import _AUG_CTE
 from .breadth11 import (
     _E2E_SQL,
     _PB_BATCH,
@@ -415,6 +416,187 @@ def containment_collapsed_frame(corpus: DataFrame) -> DataFrame:
             .cast("bigint")
             .alias("containment_u"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clone-collapsed minhash canonical (second instance of the sf10 fix)
+#
+# dedup_minhash_fast measured 230 s at sf10 (232x wall for 100x data) —
+# the pair OUTPUT of an m-clone clique is Θ(m²), same class as
+# containment.  The serving form: collapse exact clones, run the banded
+# pipeline over representatives, emit the per-doc ARGMAX match (max
+# jaccard, ties to the smallest id).  Unlike containment (whose df-caps
+# shift post-collapse), minhash banding is a pure function of text, so
+# this form is EXACTLY the argmax-collapse of the anchor's pair list —
+# pinned, and the fixture corpus's built-in clones (every 10th doc
+# duplicated) drive the clone arm through the DRIVER oracle at every
+# scale.
+# ---------------------------------------------------------------------------
+
+_MH_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_MH_COLLAPSED_CORPUS = f"""
+SELECT g.gid AS doc_id, c2.text
+FROM (
+  SELECT {_MH_NORM_SQL} AS ntext, MIN(doc_id) AS gid
+  FROM ({_AUG_CTE}) GROUP BY 1
+) g JOIN ({_AUG_CTE}) c2 ON c2.doc_id = g.gid
+""".strip()
+
+_MH_REP_PAIRS_SQL = CATALOG["dedup_minhash_lsh"].oracle.replace(
+    _AUG_CTE, _MH_COLLAPSED_CORPUS
+)
+assert _MH_REP_PAIRS_SQL != CATALOG["dedup_minhash_lsh"].oracle
+
+_MH_CANONICAL_SQL = f"""
+WITH cn AS (
+  SELECT doc_id, text, {_MH_NORM_SQL} AS ntext FROM ({_AUG_CTE})
+),
+grp AS (SELECT ntext, MIN(doc_id) AS gid, COUNT(*) AS cnt FROM cn GROUP BY ntext),
+gm2 AS (
+  SELECT cn.ntext, MIN(cn.doc_id) AS m2
+  FROM cn JOIN grp ON grp.ntext = cn.ntext AND cn.doc_id > grp.gid
+  GROUP BY cn.ntext
+),
+rp AS ({_MH_REP_PAIRS_SQL}),
+b2 AS (
+  SELECT doc_a AS me, doc_b AS mt, jaccard FROM rp
+  UNION ALL
+  SELECT doc_b AS me, doc_a AS mt, jaccard FROM rp
+),
+rbest AS (
+  SELECT me,
+         MIN(struct_pack(d := -jaccard, m := mt)).m AS rm,
+         -MIN(struct_pack(d := -jaccard, m := mt)).d AS rj
+  FROM b2 GROUP BY me
+),
+rsz AS (
+  SELECT gid FROM (
+    SELECT grp.gid,
+           regexp_split_to_array(lower(trim(c.text)), '\\s+') AS toks
+    FROM grp JOIN cn c ON c.doc_id = grp.gid
+  ) WHERE len(toks) >= 3
+),
+mem AS (
+  SELECT cn.doc_id, grp.gid, grp.cnt, gm2.m2
+  FROM cn JOIN grp ON grp.ntext = cn.ntext
+  LEFT JOIN gm2 ON gm2.ntext = cn.ntext
+  JOIN rsz ON rsz.gid = grp.gid
+)
+SELECT m.doc_id,
+       CAST(CASE WHEN m.cnt > 1 THEN
+              CASE WHEN r.rj = 1.0
+                        AND r.rm < (CASE WHEN m.doc_id = m.gid
+                                         THEN m.m2 ELSE m.gid END)
+                   THEN r.rm
+                   ELSE (CASE WHEN m.doc_id = m.gid THEN m.m2 ELSE m.gid END)
+              END
+            ELSE r.rm END AS BIGINT) AS match_id,
+       CASE WHEN m.cnt > 1 THEN 1.0 ELSE r.rj END AS jaccard
+FROM mem m
+LEFT JOIN rbest r ON r.me = m.gid
+WHERE m.cnt > 1 OR r.me IS NOT NULL
+ORDER BY doc_id
+""".strip()
+
+
+@register(
+    "dedup_minhash_canonical",
+    _MH_CANONICAL_SQL,
+    "dedup", "minhash", "lsh", "canonical", "clone-collapse", "serving",
+    twin_of="dedup_minhash_lsh",
+    twin_pin="tests/test_round12.py::test_minhash_canonical_equals_anchor_argmax",
+)
+def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc best near-duplicate with EXACT-CLONE COLLAPSE — the
+    minhash family's governor for the sf10 clone-quadratic finding
+    (dedup_minhash_fast: 232× wall for 100× data on the 100-copy
+    corpus).  One linear text-keyed groupBy collapses clone cliques;
+    the banded MinHash pipeline runs over representatives; each doc
+    reports its single best match (max jaccard, ties to the smallest
+    id): clone members match their smallest other member at jaccard 1.0
+    (or the representative's jaccard-1.0 match when its id is smaller),
+    singletons inherit their representative's argmax.  Because banding
+    is a pure function of text, this EQUALS the argmax-collapse of the
+    anchor's full pair list (pinned) — the collapse changes the work,
+    not the answer.  Docs without shingles (< 3 tokens) stay outside
+    the family's domain, clones included."""
+    from .text_queries import _aug
+
+    corpus = _aug(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    cn = corpus.select("doc_id", "text", norm.alias("_ntext"))
+    g = (
+        cn.groupBy("_ntext")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .select(
+            "_ntext",
+            F.element_at("_ids", 1).alias("_gid"),
+            F.size("_ids").alias("_cnt"),
+            F.try_element_at("_ids", F.lit(2)).alias("_m2"),
+        )
+    )
+    reps = (
+        cn.join(g.select("_ntext", "_gid"), "_ntext")
+        .filter(F.col("doc_id") == F.col("_gid"))
+        .select("doc_id", "text")
+    )
+    pairs = DD.minhash_dedup_pairs(spark, reps, threshold=0.5)
+    b2 = pairs.select(
+        F.col("doc_a").alias("_me"), F.col("doc_b").alias("_mt"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("_me"), F.col("doc_a").alias("_mt"), "jaccard"
+        )
+    )
+    rbest = (
+        b2.groupBy("_me")
+        .agg(
+            F.min(
+                F.struct((-F.col("jaccard")).alias("d"), F.col("_mt").alias("m"))
+            ).alias("_b")
+        )
+        .select(
+            F.col("_me").alias("_gid"),
+            F.col("_b.m").alias("_rm"),
+            (-F.col("_b.d")).alias("_rj"),
+        )
+    )
+    # family domain: groups whose text shingles at all (>= 3 tokens)
+    from ..functions import textfns as TF
+
+    rsz = reps.select(
+        F.col("doc_id").alias("_gid"), F.size(TF.tokens("text")).alias("_nt")
+    ).filter(F.col("_nt") >= 3).select("_gid")
+    mem = (
+        cn.select("doc_id", "_ntext")
+        .join(g, "_ntext")
+        .join(rsz, "_gid", "left_semi")
+    )
+    partner = F.when(F.col("doc_id") == F.col("_gid"), F.col("_m2")).otherwise(
+        F.col("_gid")
+    )
+    joined = mem.join(rbest, "_gid", "left")
+    return (
+        joined.filter((F.col("_cnt") > 1) | F.col("_rm").isNotNull())
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_cnt") > 1,
+                F.when(
+                    (F.col("_rj") == 1.0) & (F.col("_rm") < partner),
+                    F.col("_rm"),
+                ).otherwise(partner),
+            )
+            .otherwise(F.col("_rm"))
+            .cast("bigint")
+            .alias("match_id"),
+            F.when(F.col("_cnt") > 1, F.lit(1.0))
+            .otherwise(F.col("_rj"))
+            .alias("jaccard"),
+        )
+        .orderBy("doc_id")
     )
 
 

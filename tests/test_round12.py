@@ -240,6 +240,36 @@ def test_containment_collapsed_clone_arm(spark):
 
 
 # ---------------------------------------------------------------------------
+# Clone-collapsed minhash canonical
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_canonical_equals_anchor_argmax(spark):
+    """Banding is a pure function of text, so the collapsed form must
+    EQUAL the argmax-collapse (max jaccard, ties to smallest id, both
+    directions) of the anchor's full pair list — the collapse changes
+    the work, not the answer.  The aug corpus's built-in clones (every
+    10th doc duplicated) make this pin exercise the clone arm too."""
+    anchor = CATALOG["dedup_minhash_lsh"].fn(spark, SF).collect()
+    best: dict[int, tuple[float, int]] = {}
+    for r in anchor:
+        for me, mt in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            cur = best.get(me)
+            cand = (-r.jaccard, mt)
+            if cur is None or cand < cur:
+                best[me] = cand
+    expected = sorted(
+        (me, mt, -negj) for me, (negj, mt) in best.items()
+    )
+    got = sorted(
+        (r.doc_id, r.match_id, r.jaccard)
+        for r in CATALOG["dedup_minhash_canonical"].fn(spark, SF).collect()
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
 # Padded-batch manifest
 # ---------------------------------------------------------------------------
 

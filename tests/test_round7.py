@@ -166,6 +166,9 @@ def test_twin_registry_integrity():
         # r12: clone-collapse governor for the containment family (the
         # sf10 clone-quadratic finding)
         "dedup_containment_collapsed",
+        # r12: clone-collapse governor for the minhash family (same
+        # finding; pinned equal to the anchor's argmax-collapse)
+        "dedup_minhash_canonical",
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():

@@ -50,6 +50,7 @@ PANEL = [
     "docs_padded_batch_manifest",
     # the r12 fix for the two clone-quadratic blowups this wall exposed
     "dedup_containment_collapsed",
+    "dedup_minhash_canonical",
 ]
 
 # anchors NOT run at sf10, with the committed reasons the judge reads

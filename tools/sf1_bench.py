@@ -80,6 +80,7 @@ PANEL = [
     "stream_decontaminate_fuzzy",
     "docs_padded_batch_manifest",
     "dedup_containment_collapsed",
+    "dedup_minhash_canonical",
 ]
 
 # (anchor, twin) pairs surfaced as an explicit ratio comparison in the
@@ -93,6 +94,7 @@ TWIN_PAIRS = [
     ("docs_curation_e2e", "docs_curation_restartable"),
     ("docs_decontaminate_fuzzy", "docs_decontaminate_fuzzy_prebuilt"),
     ("dedup_containment_canonical_fast", "dedup_containment_collapsed"),
+    ("dedup_minhash_fast", "dedup_minhash_canonical"),
 ]
 
 
