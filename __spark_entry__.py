@@ -41,57 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/gen_priority.py
 # and tests/test_priority_window.py pins committed == generated.
 _PRIORITY = [
-    "docs_curation_restartable",  # never checked — first driver row
-    "docs_decontaminate_fuzzy_prebuilt",  # never checked — first driver row
-    "stream_decontaminate_fuzzy",  # never checked — first driver row
-    "dedup_containment_collapsed",  # never checked — first driver row
-    "dedup_minhash_canonical",  # never checked — first driver row
-    "docs_padded_batch_manifest",  # never checked — first driver row
-    "star_constraint_audit",  # newest driver row r6
-    "orders_snapshot_diff",  # newest driver row r6
-    "lineitem_numeric_corr",  # newest driver row r6
-    "orders_price_psi",  # newest driver row r6
-    "orders_status_priority_chi2",  # newest driver row r6
-    "orders_price_ks",  # newest driver row r6
-    "q6_forecast_revenue",  # newest driver row r7
-    "complaints_frequency_encode",  # newest driver row r7
-    "complaints_date_parts",  # newest driver row r7
-    "complaints_class_distribution",  # newest driver row r7
-    "complaints_confusion_counts",  # newest driver row r7
-    "complaints_per_class_metrics",  # newest driver row r7
-    "complaints_confusion_pivot",  # newest driver row r7
-    "customers_in_both_statuses",  # newest driver row r7
-    "customers_only_finished",  # newest driver row r7
-    "union_order_sample_frames",  # newest driver row r7
-    "lineitem_cube",  # newest driver row r7
-    "orders_rollup_by_date",  # newest driver row r7
-    "sql_nation_revenue",  # newest driver row r7
-    "complaints_rebalance_8class",  # newest driver row r7
-    "complaints_oversample_timely",  # newest driver row r7
-    "complaints_train_test_split",  # newest driver row r7
-    "events_value_quantiles",  # newest driver row r7
-    "docs_token_stats",  # newest driver row r7
-    "docs_quality_score",  # newest driver row r7
-    "dedup_components",  # newest driver row r7
-    "dedup_canonical_docs",  # newest driver row r7
-    "dedup_jaccard_blocked",  # newest driver row r7
-    "ann_lsh_topk",  # newest driver row r7
-    "ann_cosine_topk_fast",  # newest driver row r7
-    "docs_corpus_datasheet",  # newest driver row r7
-    "docs_bpe_vocab",  # newest driver row r7
-    "ml_timely_svm",  # newest driver row r7
-    "ml_timely_gbt",  # newest driver row r7
-    "ml_response_rf",  # newest driver row r7
-    "ml_timely_lr_calibration",  # newest driver row r7
-    "ml_timely_lr_threshold_sweep",  # newest driver row r7
-    "media_resize_images",  # newest driver row r7
-    "q12_shipping_delay_class",  # newest driver row r7
-    "docs_quality_deciles",  # newest driver row r7
-    "docs_quality_deciles_approx",  # newest driver row r7
-    "ann_semantic_canonical_fast",  # newest driver row r7
-    "docs_quality_zscore",  # newest driver row r7
-    "dedup_canonical_best",  # newest driver row r7
-    # ---- window boundary (50): overflow is staleness-ordered ----
+    "ann_semantic_collapsed",  # never checked — first driver row
+    "ann_semantic_collapsed_fast",  # never checked — first driver row
+    "dedup_containment_auto",  # never checked — first driver row
+    "dedup_minhash_auto",  # never checked — first driver row
+    "ann_semantic_auto",  # never checked — first driver row
     "stream_join_mv",  # newest driver row r7
     "docs_pack_sequences",  # newest driver row r7
     "docs_domain_reweight",  # newest driver row r7
@@ -137,6 +91,7 @@ _PRIORITY = [
     "q4_order_priority",  # newest driver row r8
     "q7_volume_shipping",  # newest driver row r8
     "q8_market_share",  # newest driver row r8
+    # ---- window boundary (50): overflow is staleness-ordered ----
     "q10_returned_items",  # newest driver row r8
     "q13_customer_distribution",  # newest driver row r8
     "q22_sales_opportunity",  # newest driver row r8
@@ -304,6 +259,56 @@ _PRIORITY = [
     "part_association_rules",  # newest driver row r11
     "supplier_strong_components",  # newest driver row r11
     "part_similar_items",  # newest driver row r11
+    "q6_forecast_revenue",  # newest driver row r12
+    "complaints_frequency_encode",  # newest driver row r12
+    "complaints_date_parts",  # newest driver row r12
+    "complaints_class_distribution",  # newest driver row r12
+    "complaints_confusion_counts",  # newest driver row r12
+    "complaints_per_class_metrics",  # newest driver row r12
+    "complaints_confusion_pivot",  # newest driver row r12
+    "customers_in_both_statuses",  # newest driver row r12
+    "customers_only_finished",  # newest driver row r12
+    "union_order_sample_frames",  # newest driver row r12
+    "lineitem_cube",  # newest driver row r12
+    "orders_rollup_by_date",  # newest driver row r12
+    "sql_nation_revenue",  # newest driver row r12
+    "complaints_rebalance_8class",  # newest driver row r12
+    "complaints_oversample_timely",  # newest driver row r12
+    "complaints_train_test_split",  # newest driver row r12
+    "events_value_quantiles",  # newest driver row r12
+    "docs_token_stats",  # newest driver row r12
+    "docs_quality_score",  # newest driver row r12
+    "dedup_components",  # newest driver row r12
+    "dedup_canonical_docs",  # newest driver row r12
+    "dedup_jaccard_blocked",  # newest driver row r12
+    "ann_lsh_topk",  # newest driver row r12
+    "ann_cosine_topk_fast",  # newest driver row r12
+    "docs_corpus_datasheet",  # newest driver row r12
+    "docs_bpe_vocab",  # newest driver row r12
+    "ml_timely_svm",  # newest driver row r12
+    "ml_timely_gbt",  # newest driver row r12
+    "ml_response_rf",  # newest driver row r12
+    "ml_timely_lr_calibration",  # newest driver row r12
+    "ml_timely_lr_threshold_sweep",  # newest driver row r12
+    "media_resize_images",  # newest driver row r12
+    "q12_shipping_delay_class",  # newest driver row r12
+    "docs_quality_deciles",  # newest driver row r12
+    "docs_quality_deciles_approx",  # newest driver row r12
+    "ann_semantic_canonical_fast",  # newest driver row r12
+    "docs_quality_zscore",  # newest driver row r12
+    "dedup_canonical_best",  # newest driver row r12
+    "docs_curation_restartable",  # newest driver row r12
+    "docs_decontaminate_fuzzy_prebuilt",  # newest driver row r12
+    "stream_decontaminate_fuzzy",  # newest driver row r12
+    "dedup_containment_collapsed",  # newest driver row r12
+    "dedup_minhash_canonical",  # newest driver row r12
+    "docs_padded_batch_manifest",  # newest driver row r12
+    "star_constraint_audit",  # newest driver row r12
+    "orders_snapshot_diff",  # newest driver row r12
+    "lineitem_numeric_corr",  # newest driver row r12
+    "orders_price_psi",  # newest driver row r12
+    "orders_status_priority_chi2",  # newest driver row r12
+    "orders_price_ks",  # newest driver row r12
 ]
 
 

@@ -198,6 +198,12 @@ BENCH_QUERIES = [
     "docs_padded_batch_manifest",
     "dedup_containment_collapsed",
     "dedup_minhash_canonical",
+    # r13 additions: SemDeDup clone-collapse governor + dup-factor dispatch
+    "ann_semantic_collapsed",
+    "ann_semantic_collapsed_fast",
+    "ann_semantic_auto",
+    "dedup_containment_auto",
+    "dedup_minhash_auto",
     # r8 coverage sweep (VERDICT r7 item 3): every remaining catalog
     # entry is benched unless it appears in BENCH_EXCLUDED with a reason.
     # -- reference-parity complaints pipeline
@@ -391,6 +397,55 @@ PANEL_QUERIES = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Cold-run pinning (VERDICT r12 item 4): streaming entries that stage
+# micro-batch inputs + a checkpoint under a per-(sf_dir, session) memo dir
+# become ~free on any SAME-SESSION re-run — the consumed checkpoint reports
+# "no new files" — so the remeasure pass's min() and the panel's 3-run
+# median could record a warm number a fresh session can never reproduce
+# (stream_checksum_mv flip-flopped 3.37 → 2.67 → 0.215 → 2.03 s across
+# rounds for exactly this reason).  Every timed execution of the entries
+# below now PURGES the entry's memo first (staging + checkpoint deleted),
+# so each committed number is the cold, fresh-session-reproducible one;
+# the payload carries ``cold_pinned`` so the artifact says which numbers
+# hold that contract.  Deliberately-warm serving memos — the prebuilt
+# IVF / MinHash / fuzzy-benchmark indexes built in _prime_session, and the
+# offline z-order layout — are NOT purged: offline-built-once is their
+# documented lifecycle, and priming makes them warm on the FIRST run too.
+_PKG = (
+    "consumer_financial_protection_bureau_predictive_analysis_using_machine"
+    "_learning_models_in_pyspark_spark"
+)
+COLD_MEMOS: dict[str, list[tuple[str, str]]] = {
+    "stream_minute_rollup": [("plans.breadth3", "_ROLLUP_DIRS")],
+    "stream_mv_maintenance": [("plans.breadth6", "_MV_STREAM_DIRS")],
+    "stream_join_mv": [("plans.breadth6", "_JOIN_MV_DIRS")],
+    "stream_checksum_mv": [("plans.breadth7", "_CK_STREAM_DIRS")],
+    "stream_substring_decontaminate": [("plans.breadth9", "_SS_STREAM_DIRS")],
+    "stream_bot_users": [("plans.breadth9", "_BOT_STREAM_DIRS")],
+    "stream_quality_classifier": [("plans.breadth10", "_QC_STREAM_DIRS")],
+    "stream_ref_perplexity": [("plans.breadth10b", "_PPL_STREAM_DIRS")],
+    "stream_cusum_drift": [("plans.breadth10b", "_CUSUM_STREAM_DIRS")],
+    "stream_curation_e2e": [("plans.breadth11", "_CUR_STREAM_DIRS")],
+    "stream_decontaminate_fuzzy": [("plans.breadth12", "_FD_STREAM_DIRS")],
+    "stream_phash_dedup": [("plans.media_queries", "_PHASH_STREAM_DIRS")],
+    "stream_semantic_dedup": [("plans.streaming_queries", "_SEMDEDUP_DIRS")],
+    "stream_quality_gate": [("plans.streaming_queries", "_GATE_DIRS")],
+}
+
+
+def _cold_reset(name: str) -> None:
+    """Purge ``name``'s staging/checkpoint memo dirs so its next execution
+    runs the full cold streaming lifecycle."""
+    import importlib
+    import shutil
+
+    for mod_suffix, attr in COLD_MEMOS.get(name, ()):
+        memo = getattr(importlib.import_module(f"{_PKG}.{mod_suffix}"), attr)
+        for key in list(memo):
+            shutil.rmtree(memo.pop(key), ignore_errors=True)
+
+
 def _prime_session(spark, sf_dir: str, cpus: str) -> None:
     """One-time JVM/daemon/offline-index warmup shared by bench + panel."""
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
@@ -405,6 +460,16 @@ def _prime_session(spark, sf_dir: str, cpus: str) -> None:
     _tq.ivf_index_for(spark, sf_dir, n_assign=3)
     _tq.ivf_index_for(spark, sf_dir, n_assign=3, where="pmod(vec_id, 5) != 0")
     _tq.minhash_index_for(spark, sf_dir)
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        breadth12 as _b12,
+    )
+
+    # frozen fuzzy-decontamination benchmark index: the *_fuzzy_prebuilt /
+    # stream_decontaminate_fuzzy entries measure PROBE cost by design, so
+    # their index must be warm on the first timed run too (previously it
+    # was cold on run 1 and warm on any remeasure — the same
+    # round-over-round oscillation COLD_MEMOS pins from the other side)
+    _b12.fuzzy_bench_index_for(spark, sf_dir)
 
 
 def run_panel() -> None:
@@ -434,6 +499,7 @@ def run_panel() -> None:
         spec = CATALOG[name]
         runs = []
         for _ in range(3):
+            _cold_reset(name)
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))
@@ -475,6 +541,7 @@ def run_panel() -> None:
         "reproduced_regressions": reproduced,
         "cleared_as_load": cleared,
         "vs_prev_panel": vs_prev_panel,
+        "cold_pinned": sorted(set(COLD_MEMOS) & set(panel)),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, f"BENCH_LOCAL_r{_round_number():02d}.json")
@@ -517,6 +584,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = CATALOG[name]
+        _cold_reset(name)
         t0 = time.perf_counter()
         n = spec.fn(spark, sf_dir).count()
         dt = time.perf_counter() - t0
@@ -535,6 +603,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # every timing of these entries purged its staging/checkpoint memo
+        # first — the committed number is cold and fresh-session-reproducible
+        "cold_pinned": sorted(set(COLD_MEMOS) & set(timings)),
     }
     regressions = _regressions_vs_previous_round(timings)
     if regressions:
@@ -546,6 +617,7 @@ def main() -> None:
         remeasured: dict[str, list[float]] = {}
         for name in list(regressions):
             spec = CATALOG[name]
+            _cold_reset(name)
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
             second = round(time.perf_counter() - t0, 3)
@@ -580,16 +652,26 @@ def main() -> None:
     spark.stop()
 
 
+def _round_of(path: str) -> int | None:
+    """Round number embedded in an artifact filename, or None for files
+    that carry no r<digits> suffix (a stray BENCH_LOCAL_retry.json must
+    be skipped, not crash the panel — ADVICE r12)."""
+    import re
+
+    m = re.search(r"r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
 def _round_number() -> int:
     """Newest driver-recorded round + 1 (BENCH_r{N}.json are driver-written
     at round end, so while round N is being built the newest file is N-1)."""
     import glob
-    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     nums = [
-        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        n
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (n := _round_of(p)) is not None
     ]
     return (max(nums) + 1) if nums else 1
 
@@ -661,7 +743,6 @@ def _prior_round_panel() -> dict[str, float]:
     """Per-query PANEL medians of the newest prior round that has a
     panel section (fresh-session like-for-like baseline for run_panel)."""
     import glob
-    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     cur_round = _round_number()
@@ -669,9 +750,9 @@ def _prior_round_panel() -> dict[str, float]:
         (
             p
             for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
-            if int(re.search(r"r(\d+)", os.path.basename(p)).group(1)) < cur_round
+            if (n := _round_of(p)) is not None and n < cur_round
         ),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        key=_round_of,
     )
     for path in reversed(paths):
         try:
@@ -689,20 +770,16 @@ def _prior_round_queries(limit: int = 2) -> list[dict[str, float]]:
     """Per-query timing dicts of the newest prior rounds (newest first),
     at most one per round number."""
     import glob
-    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-
-    def _num(p: str) -> int:
-        return int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-
+    _num = _round_of
     cur_round = _round_number()
     candidates = sorted(
         (
             p
             for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
             + glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
-            if _num(p) < cur_round
+            if (n := _num(p)) is not None and n < cur_round
         ),
         # newest round wins; within a round the LOCAL (complete) file wins
         key=lambda p: (_num(p), "LOCAL" in os.path.basename(p)),

@@ -22,8 +22,15 @@ Design:
   crash between artifact write and manifest commit re-computes that
   stage (an orphan artifact is overwritten, never trusted);
 * on re-run, every stage whose manifest entry is complete AND whose
-  artifact exists is skipped — its frame is the parquet read-back —
-  and execution resumes at the first incomplete stage;
+  artifact carries the parquet ``_SUCCESS`` commit marker is skipped —
+  its frame is the parquet read-back — and execution resumes at the
+  first incomplete stage (a bare directory is NOT trusted: a crash
+  mid-overwrite leaves ``_temporary`` debris under a dir whose manifest
+  entry survived, and resuming from it would read partial data);
+* before a stage with a stale complete manifest entry is recomputed,
+  that entry is cleared and committed, so a crash between the rewrite's
+  ``_SUCCESS`` and the new manifest commit can never pair an old ledger
+  row with a new artifact;
 * ``fail_before=<stage>`` injects a crash for testing the resume path
   (raises :class:`StageFailure` before that stage computes, exactly the
   state a mid-pipeline executor loss leaves behind).
@@ -110,10 +117,16 @@ def run_stages(
     for ix, (name, fn) in enumerate(stages):
         path = os.path.join(work_dir, f"stage_{ix:02d}_{name}.parquet")
         entry = manifest.get(name)
-        if entry is not None and entry.get("complete") and os.path.isdir(path):
+        committed = os.path.exists(os.path.join(path, "_SUCCESS"))
+        if entry is not None and entry.get("complete") and committed:
             frames[name] = spark.read.parquet(path)
             report.append(StageRun(name, path, int(entry["rows"]), "resumed"))
             continue
+        if entry is not None:
+            # stale ledger row (artifact lost or uncommitted): retract it
+            # BEFORE recomputing so no crash window pairs old-row/new-dir
+            del manifest[name]
+            _commit_manifest(work_dir, manifest)
         if fail_before == name:
             raise StageFailure(
                 f"injected failure before stage {ix} ({name}); "

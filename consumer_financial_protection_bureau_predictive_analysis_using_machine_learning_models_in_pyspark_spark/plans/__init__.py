@@ -26,6 +26,7 @@ from . import breadth10  # noqa: F401
 from . import breadth10b  # noqa: F401
 from . import breadth11  # noqa: F401
 from . import breadth12  # noqa: F401
+from . import breadth13  # noqa: F401
 from . import graph_queries  # noqa: F401
 from . import quality_queries  # noqa: F401
 

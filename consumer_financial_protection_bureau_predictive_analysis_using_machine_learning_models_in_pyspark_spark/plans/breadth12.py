@@ -28,6 +28,7 @@ curation/decontamination operators imply.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -55,16 +56,32 @@ from .breadth11 import (
 # Restartable curation pipeline
 # ---------------------------------------------------------------------------
 
-_RESTART_DIRS: list[str] = []
+_RESTART_DIRS: dict[str, str] = {}
 
 
-def _fresh_workdir(prefix: str) -> str:
+def _fresh_workdir(prefix: str, key: str = "") -> str:
+    """One REUSED work dir per (prefix, key), WIPED on every entry: each
+    invocation still times the full cold materialize path (the dir it
+    gets is empty), but repeated bench/soak invocations in one long
+    session no longer accumulate unbounded /tmp disk (ADVICE r12) — the
+    previous invocation's stage artifacts are deleted here, after its
+    consumer has collected, not at session exit.  atexit stays as the
+    final-invocation backstop."""
+    memo = f"{prefix}|{key}"
+    work = _RESTART_DIRS.get(memo)
+    if work is not None:
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work, exist_ok=True)
+        return work
     work = tempfile.mkdtemp(prefix=prefix)
     if not _RESTART_DIRS:
         atexit.register(
-            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _RESTART_DIRS]
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True)
+                for d in _RESTART_DIRS.values()
+            ]
         )
-    _RESTART_DIRS.append(work)
+    _RESTART_DIRS[memo] = work
     return work
 
 
@@ -93,7 +110,7 @@ def docs_curation_restartable(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint).  Each invocation uses a FRESH work dir: the entry
     times the full materialize path, never a warm resume; the resume
     path is exercised (and pinned) in tests."""
-    work = _fresh_workdir("curation_restart_")
+    work = _fresh_workdir("curation_restart_", sf_dir)
     frames, _report = RS.run_stages(spark, sf_dir, CURATION_STAGES, work)
     return curation_ledger(frames)
 
