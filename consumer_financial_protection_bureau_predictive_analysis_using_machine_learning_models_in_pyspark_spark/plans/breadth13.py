@@ -173,13 +173,20 @@ def semantic_collapsed_frame(
     member expansion is two rep-sized (broadcastable) hash joins back
     onto the corpus.  This is what un-OOMs SemDeDup on clone-heavy
     corpora: the r12 wall's 100-deep cliques never reach a cell."""
+    from pyspark.storagelevel import StorageLevel
+
     w = Window.partitionBy("embedding")
+    # persisted: the windowed collapse feeds THREE consumers (rep pairs —
+    # evaluated eagerly inside connected_components — the tight bit, and
+    # the final member join); without the cache each re-derives the
+    # vector-keyed window from the scan (CacheManager dedupes by plan, so
+    # repeated catalog calls share one entry)
     cn = corpus.select(
         "vec_id",
         "embedding",
         F.min("vec_id").over(w).alias("_gid"),
         F.count(F.lit(1)).over(w).alias("_cnt"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     reps = cn.filter(F.col("vec_id") == F.col("_gid")).select(
         "vec_id", "embedding"
     )
@@ -325,9 +332,35 @@ def _norm_text():
     return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
 
 
+# The containment family is the one whose arms legitimately DIFFER on
+# clone corpora (dfs shift post-collapse — the r12 story), so the auto
+# entry's oracle must dispatch exactly like the engine does: compute the
+# dup factor in SQL and take the matching arm's full oracle.  DuckDB
+# cannot statically prune the unchosen UNION branch (the guard is a
+# data-dependent scalar subquery), so the ORACLE evaluates both arms —
+# an eval-only cost (measured 75 s at sf1 vs 6 s for one arm), never
+# paid by the engine.  The exact COUNT(DISTINCT) here vs the engine's
+# HLL probe agree on the routing whenever the factor is away from the
+# 2.0 cutoff (fixture regimes: 1.0 / ~10 / ~100).
+from .breadth12 import _CT_NORM_SQL  # noqa: E402
+from .breadth8 import _CT_CORPUS_CTE  # noqa: E402
+
+_CT_AUTO_SQL = f"""
+WITH fac AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT {_CT_NORM_SQL}) AS f
+  FROM ({_CT_CORPUS_CTE})
+)
+SELECT * FROM ({CATALOG["dedup_containment_canonical"].oracle}) q
+WHERE (SELECT f FROM fac) < 2.0
+UNION ALL
+SELECT * FROM ({CATALOG["dedup_containment_collapsed"].oracle}) q
+WHERE (SELECT f FROM fac) >= 2.0
+""".strip()
+
+
 @register(
     "dedup_containment_auto",
-    CATALOG["dedup_containment_canonical"].oracle,
+    _CT_AUTO_SQL,
     "dedup", "containment", "dispatch", "clone-collapse", "serving",
     twin_of="dedup_containment_canonical_fast",
     twin_pin="tests/test_round13.py::test_containment_auto_routes_and_matches",
@@ -336,11 +369,15 @@ def dedup_containment_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-covering containment behind the duplication-factor dispatch:
     measure the corpus's clone depth (one approx-distinct aggregate over
     the normalized text), then run ``dedup_containment_canonical_fast``'s
-    pruned scorer (factor < 2 — this fixture: 1.0, so the oracle is the
-    canonical SQL verbatim) or ``dedup_containment_collapsed``'s
-    collapse-first governor (factor ≥ 2; at the r12 wall's factor-100
-    corpus that arm is a measured 72× win).  The dispatcher returns the
-    chosen arm bit-exactly — it adds a decision, never arithmetic.  This
+    pruned scorer (factor < 2 — the sf0.01/sf0.1 fixture: 1.0) or
+    ``dedup_containment_collapsed``'s collapse-first governor (factor
+    ≥ 2 — the key-shifted sf1/sf10 corpora: ~10/~100, where that arm is
+    a measured 72× win).  The dispatcher returns the chosen arm
+    bit-exactly — it adds a decision, never arithmetic — and the ORACLE
+    dispatches identically (both arm oracles behind the same factor
+    guard), because this is the one family whose arms differ in VALUE on
+    clone corpora: collapse recomputes shingle dfs over representatives,
+    so clone inflation can't push real shingles past the df cap.  This
     is the containment family's user-facing serving entry: the r12
     finding that no single plan wins both regimes, composed into the
     plan instead of left as twin-choosing folklore."""

@@ -519,7 +519,15 @@ def ann_semantic_canonical_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bench is to keep the verification entry's 2× exact-decimal cost
     honest — this is what the composition costs when you serve it.
     Keep-set invariants (one survivor per cluster, min-id survivor) are
-    pinned for the shared operators in tests/test_round4.py."""
+    pinned for the shared operators in tests/test_round4.py.
+
+    REGIME-BOUNDED: ≤ ~10-clone duplication load.  Per-cell all-pairs is
+    memory-quadratic in clone multiplicity — the r12 sf10 wall's
+    100-deep byte-identical embedding cliques OOM-killed this entry on a
+    64 GB heap (SF10_WALL_r12 ``excluded_anchors``).  On clone-heavy
+    corpora use ``ann_semantic_collapsed`` / ``_collapsed_fast``
+    (plans/breadth13: collapse-first governor), or let
+    ``ann_semantic_auto`` measure the duplication factor and route."""
     from ..operators import dedup as DD
     from .text_queries import ivf_index_for
 

@@ -186,6 +186,25 @@ AUDIT = {
         "the manifest string is an in-group collect canonicalized by "
         "array_sort — no extra wide exchange vs the stats entry."
     ),
+    "ann_semantic_collapsed": (
+        "ONE vector-keyed window (a single exchange) does collapse, "
+        "membership, and rep selection, persisted as the shared leaf "
+        "(InMemoryTableScan) for all three consumers — rep pairs, the "
+        "tight bit, and the member join; the bucket self-join and the "
+        "decimal verify see representative rows only, so clone "
+        "multiplicity m shrinks the pair stage m x instead of "
+        "inflating its output m^2 x (the r12 sf10 OOM class), and the "
+        "verdict expansion is rep-dim joins back onto the cached "
+        "corpus."
+    ),
+    "dedup_containment_auto": (
+        "The dispatch probe is one partial-aggregated pass over a "
+        "narrow normalized-text projection (approx_count_distinct - an "
+        "HLL sketch rides the exchange, never the distinct keys); the "
+        "routed plan is then the chosen twin's VERBATIM tree - the "
+        "dispatcher contributes a single scalar decision, no operator "
+        "of its own in the data path."
+    ),
 }
 
 _KEEP_DETail_PREFIXES = (

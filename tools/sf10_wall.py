@@ -51,6 +51,24 @@ PANEL = [
     # the r12 fix for the two clone-quadratic blowups this wall exposed
     "dedup_containment_collapsed",
     "dedup_minhash_canonical",
+    # r13: the semantic family's collapse governor — the rows that replace
+    # the r12 OOM exclusion (ann_semantic_canonical_fast) with a measured
+    # two-decade wall for the governed serving path
+    "ann_semantic_collapsed",
+    "ann_semantic_collapsed_fast",
+    # r13: duplication-factor dispatch — on this 100-clone corpus every
+    # auto entry must route to its collapsed arm and inherit its wall
+    "dedup_containment_auto",
+    "dedup_minhash_auto",
+    "ann_semantic_auto",
+    # r13 (VERDICT item 3): the fuzzy-decontamination ANCHOR next to its
+    # prebuilt twin, so the fixed index-build vs corpus-side-scaling
+    # decomposition rests on committed sf10 evidence
+    "docs_decontaminate_fuzzy",
+    # r13 stretch (VERDICT item 7): streaming ingest twins two decades up —
+    # per-batch cost must stay batch-sized, not corpus-sized
+    "stream_decontaminate_fuzzy",
+    "stream_semantic_dedup",
 ]
 
 # anchors NOT run at sf10, with the committed reasons the judge reads
@@ -82,8 +100,10 @@ EXCLUDED = {
         " all-pairs over 100-deep embedding clone cells is"
         " memory-quadratic in clone multiplicity, the same class the"
         " wall exposed in containment_fast (239x) and minhash_fast"
-        " (232x); the family-generic fix is collapse-first"
-        " (dedup_containment_collapsed demonstrates the pattern)"
+        " (232x); governed since r13 by the collapse-first"
+        " ann_semantic_collapsed(_fast), whose measured sf10 rows are"
+        " in this artifact's PANEL (and ann_semantic_auto routes to"
+        " them automatically on clone-heavy corpora)"
     ),
 }
 
