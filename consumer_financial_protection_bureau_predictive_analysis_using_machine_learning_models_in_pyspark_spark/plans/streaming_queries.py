@@ -348,14 +348,42 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivf_index_for(
         spark, sf_dir, n_assign=3, where="pmod(vec_id, 5) != 0"
     )
-    pairs = SIM.semantic_dedup_pairs_fast(idx, threshold=0.35).select(
-        F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
+    # Offline canonical-set computation, duplication-factor routed (r13):
+    # the direct per-cell all-pairs is memory-quadratic in clone depth —
+    # the exact class that OOMed ann_semantic_canonical_fast at the sf10
+    # wall — so on clone-heavy corpora the loser set comes from the
+    # collapse-first governor (semantic_collapsed_frame over the corpus
+    # slice, rep-level per-cell verify + member expansion) instead.  On
+    # the clone-light fixtures the factor probe routes the ORIGINAL path,
+    # so the sequential-equivalence pins and driver rows are unchanged.
+    from ..operators.dispatch import duplication_factor
+
+    corpus80 = (
+        _t(spark, sf_dir, "embeddings")
+        .filter("pmod(vec_id, 5) != 0")
+        .select("vec_id", "embedding")
     )
-    losers = (
-        DD.connected_components(pairs)
-        .filter(F.col("doc_id") != F.col("component"))
-        .select(F.col("doc_id").alias("neighbor_id"))
-    )
+    if duplication_factor(corpus80, F.col("embedding")) >= 2.0:
+        from .breadth13 import semantic_collapsed_frame
+
+        def rep_pairs(reps: DataFrame) -> DataFrame:
+            ridx = SIM.ivf_build(reps, n_cells=8, n_assign=3)
+            return SIM.semantic_dedup_pairs_fast(ridx, threshold=0.35)
+
+        losers = (
+            semantic_collapsed_frame(corpus80, pairs_of_reps=rep_pairs)
+            .filter(~F.col("kept"))
+            .select(F.col("vec_id").alias("neighbor_id"))
+        )
+    else:
+        pairs = SIM.semantic_dedup_pairs_fast(idx, threshold=0.35).select(
+            F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
+        )
+        losers = (
+            DD.connected_components(pairs)
+            .filter(F.col("doc_id") != F.col("component"))
+            .select(F.col("doc_id").alias("neighbor_id"))
+        )
     canon_assigned = idx.assigned.join(losers, "neighbor_id", "left_anti")
     canon_idx = SIM.IvfIndex(canon_assigned, idx.centroids, idx.n_assign)
 

@@ -327,6 +327,25 @@ def test_bench_round_of_skips_undigited_artifacts():
     assert bench._round_of("/x/BENCH_LOCAL_r12.json") == 12
 
 
+def test_cold_reset_purges_memo_and_dir():
+    """bench._cold_reset deletes both the memo entry and its on-disk
+    staging/checkpoint dir, so the next run is a full cold lifecycle."""
+    import bench
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        breadth7,
+    )
+
+    d = tempfile.mkdtemp(prefix="coldreset13_")
+    breadth7._CK_STREAM_DIRS["__test__"] = d
+    try:
+        bench._cold_reset("stream_checksum_mv")
+        assert "__test__" not in breadth7._CK_STREAM_DIRS
+        assert not os.path.exists(d)
+    finally:
+        breadth7._CK_STREAM_DIRS.pop("__test__", None)
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_cold_memos_cover_every_checkpoint_memoized_stream_entry():
     """Every catalog entry whose wall time is governed by a module-level
     ``*_STREAM_DIRS``-style staging+checkpoint memo is cold-pinned in

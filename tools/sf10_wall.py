@@ -170,6 +170,12 @@ def run() -> None:
         for label, sf_dir in (("sf0_1", SF01), ("sf10", SF10)):
             runs = []
             for _ in range(2):
+                # streaming entries: purge the staging+checkpoint memo so
+                # run 2 is a cold ingest, not the consumed-checkpoint
+                # replay (the bench.py cold-pin contract, r13)
+                import bench
+
+                bench._cold_reset(name)
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)

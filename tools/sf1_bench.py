@@ -81,6 +81,14 @@ PANEL = [
     "docs_padded_batch_manifest",
     "dedup_containment_collapsed",
     "dedup_minhash_canonical",
+    # r13: the semantic collapse governor + the dup-factor dispatchers
+    # (on the key-shifted sf1 corpus every dispatcher routes collapsed)
+    "ann_semantic_canonical",
+    "ann_semantic_collapsed",
+    "ann_semantic_collapsed_fast",
+    "ann_semantic_auto",
+    "dedup_containment_auto",
+    "dedup_minhash_auto",
 ]
 
 # (anchor, twin) pairs surfaced as an explicit ratio comparison in the
@@ -95,6 +103,11 @@ TWIN_PAIRS = [
     ("docs_decontaminate_fuzzy", "docs_decontaminate_fuzzy_prebuilt"),
     ("dedup_containment_canonical_fast", "dedup_containment_collapsed"),
     ("dedup_minhash_fast", "dedup_minhash_canonical"),
+    ("ann_semantic_canonical", "ann_semantic_collapsed"),
+    ("ann_semantic_collapsed", "ann_semantic_collapsed_fast"),
+    ("dedup_containment_canonical_fast", "dedup_containment_auto"),
+    ("dedup_minhash_canonical", "dedup_minhash_auto"),
+    ("ann_semantic_collapsed", "ann_semantic_auto"),
 ]
 
 
@@ -130,6 +143,13 @@ def main() -> None:
         for label, sf_dir in (("sf0_1", SF01), ("sf1", SF1)):
             runs = []
             for _ in range(2):
+                # streaming entries: cold ingest every run, never the
+                # consumed-checkpoint replay (bench.py cold-pin, r13 —
+                # the r12 stream_decontaminate_fuzzy 0.35 s sf1 number
+                # was the warm replay path this purge retires)
+                import bench
+
+                bench._cold_reset(name)
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
