@@ -169,6 +169,13 @@ def test_twin_registry_integrity():
         # r12: clone-collapse governor for the minhash family (same
         # finding; pinned equal to the anchor's argmax-collapse)
         "dedup_minhash_canonical",
+        # r13: the semantic family's clone-collapse governor pair
+        "ann_semantic_collapsed",
+        "ann_semantic_collapsed_fast",
+        # r13: duplication-factor dispatchers (fast vs collapsed arms)
+        "ann_semantic_auto",
+        "dedup_containment_auto",
+        "dedup_minhash_auto",
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():

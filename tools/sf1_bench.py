@@ -128,7 +128,14 @@ def main() -> None:
     )
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
-    spark = get_session(master=f"local[{cpus}]", app_name="sf1-bench")
+    spark = get_session(
+        master=f"local[{cpus}]",
+        app_name="sf1-bench",
+        # sf1 corpora in one heap: the engine-default 8g hit
+        # UNABLE_TO_ACQUIRE_MEMORY on the containment family's sf1 spill
+        # under a loaded box (r13) - same headroom rationale as sf10_wall
+        extra_conf={"spark.driver.memory": "24g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # warm JVM + python worker pool
     spark.read.parquet(os.path.join(SF01, "lineitem.parquet")).count()
