@@ -162,6 +162,11 @@ def run() -> None:
     if os.path.exists(partial):
         with open(partial) as f:
             out = json.load(f)
+        # refresh the middle-decade column for resumed entries: the sf1
+        # bench may have run between wall sessions (r13: it runs after
+        # the wall so the r13 entries get their sf1 rows)
+        for name, rec in out.items():
+            rec["sf1"] = sf1.get(name, rec.get("sf1"))
     for name in PANEL:
         if name in out:
             continue
