@@ -112,7 +112,12 @@ def docs_curation_restartable(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is exercised (and pinned) in tests."""
     work = _fresh_workdir("curation_restart_", sf_dir)
     frames, _report = RS.run_stages(spark, sf_dir, CURATION_STAGES, work)
-    return curation_ledger(frames)
+    # localCheckpoint (eager): the returned ledger must stay valid after
+    # the NEXT invocation wipes this work dir (_fresh_workdir's
+    # reuse-and-wipe), so it cannot keep lineage into the stage
+    # artifacts; the ledger is stage-count-sized, and materializing it
+    # here keeps the timed entry covering the full funnel either way
+    return curation_ledger(frames).localCheckpoint()
 
 
 # ---------------------------------------------------------------------------

@@ -199,17 +199,24 @@ def semantic_collapsed_frame(
     comp = DD.connected_components(
         pr.select(F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b"))
     )
-    tight = reps.select(
-        F.col("vec_id").alias("_gid"),
-        (dot_decimal(F.col("embedding"), F.col("embedding")) >= threshold).alias(
-            "_tight"
-        ),
+    # the tight bit is only ever consulted for clone cliques (_cnt > 1 —
+    # the CASE's earlier arms catch everything else), so the interpreted
+    # decimal self-dot fold runs over clique reps only: on clone-light
+    # corpora that is ~nothing instead of a corpus-sized pass
+    tight = (
+        cn.filter((F.col("_cnt") > 1) & (F.col("vec_id") == F.col("_gid")))
+        .select(
+            "_gid",
+            (
+                dot_decimal(F.col("embedding"), F.col("embedding")) >= threshold
+            ).alias("_tight"),
+        )
     )
     j = cn.join(
         comp.select(F.col("doc_id").alias("_gid"), F.col("component").alias("_comp")),
         "_gid",
         "left",
-    ).join(tight, "_gid")
+    ).join(tight, "_gid", "left")
     kept = (
         F.when(F.col("_comp").isNotNull(), F.col("vec_id") == F.col("_comp"))
         .when(F.col("_cnt") == 1, F.lit(True))

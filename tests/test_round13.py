@@ -90,15 +90,9 @@ def test_semantic_collapsed_low_norm_clone_arms(spark):
     low = [0.22360680103302, 0.22360680103302, 0.0, 0.0]  # ||v||² ≈ 0.1
     w = [0.547722578048706, 0.0, 0.0, 0.0]  # ||w||² ≈ 0.3, dot(w,u) ≈ 0.548
     far = [0.0, 0.0, 0.0, -1.0]
-    rows = [
-        (10, u), (11, u), (12, u),
-        (20, low), (21, low),
-        (30, w), (31, w), (32, u),
-        (40, far),
-    ]
-    # 10/11/12/32 share w's bucket-sign pattern; u vs w: dot(u,w) ≈ 0.548
-    # ≥ 0.35 so {10,11,12,30,31,32} is ONE component through u — keep the
-    # u clique away from w by flipping its sign axis instead:
+    # the {10,11,12} clique uses an axis ORTHOGONAL to w: a vector along
+    # w's own axis would score dot ≈ 0.548 ≥ 0.35 against 32's u and fuse
+    # {10,11,12,30,31,32} into one component
     u2 = [0.0, 0.0, 1.0, 0.0]
     rows = [
         (10, u2), (11, u2), (12, u2),
@@ -347,16 +341,49 @@ def test_cold_reset_purges_memo_and_dir():
 
 
 def test_cold_memos_cover_every_checkpoint_memoized_stream_entry():
-    """Every catalog entry whose wall time is governed by a module-level
-    ``*_STREAM_DIRS``-style staging+checkpoint memo is cold-pinned in
-    bench.py (the r12 stream_checksum_mv oscillation class), and every
-    COLD_MEMOS target resolves to a real dict."""
+    """BOTH halves of the cold-pin contract: (a) every COLD_MEMOS target
+    resolves to a real dict on a real catalog entry, and (b) every
+    module-level ``*_DIRS`` memo dict in the plans package is either a
+    COLD_MEMOS target or on the documented exclusion list — so a
+    round-14 streaming entry that adds a staging+checkpoint memo but
+    forgets the bench registration fails HERE instead of silently
+    reviving the stream_checksum_mv warm-replay oscillation class."""
     import importlib
+    import pkgutil
 
     import bench
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark import (  # noqa: E501
+        plans,
+    )
 
     for name, specs in bench.COLD_MEMOS.items():
         assert name in CATALOG
         for mod, attr in specs:
             memo = getattr(importlib.import_module(f"{bench._PKG}.{mod}"), attr)
             assert isinstance(memo, dict), (name, mod, attr)
+
+    registered = {
+        (mod.split(".", 1)[1], attr)
+        for specs in bench.COLD_MEMOS.values()
+        for mod, attr in specs
+    }
+    # memo dirs that are deliberately NOT cold-pinned, with the reason:
+    excluded = {
+        "_ZORDER_DIRS",  # offline layout artifact: warm is the lifecycle
+        "_LATE_DIRS",  # stream_late_data_audit is bench-excluded
+        "_RESTART_DIRS",  # wiped on every entry: self-cold by design
+        "_PQ_CACHE",  # prebuilt PQ artifacts: offline-index lifecycle
+    }
+    found = set()
+    for info in pkgutil.iter_modules(plans.__path__):
+        mod = importlib.import_module(f"{plans.__name__}.{info.name}")
+        for attr in dir(mod):
+            if attr.endswith("_DIRS") and isinstance(
+                getattr(mod, attr), dict
+            ):
+                found.add((info.name, attr))
+    unregistered = {
+        (m, a) for (m, a) in found
+        if a not in excluded and (m, a) not in registered
+    }
+    assert not unregistered, unregistered

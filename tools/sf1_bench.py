@@ -89,6 +89,9 @@ PANEL = [
     "ann_semantic_auto",
     "dedup_containment_auto",
     "dedup_minhash_auto",
+    # the sf10 wall carries this ingest twin; its middle-decade column
+    # merges from here (review r13: it was missing, leaving sf1=null)
+    "stream_semantic_dedup",
 ]
 
 # (anchor, twin) pairs surfaced as an explicit ratio comparison in the
@@ -112,9 +115,15 @@ TWIN_PAIRS = [
 
 
 def _round_number() -> int:
+    # bench._round_of skips artifacts without an r<digits> suffix (a stray
+    # BENCH_retry.json must not crash the final artifact write after a
+    # multi-hour run - the ADVICE r12 class, hardened here too)
+    import bench
+
     nums = [
-        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        n
         for p in glob.glob(os.path.join(HERE, "BENCH_r*.json"))
+        if (n := bench._round_of(p)) is not None
     ]
     return (max(nums) + 1) if nums else 1
 
