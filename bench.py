@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "ann_semantic_auto",
     "dedup_containment_auto",
     "dedup_minhash_auto",
+    "docs_decontaminate_fuzzy_collapsed",
     # r8 coverage sweep (VERDICT r7 item 3): every remaining catalog
     # entry is benched unless it appears in BENCH_EXCLUDED with a reason.
     # -- reference-parity complaints pipeline

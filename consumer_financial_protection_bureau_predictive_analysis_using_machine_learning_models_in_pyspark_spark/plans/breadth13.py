@@ -482,3 +482,71 @@ def ann_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapsed=lambda: semantic_collapsed_frame(corpus),
     )
     return frame.orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Clone-collapsed fuzzy decontamination (closing the r12 wall's last
+# uncollapsed high ratio).  SF10_WALL_r13 measured the fuzzy anchor at
+# 26.8x and the prebuilt twin at 40.7x two-decades: the bipartite
+# clone-clique verify pays every corpus clone its own band/probe pass.
+# Unlike containment, the fuzzy verdict is a PURE FUNCTION of the
+# normalized text vs the frozen benchmark index — identical texts have
+# identical shingle sets, so collapse is exactly verdict-preserving on
+# every corpus and the anchor's SQL is the collapsed entry's oracle
+# VERBATIM (no spliced arithmetic needed).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_decontaminate_fuzzy_collapsed",
+    CATALOG["docs_decontaminate_fuzzy"].oracle,
+    "pipeline", "decontamination", "minhash", "lsh", "fuzzy",
+    "clone-collapse", "serving",
+    twin_of="docs_decontaminate_fuzzy_prebuilt",
+    twin_pin="tests/test_round13.py::test_fuzzy_collapsed_equals_prebuilt",
+)
+def docs_decontaminate_fuzzy_collapsed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy benchmark decontamination with EXACT-CLONE COLLAPSE before
+    the corpus-side shingle/band/probe pass: byte-identical normalized
+    texts collapse to their min-id representative in one window, only
+    representatives are hashed and probed against the frozen benchmark
+    band index (``fuzzy_bench_index_for`` — the prebuilt serving
+    lifecycle), and members inherit their representative's verdict as a
+    projection.  Because the verdict is a pure function of (normalized
+    text, frozen index), this EQUALS the anchor row-for-row on any
+    corpus — the anchor's oracle is reused verbatim, and equality with
+    the prebuilt twin is pinned in pytest.
+
+    Scale posture: corpus clone depth m shrinks the shingle+minhash and
+    candidate-verify stages m× instead of multiplying the bipartite
+    clone-clique verify (the SF10_WALL_r13 26.8×/40.7× two-decade
+    ratios this entry governs); the expansion is one rep-dim hash join.
+    On clone-light corpora the collapse window is the usual small
+    premium — the dup-factor dispatch pattern applies if a caller wants
+    it routed (operators/dispatch.py)."""
+    from .breadth11 import fd_corpus, fuzzy_flagged
+    from .breadth12 import fuzzy_bench_index_for
+
+    corpus = fd_corpus(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy("_ntext")
+    cn = corpus.select(
+        "doc_id", "text", norm.alias("_ntext")
+    ).select("doc_id", "text", F.min("doc_id").over(w).alias("_gid"))
+    reps = cn.filter(F.col("doc_id") == F.col("_gid")).select(
+        "doc_id", "text"
+    )
+    hc = DD.shingle_hashes(reps)
+    bc = DD.minhash_band_keys(hc)
+    hb, bb = fuzzy_bench_index_for(spark, sf_dir)
+    rep_flags = fuzzy_flagged(hc, bc, hb, bb).withColumnRenamed(
+        "doc_id", "_gid"
+    )
+    return (
+        cn.select("doc_id", "_gid")
+        .join(rep_flags, "_gid")
+        .select("doc_id", "n_bench_hits", "best_bench_id", "best_jaccard_u")
+        .orderBy("doc_id")
+    )

@@ -273,6 +273,60 @@ def test_semantic_auto_clone_heavy_routes_collapsed(spark):
     assert got == _rows(breadth13.semantic_uncollapsed_frame(heavy))
 
 
+def test_fuzzy_collapsed_equals_prebuilt(spark):
+    """The fuzzy verdict is a pure function of (normalized text, frozen
+    index), so the clone-collapsed form equals the prebuilt twin
+    row-for-row — on the fixture AND on a clone-injected corpus, where
+    every injected clone inherits its representative's verdict."""
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.plans import (  # noqa: E501
+        breadth11,
+        breadth12 as b12,
+    )
+    from consumer_financial_protection_bureau_predictive_analysis_using_machine_learning_models_in_pyspark_spark.operators import (  # noqa: E501
+        dedup as DD,
+    )
+
+    got = _rows(CATALOG["docs_decontaminate_fuzzy_collapsed"].fn(spark, SF))
+    want = _rows(CATALOG["docs_decontaminate_fuzzy_prebuilt"].fn(spark, SF))
+    assert got == want and len(got) > 0
+
+    # clone arm: duplicate every flagged-candidate doc and re-run the
+    # collapsed program over the augmented corpus — each clone must get
+    # exactly its original's verdict
+    corpus = breadth11.fd_corpus(spark, SF)
+    aug = corpus.unionByName(
+        corpus.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+        )
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("_ntext")
+    cn = aug.select("doc_id", "text", norm.alias("_ntext")).select(
+        "doc_id", "text", F.min("doc_id").over(w).alias("_gid")
+    )
+    reps = cn.filter(F.col("doc_id") == F.col("_gid")).select("doc_id", "text")
+    hc = DD.shingle_hashes(reps)
+    bc = DD.minhash_band_keys(hc)
+    hb, bb = b12.fuzzy_bench_index_for(spark, SF)
+    flags = breadth11.fuzzy_flagged(hc, bc, hb, bb).withColumnRenamed(
+        "doc_id", "_gid"
+    )
+    out = {
+        r.doc_id: (r.n_bench_hits, r.best_bench_id, r.best_jaccard_u)
+        for r in cn.select("doc_id", "_gid").join(flags, "_gid").collect()
+    }
+    base = dict(
+        (d, (n, b, j)) for d, n, b, j in want
+    )
+    clones = {d: v for d, v in out.items() if d >= 20_000_000}
+    assert clones
+    for d, v in clones.items():
+        assert v == base[d - 20_000_000], d
+    assert {d: v for d, v in out.items() if d < 20_000_000} == base
+
+
 # ---------------------------------------------------------------------------
 # r12 ADVICE hardening
 # ---------------------------------------------------------------------------

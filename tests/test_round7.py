@@ -176,6 +176,10 @@ def test_twin_registry_integrity():
         "ann_semantic_auto",
         "dedup_containment_auto",
         "dedup_minhash_auto",
+        # r13: clone-collapse governor for the fuzzy-decontamination
+        # family (verdict is a pure function of text vs the frozen
+        # index, so the anchor's oracle covers it verbatim)
+        "docs_decontaminate_fuzzy_collapsed",
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():

@@ -69,6 +69,10 @@ PANEL = [
     # per-batch cost must stay batch-sized, not corpus-sized
     "stream_decontaminate_fuzzy",
     "stream_semantic_dedup",
+    # r13 second wave: the fuzzy family's collapse governor (verdicts
+    # are text-pure, so this governs the 26.8x/40.7x bipartite
+    # clone-clique ratios above)
+    "docs_decontaminate_fuzzy_collapsed",
 ]
 
 # anchors NOT run at sf10, with the committed reasons the judge reads

@@ -92,6 +92,7 @@ PANEL = [
     # the sf10 wall carries this ingest twin; its middle-decade column
     # merges from here (review r13: it was missing, leaving sf1=null)
     "stream_semantic_dedup",
+    "docs_decontaminate_fuzzy_collapsed",
 ]
 
 # (anchor, twin) pairs surfaced as an explicit ratio comparison in the
@@ -111,6 +112,7 @@ TWIN_PAIRS = [
     ("dedup_containment_canonical_fast", "dedup_containment_auto"),
     ("dedup_minhash_canonical", "dedup_minhash_auto"),
     ("ann_semantic_collapsed", "ann_semantic_auto"),
+    ("docs_decontaminate_fuzzy_prebuilt", "docs_decontaminate_fuzzy_collapsed"),
 ]
 
 
