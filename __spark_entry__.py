@@ -47,6 +47,7 @@ _PRIORITY = [
     "dedup_minhash_auto",  # never checked — first driver row
     "ann_semantic_auto",  # never checked — first driver row
     "docs_decontaminate_fuzzy_collapsed",  # never checked — first driver row
+    "docs_decontaminate_fuzzy_auto",  # never checked — first driver row
     "stream_join_mv",  # newest driver row r7
     "docs_pack_sequences",  # newest driver row r7
     "docs_domain_reweight",  # newest driver row r7
@@ -90,8 +91,8 @@ _PRIORITY = [
     "stream_sliding_counts",  # newest driver row r8
     "events_grouping_sets",  # newest driver row r8
     "q4_order_priority",  # newest driver row r8
-    "q7_volume_shipping",  # newest driver row r8
     # ---- window boundary (50): overflow is staleness-ordered ----
+    "q7_volume_shipping",  # newest driver row r8
     "q8_market_share",  # newest driver row r8
     "q10_returned_items",  # newest driver row r8
     "q13_customer_distribution",  # newest driver row r8

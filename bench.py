@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "dedup_containment_auto",
     "dedup_minhash_auto",
     "docs_decontaminate_fuzzy_collapsed",
+    "docs_decontaminate_fuzzy_auto",
     # r8 coverage sweep (VERDICT r7 item 3): every remaining catalog
     # entry is benched unless it appears in BENCH_EXCLUDED with a reason.
     # -- reference-parity complaints pipeline

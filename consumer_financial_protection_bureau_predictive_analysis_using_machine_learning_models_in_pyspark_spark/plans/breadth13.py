@@ -550,3 +550,43 @@ def docs_decontaminate_fuzzy_collapsed(
         .select("doc_id", "n_bench_hits", "best_bench_id", "best_jaccard_u")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_decontaminate_fuzzy_auto",
+    CATALOG["docs_decontaminate_fuzzy"].oracle,
+    "pipeline", "decontamination", "minhash", "lsh", "fuzzy", "dispatch",
+    "clone-collapse", "serving",
+    twin_of="docs_decontaminate_fuzzy_collapsed",
+    twin_pin="tests/test_round13.py::test_fuzzy_auto_routes_and_matches",
+)
+def docs_decontaminate_fuzzy_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination behind the duplication-factor dispatch —
+    the fourth family to get the r13 routing: factor < 2 → the prebuilt
+    twin's program (probe the frozen index with the full corpus; this
+    fixture: ~1.1, no collapse-window premium), factor ≥ 2 → the
+    clone-collapse governor (the key-shifted sf1/sf10 corpora: ~10/~100,
+    where it is a measured 8× absolute win at sf10).  Arms are
+    value-equal in every regime (verdicts are text-pure), so the
+    anchor's oracle covers both routes and the dispatch is purely the
+    cost decision."""
+    from .breadth11 import fd_corpus, fuzzy_flagged
+    from .breadth12 import fuzzy_bench_index_for
+
+    corpus = fd_corpus(spark, sf_dir)
+
+    def fast() -> DataFrame:
+        hc = DD.shingle_hashes(corpus)
+        bc = DD.minhash_band_keys(hc)
+        hb, bb = fuzzy_bench_index_for(spark, sf_dir)
+        return fuzzy_flagged(hc, bc, hb, bb)
+
+    _choice, _factor, frame = dispatch_by_duplication(
+        corpus,
+        _norm_text(),
+        fast=fast,
+        collapsed=lambda: CATALOG["docs_decontaminate_fuzzy_collapsed"].fn(
+            spark, sf_dir
+        ),
+    )
+    return frame.orderBy("doc_id")

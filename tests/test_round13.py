@@ -327,6 +327,19 @@ def test_fuzzy_collapsed_equals_prebuilt(spark):
     assert {d: v for d, v in out.items() if d < 20_000_000} == base
 
 
+def test_fuzzy_auto_routes_and_matches(spark):
+    """Clone-light fixture → the prebuilt-program arm, equal to both the
+    prebuilt twin and the collapsed governor (text-pure verdicts)."""
+    got = _rows(CATALOG["docs_decontaminate_fuzzy_auto"].fn(spark, SF))
+    assert got == _rows(
+        CATALOG["docs_decontaminate_fuzzy_prebuilt"].fn(spark, SF)
+    )
+    assert got == _rows(
+        CATALOG["docs_decontaminate_fuzzy_collapsed"].fn(spark, SF)
+    )
+    assert len(got) > 0
+
+
 # ---------------------------------------------------------------------------
 # r12 ADVICE hardening
 # ---------------------------------------------------------------------------

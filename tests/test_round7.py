@@ -180,6 +180,7 @@ def test_twin_registry_integrity():
         # family (verdict is a pure function of text vs the frozen
         # index, so the anchor's oracle covers it verbatim)
         "docs_decontaminate_fuzzy_collapsed",
+        "docs_decontaminate_fuzzy_auto",
     }
     assert set(twins) == expected, set(twins) ^ expected
     for name, spec in twins.items():

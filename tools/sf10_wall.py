@@ -73,6 +73,7 @@ PANEL = [
     # are text-pure, so this governs the 26.8x/40.7x bipartite
     # clone-clique ratios above)
     "docs_decontaminate_fuzzy_collapsed",
+    "docs_decontaminate_fuzzy_auto",
 ]
 
 # anchors NOT run at sf10, with the committed reasons the judge reads

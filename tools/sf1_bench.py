@@ -93,6 +93,7 @@ PANEL = [
     # merges from here (review r13: it was missing, leaving sf1=null)
     "stream_semantic_dedup",
     "docs_decontaminate_fuzzy_collapsed",
+    "docs_decontaminate_fuzzy_auto",
 ]
 
 # (anchor, twin) pairs surfaced as an explicit ratio comparison in the
@@ -113,6 +114,7 @@ TWIN_PAIRS = [
     ("dedup_minhash_canonical", "dedup_minhash_auto"),
     ("ann_semantic_collapsed", "ann_semantic_auto"),
     ("docs_decontaminate_fuzzy_prebuilt", "docs_decontaminate_fuzzy_collapsed"),
+    ("docs_decontaminate_fuzzy_collapsed", "docs_decontaminate_fuzzy_auto"),
 ]
 
 
