@@ -560,6 +560,17 @@ _BOUNDED_HINT_JUSTIFICATIONS = {
         " frozen per-session index (fuzzy_bench_index_for) instead of"
         " rebuilt — benchmark-bounded by the same eval-suite argument"
     ),
+    "docs_decontaminate_fuzzy_collapsed": (
+        "same frozen benchmark-side banded keys as the prebuilt twin"
+        " (fuzzy_bench_index_for) — benchmark-bounded; only the corpus"
+        " side changed (collapsed to representatives), and that side is"
+        " the probe, never the broadcast"
+    ),
+    "docs_decontaminate_fuzzy_auto": (
+        "whichever arm the dup-factor routes, the broadcast is the same"
+        " frozen benchmark-side banded keys — benchmark-bounded by the"
+        " eval-suite argument the whole family shares"
+    ),
     "ann_recall_eval": "probe set literal-bounded (both arms share it)",
     "ann_hard_negatives": "probe set literal-bounded (vec_id < 10)",
     "ann_ivf_nprobe_sweep": (

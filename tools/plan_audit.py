@@ -197,6 +197,15 @@ AUDIT = {
         "verdict expansion is rep-dim joins back onto the cached "
         "corpus."
     ),
+    "docs_decontaminate_fuzzy_collapsed": (
+        "One text-keyed window collapses clone cliques; the corpus-side "
+        "shingle/minhash/band pass and the candidate verify see "
+        "representative rows only, the frozen benchmark index enters as "
+        "in-memory leaves on the broadcast side (the prebuilt twin's "
+        "lifecycle), and member verdicts are one rep-dim hash join - "
+        "clone depth m divides the probe work instead of multiplying "
+        "the bipartite verify."
+    ),
     "dedup_containment_auto": (
         "The dispatch probe is one partial-aggregated pass over a "
         "narrow normalized-text projection (approx_count_distinct - an "

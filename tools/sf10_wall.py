@@ -97,8 +97,11 @@ EXCLUDED = {
         " O(n^2) by definition; serving paths are the LSH/IVF twins"
     ),
     "ann_semantic_canonical": (
-        "all-pairs-within-cell verify over 100-deep clone cells; the"
-        " _fast twin carries the family at scale"
+        "exact-decimal verification entry: bucket pairs over 100-deep"
+        " clone cliques are ~10,000x the sf0.1 pair volume by"
+        " construction; since r13 the family's scale story is"
+        " ann_semantic_collapsed(_fast) (measured in PANEL: 0.69x/1.05x"
+        " two-decades), with ann_semantic_auto routing automatically"
     ),
     "ann_semantic_canonical_fast": (
         "MEASURED r12: OOM-killed a 64 GB heap at sf10 — per-cell"
