@@ -529,12 +529,20 @@ def docs_decontaminate_fuzzy_collapsed(
     from .breadth11 import fd_corpus, fuzzy_flagged
     from .breadth12 import fuzzy_bench_index_for
 
+    from pyspark.storagelevel import StorageLevel
+
     corpus = fd_corpus(spark, sf_dir)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     w = Window.partitionBy("_ntext")
-    cn = corpus.select(
-        "doc_id", "text", norm.alias("_ntext")
-    ).select("doc_id", "text", F.min("doc_id").over(w).alias("_gid"))
+    # _norm_text() is the SAME normalization the dispatch probe keys on —
+    # one definition, so the collapse grouping and the routing factor can
+    # never disagree on what counts as a clone; persisted because the
+    # windowed frame feeds BOTH the rep probe pipeline and the member
+    # join (the semantic/containment collapse-frame discipline)
+    cn = (
+        corpus.select("doc_id", "text", _norm_text().alias("_ntext"))
+        .select("doc_id", "text", F.min("doc_id").over(w).alias("_gid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     reps = cn.filter(F.col("doc_id") == F.col("_gid")).select(
         "doc_id", "text"
     )

@@ -434,19 +434,31 @@ def test_cold_memos_cover_every_checkpoint_memoized_stream_entry():
         for specs in bench.COLD_MEMOS.values()
         for mod, attr in specs
     }
-    # memo dirs that are deliberately NOT cold-pinned, with the reason:
+    # memo dicts that are deliberately NOT cold-pinned, with the reason:
     excluded = {
         "_ZORDER_DIRS",  # offline layout artifact: warm is the lifecycle
         "_LATE_DIRS",  # stream_late_data_audit is bench-excluded
         "_RESTART_DIRS",  # wiped on every entry: self-cold by design
-        "_PQ_CACHE",  # prebuilt PQ artifacts: offline-index lifecycle
+        # prebuilt serving indexes/artifacts: warm-by-design, primed in
+        # _prime_session so run 1 matches every later run
+        "_PQ_CACHE",
+        "_IVF_CACHE",
+        "_MINHASH_IDX_CACHE",
+        "_FUZZY_IDX_CACHE",
+        "_REBUILD_IDX_CACHE",
+        "_LR_SCORED_CACHE",  # session-scoped scored frame (ML eval dim)
+        "CATALOG",  # the registry itself (imported into every module)
     }
     found = set()
     for info in pkgutil.iter_modules(plans.__path__):
         mod = importlib.import_module(f"{plans.__name__}.{info.name}")
         for attr in dir(mod):
-            if attr.endswith("_DIRS") and isinstance(
-                getattr(mod, attr), dict
+            # any module-level dict memo: *_DIRS staging dirs AND
+            # *_CACHE/*_STATE-style memos — a rename must not dodge
+            # the contract
+            if (
+                attr.endswith(("_DIRS", "_CACHE", "_STATE"))
+                and isinstance(getattr(mod, attr), dict)
             ):
                 found.add((info.name, attr))
     unregistered = {
