@@ -882,7 +882,8 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # each run restores the watermark before reading new files
             pkey = "spark.sql.shuffle.partitions"
             old = spark.conf.get(pkey)
-            spark.conf.set(pkey, "32")  # state-partition pin, see _drain
+            # state-partition pin, see streaming.jobs.STREAM_STATE_PARTITIONS
+            spark.conf.set(pkey, str(SJ.STREAM_STATE_PARTITIONS))
             try:
                 for i in range(3):
                     for f_ in os.listdir(f"{in_dir}/b{i}"):

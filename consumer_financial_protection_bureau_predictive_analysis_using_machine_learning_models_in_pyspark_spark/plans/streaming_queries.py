@@ -33,25 +33,24 @@ def _drain(
     spark: SparkSession,
     stream: DataFrame,
     mode: str = "append",
-    shuffle_partitions: int = 32,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain to a memory sink with a pinned state-partition count.
 
     A streaming query's state-store partition count is fixed at FIRST start
     from ``spark.sql.shuffle.partitions`` — under a vanilla session that is
     200, i.e. 200 state-store providers to open/commit per micro-batch for
-    sf0.01-sized fixtures.  Pin a deployment-appropriate count while the
-    query starts, restore the session default after (a real cluster sizes
-    this to cores × a small factor, scaled with state volume).
+    sf0.01-sized fixtures.  The pin itself lives in
+    ``streaming.jobs.pinned_state_partitions`` (held by ``run_to_memory``):
+    every stream commits the deliberate ``STREAM_STATE_PARTITIONS`` sizing
+    (env ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``, default 8 — r13: each
+    stateful op commits one state delta per partition per micro-batch, so
+    an inherited 32/200 multiplies fixed checkpoint I/O for no parallelism
+    gain at per-batch state sizes; production sizes it to state volume).
     """
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(shuffle_partitions))
-    try:
+    with SJ.pinned_state_partitions(spark, shuffle_partitions):
         name = f"stream_sink_{os.getpid()}_{next(_SINK_IDS)}"
         SJ.run_to_memory(stream, name, output_mode=mode)
-    finally:
-        spark.conf.set(key, old)
     return spark.table(name)
 
 
