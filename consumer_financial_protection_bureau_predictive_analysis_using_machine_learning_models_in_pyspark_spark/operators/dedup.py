@@ -248,6 +248,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: shingle → sign → band → candidates →
     exact-Jaccard verify ≥ threshold.
@@ -255,6 +256,9 @@ def minhash_dedup_pairs(
     The shingle-hash frame is persisted: it feeds the signature pass AND the
     three Jaccard-verify joins, and recomputing the tokenize+md5 explode per
     consumer dominates the job (at 100 TB this frame is a checkpoint).
+    A caller that already holds that frame (e.g. an eval computing exact
+    truth from the same shingles) passes it as ``hashes`` so the
+    tokenize+md5 pass runs once for both sides.
 
     The input is hash-repartitioned by doc_id first: shingling is CPU-bound
     (md5 per shingle), so it must spread across every core even when the
@@ -263,10 +267,11 @@ def minhash_dedup_pairs(
     shuffling the exploded frame."""
     from pyspark import StorageLevel
 
-    par = spark.sparkContext.defaultParallelism
-    hashes = shingle_hashes(
-        df.repartition(par, "doc_id"), text_col, hash_fn=hash_fn
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if hashes is None:
+        par = spark.sparkContext.defaultParallelism
+        hashes = shingle_hashes(
+            df.repartition(par, "doc_id"), text_col, hash_fn=hash_fn
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(minhash_band_keys(hashes))
     return jaccard_on_pairs(cands, hashes).filter(F.col("jaccard") >= threshold)
 

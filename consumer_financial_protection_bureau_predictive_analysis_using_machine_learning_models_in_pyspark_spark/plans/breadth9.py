@@ -613,11 +613,17 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     aug = _recall_corpus(spark, sf_dir)
-    sh = (
-        DD.shingle_hashes(aug)
-        .withColumn("_blk", F.lit(0))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE persisted shingle-hash frame feeds BOTH sides of the eval: the
+    # exact-truth inverted index below and the banded LSH pipeline
+    # (passed into minhash_dedup_pairs as ``hashes``) — previously each
+    # side re-ran the tokenize+md5 explode over the corpus (r13
+    # optimization; values unchanged, shingle hashing is per-row
+    # deterministic)
+    par = spark.sparkContext.defaultParallelism
+    sh0 = DD.shingle_hashes(aug.repartition(par, "doc_id")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    sh = sh0.withColumn("_blk", F.lit(0))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     truth = (
         DD.shingle_overlap_pairs(sh, block_col="_blk")
@@ -638,7 +644,7 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("j_bucket"),
         )
     )
-    lsh = DD.minhash_dedup_pairs(spark, aug, threshold=0.5).select(
+    lsh = DD.minhash_dedup_pairs(spark, aug, threshold=0.5, hashes=sh0).select(
         F.col("doc_a").alias("id_a"),
         F.col("doc_b").alias("id_b"),
         F.lit(1).alias("_hit"),
