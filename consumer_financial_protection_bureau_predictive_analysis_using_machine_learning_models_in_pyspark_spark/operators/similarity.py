@@ -786,12 +786,18 @@ def semantic_dedup_incremental(
         hit = (p @ c.T >= thr).any(axis=1)
         return pd.DataFrame({"probe_id": right["probe_id"][hit]})
 
+    from pyspark import StorageLevel
+
     corpus_hits = (
         corpus.select("cell", "vec")
         .groupby("cell")
         .cogroup(pb.groupby("cell"))
         .applyInPandas(cell_hits, f"probe_id {id_type}")
         .distinct()
+        # consumed by the novel anti-join AND the final status join: the
+        # per-cell BLAS cogroup behind it must run once, not once per
+        # consumer (r13 optimization; frame is batch-sized ids)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     novel = pb.join(corpus_hits, "probe_id", "left_anti")
     novel_idx = IvfIndex(
@@ -1045,6 +1051,8 @@ def semantic_dedup_incremental_lsh(
         F.col(vec_col).alias("_bvec"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
     )
+    from pyspark import StorageLevel
+
     hits = (
         bb.join(cb, "_bucket")
         # same lossless double-prefilter discipline as cosine_near_dup_pairs
@@ -1058,9 +1066,16 @@ def semantic_dedup_incremental_lsh(
         )
         .select("doc_id")
         .distinct()
+        # consumed by the novel anti-join AND the final status union: the
+        # bucket-probe + decimal-dot verify behind it must run once, not
+        # once per consumer (r13 optimization; frame is batch-sized)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    novel = batch.select(F.col(id_col).alias("doc_id"), vec_col).join(
-        hits, "doc_id", "left_anti"
+    novel = (
+        batch.select(F.col(id_col).alias("doc_id"), vec_col)
+        .join(hits, "doc_id", "left_anti")
+        # consumed by the in-batch pair generation AND the status branch
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = cosine_near_dup_pairs(
         novel.select(F.col("doc_id").alias(id_col), vec_col),

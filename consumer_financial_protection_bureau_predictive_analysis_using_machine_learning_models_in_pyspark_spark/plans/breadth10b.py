@@ -1323,7 +1323,16 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    truth = SIM.cosine_topk(emb, probes, k=5)
+    # the exact all-pairs truth list is consumed by all five sweep
+    # points: persist it so the union plan computes it once, not once
+    # per operating point (r13 optimization — lazy persist, not an eager
+    # checkpoint, so the single truth pass still overlaps the sweep
+    # branches inside the one union job)
+    from pyspark.storagelevel import StorageLevel
+
+    truth = SIM.cosine_topk(emb, probes, k=5).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     index = ivf_index_for(spark, sf_dir, n_cells=8, n_assign=2)
     frames = []
     for m in _NPROBE_GRID:
