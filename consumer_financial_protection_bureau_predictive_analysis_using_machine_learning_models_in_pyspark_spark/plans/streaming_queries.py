@@ -383,7 +383,14 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") != F.col("component"))
             .select(F.col("doc_id").alias("neighbor_id"))
         )
-    canon_assigned = idx.assigned.join(losers, "neighbor_id", "left_anti")
+    # materialize the canonical assignment ONCE (it IS the offline
+    # artifact this entry serves): unmaterialized, every micro-batch
+    # re-ran the loser anti-join as part of its probe plan (r13
+    # optimization; localCheckpoint also truncates the CC lineage the
+    # losers frame carries)
+    canon_assigned = idx.assigned.join(
+        losers, "neighbor_id", "left_anti"
+    ).localCheckpoint()
     canon_idx = SIM.IvfIndex(canon_assigned, idx.centroids, idx.n_assign)
 
     stream = SJ.read_embeddings_stream(spark, flat, max_files_per_trigger=1)
