@@ -132,7 +132,17 @@ def run_stages(
                 f"injected failure before stage {ix} ({name}); "
                 f"{sum(1 for r in report)} stages committed"
             )
-        fn(spark, sf_dir, frames).write.mode("overwrite").parquet(path)
+        # REBALANCE before the artifact write (guide §6 output sizing):
+        # without it every stage artifact inherits the session's shuffle
+        # width (32 near-empty files per stage locally; at cluster width,
+        # thousands), paying per-file open/commit on every write AND
+        # every downstream read/resume.  The hint lets AQE size output
+        # splits to advisoryPartitionSizeInBytes — one file at bench
+        # scale, ~advisory-sized files at 100 TB — instead of a
+        # hard-coded coalesce tuned to either.
+        fn(spark, sf_dir, frames).hint("rebalance").write.mode(
+            "overwrite"
+        ).parquet(path)
         out = spark.read.parquet(path)
         manifest[name] = {"rows": out.count(), "complete": True}
         _commit_manifest(work_dir, manifest)

@@ -352,8 +352,15 @@ def _stage_exact_dedup(spark: SparkSession, sf_dir: str, frames: dict) -> DataFr
     # containment candidate join is quadratic in clone multiplicity on
     # both engines without this (the oracle spilled >70 GB at sf1).
     s1k = frames["j1"].filter(F.col("reason") == "kept").drop("reason")
-    keepers = s1k.groupBy("text").agg(F.min("doc_id").alias("_keeper"))
-    return s1k.join(keepers, "text")
+    # min-id per byte-identical text as a window, not groupBy+self-join:
+    # one text-keyed Exchange instead of two (the aggregate's and the
+    # join's) and no join — same rows, same _keeper values (r13
+    # optimization, guide §2.4 remove-shuffles).  Join-vs-window NULL
+    # semantics cannot diverge here: 'kept' docs passed min_chars
+    # (length(text) >= 100), so text is never NULL on this frame.
+    return s1k.withColumn(
+        "_keeper", F.min("doc_id").over(Window.partitionBy("text"))
+    )
 
 
 def _stage_near_dedup(spark: SparkSession, sf_dir: str, frames: dict) -> DataFrame:
