@@ -12,6 +12,8 @@ import re
 import sys
 
 QUERIES = [
+    "dedup_minhash_lsh",
+    "ann_cosine_topk_fast",
     "ann_semantic_canonical",
     "ann_semantic_canonical_fast",
     "dedup_containment_canonical",
