@@ -1187,7 +1187,18 @@ def fuzzy_flagged(
     corpus never self-joins; the verify touches candidate pairs only.
     Shared verbatim by docs_decontaminate_fuzzy (inline index), the
     prebuilt-index twin, and the streaming twin's per-batch probe
-    (breadth12) — the composition cannot drift from the anchor."""
+    (breadth12) — the composition cannot drift from the anchor.
+
+    The corpus-side hash frame feeds the size aggregate AND the
+    intersect join here, and (at most call sites) the band-key signature
+    pass upstream: persist it so the tokenize+md5 explode runs once per
+    call, not once per consumer (r13 optimization; the
+    minhash_dedup_pairs discipline applied to the bipartite form —
+    re-persisting an already-persisted input is a benign CacheManager
+    no-op)."""
+    from pyspark.storagelevel import StorageLevel
+
+    hc = hc.persist(StorageLevel.MEMORY_AND_DISK)
     cands = (
         bc.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(

@@ -555,9 +555,17 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     the family's domain, clones included."""
     from .text_queries import _aug
 
+    from pyspark.storagelevel import StorageLevel
+
     corpus = _aug(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    cn = corpus.select("doc_id", "text", norm.alias("_ntext"))
+    # cn feeds the clique aggregate, the rep selection AND the member
+    # expansion; g feeds rep selection AND member expansion — persist
+    # both so the corpus normalization/scan runs once, not 3x (r13
+    # optimization; values unchanged)
+    cn = corpus.select("doc_id", "text", norm.alias("_ntext")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     g = (
         cn.groupBy("_ntext")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
@@ -567,6 +575,7 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("_ids").alias("_cnt"),
             F.try_element_at("_ids", F.lit(2)).alias("_m2"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     reps = (
         cn.join(g.select("_ntext", "_gid"), "_ntext")
