@@ -258,7 +258,12 @@ def minhash_dedup_pairs(
     consumer dominates the job (at 100 TB this frame is a checkpoint).
     A caller that already holds that frame (e.g. an eval computing exact
     truth from the same shingles) passes it as ``hashes`` so the
-    tokenize+md5 pass runs once for both sides.
+    tokenize+md5 pass runs once for both sides.  ``hashes`` SUPERSEDES
+    ``df``/``text_col``/``hash_fn`` — those inputs are ignored when it is
+    given (the frame must come from ``shingle_hashes`` over the same
+    corpus, or the pairs are silently wrong); passing a non-default
+    ``text_col``/``hash_fn`` together with ``hashes`` therefore raises
+    rather than implying a re-hash that will never happen (ADVICE r13).
 
     The input is hash-repartitioned by doc_id first: shingling is CPU-bound
     (md5 per shingle), so it must spread across every core even when the
@@ -272,6 +277,13 @@ def minhash_dedup_pairs(
         hashes = shingle_hashes(
             df.repartition(par, "doc_id"), text_col, hash_fn=hash_fn
         ).persist(StorageLevel.MEMORY_AND_DISK)
+    elif text_col != "text" or hash_fn != "md5":
+        raise ValueError(
+            "minhash_dedup_pairs: explicit `hashes` supersedes df/text_col/"
+            "hash_fn — non-default text_col/hash_fn would be silently "
+            "ignored; build `hashes` with those settings via shingle_hashes "
+            "instead"
+        )
     cands = lsh_candidate_pairs(minhash_band_keys(hashes))
     return jaccard_on_pairs(cands, hashes).filter(F.col("jaccard") >= threshold)
 

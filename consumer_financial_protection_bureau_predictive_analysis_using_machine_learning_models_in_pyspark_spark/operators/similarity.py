@@ -709,6 +709,7 @@ def semantic_dedup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     canonical_ids: DataFrame | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Steady-state SemDeDup: triage a NEW embedding batch against an
     existing, already-deduplicated canonical corpus — the semantic twin
@@ -796,9 +797,16 @@ def semantic_dedup_incremental(
         .distinct()
         # consumed by the novel anti-join AND the final status join: the
         # per-cell BLAS cogroup behind it must run once, not once per
-        # consumer (r13 optimization; frame is batch-sized ids)
+        # consumer (r13 optimization; frame is batch-sized ids).  The
+        # persist cannot be released here (the returned plan is lazy), so
+        # a PER-BATCH caller — every micro-batch builds a DISTINCT plan
+        # the CacheManager cannot dedupe, accumulating cache entries for
+        # the stream's lifetime (ADVICE r13) — passes ``scratch`` and
+        # unpersists after materializing (see run_streaming_semantic_dedup)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if scratch is not None:
+        scratch.append(corpus_hits)
     novel = pb.join(corpus_hits, "probe_id", "left_anti")
     novel_idx = IvfIndex(
         novel.select(
@@ -1014,6 +1022,7 @@ def semantic_dedup_incremental_lsh(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scratch: list | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup with HYPERPLANE-LSH candidate generation —
     the deterministic, value-oracle-able twin of
@@ -1068,7 +1077,11 @@ def semantic_dedup_incremental_lsh(
         .distinct()
         # consumed by the novel anti-join AND the final status union: the
         # bucket-probe + decimal-dot verify behind it must run once, not
-        # once per consumer (r13 optimization; frame is batch-sized)
+        # once per consumer (r13 optimization; frame is batch-sized).
+        # ``scratch`` carries the same release contract as the IVF twin
+        # (ADVICE r13): a per-batch caller appends-and-unpersists after
+        # materialization; one-shot batch entries leave it None (session
+        # cache, CacheManager-deduped across repeat runs)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     novel = (
@@ -1077,6 +1090,8 @@ def semantic_dedup_incremental_lsh(
         # consumed by the in-batch pair generation AND the status branch
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if scratch is not None:
+        scratch.extend([hits, novel])
     pairs = cosine_near_dup_pairs(
         novel.select(F.col("doc_id").alias(id_col), vec_col),
         dim=dim,

@@ -320,8 +320,19 @@ def docs_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline writes between stages — docs_curation_restartable
     # (breadth12) runs the SAME stage functions with a parquet+manifest
     # materializer and a resume path.
+    # swap_local_checkpoint: the returned ledger references the stage
+    # checkpoints lazily, so they cannot be released here — instead each
+    # re-invocation releases the PREVIOUS run's stage artifacts (steady
+    # state: one live checkpoint per stage per session, not one per run —
+    # r14 hygiene sweep)
+    from ..operators.cache import swap_local_checkpoint
+
     frames = curation_frames(
-        spark, sf_dir, materialize=lambda _name, df: df.localCheckpoint()
+        spark,
+        sf_dir,
+        materialize=lambda name, df: swap_local_checkpoint(
+            f"docs_curation_e2e.{name}:{sf_dir}", df.localCheckpoint()
+        ),
     )
     return curation_ledger(frames)
 
@@ -768,9 +779,18 @@ def ann_ivf_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             recall_after = _mean_recall(idx1)
         else:
             recall_after = recall_stale
+        n_batch = batch.count()
+        # every consumer above is eager (collects + the count), so the
+        # per-scenario checkpoints can be released before returning —
+        # otherwise each invocation leaked 4 checkpointed RDDs into
+        # storage for the session's lifetime (r14 hygiene sweep)
+        from ..operators.cache import release_local_checkpoint
+
+        release_local_checkpoint(batch)
+        release_local_checkpoint(truth)
         return (
             scenario,
-            batch.count(),
+            n_batch,
             drift_u,
             rebuild,
             recall_stale,
@@ -849,6 +869,17 @@ def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = base.filter(F.col("doc_id") % 25 == 0)
 
     # ---- frozen dims (offline build, checkpointed) ----
+    # swap_local_checkpoint on every dim: each cold re-run rebuilds the
+    # frozen dims, and localCheckpoints are invisible to the CacheManager
+    # — without the swap a session accumulated 7 dead checkpointed RDDs
+    # per run (r14 hygiene sweep)
+    from ..operators.cache import swap_local_checkpoint
+
+    def _ck(slot: str, df: DataFrame) -> DataFrame:
+        return swap_local_checkpoint(
+            f"stream_curation_e2e.{slot}:{sf_dir}", df.localCheckpoint()
+        )
+
     flags = PL.filter_chain(train, quality_rule_set())
     s1k = (
         train.join(flags.select("doc_id", "reason"), "doc_id")
@@ -856,30 +887,32 @@ def stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("reason")
     )
     # frozen exact-dedup index: text -> canonical (min) doc id
-    keepers = s1k.groupBy("text").agg(
-        F.min("doc_id").alias("_keeper")
-    ).localCheckpoint()
+    keepers = _ck(
+        "keepers",
+        s1k.groupBy("text").agg(F.min("doc_id").alias("_keeper")),
+    )
     s1x = (
         s1k.join(keepers, "text")
         .filter(F.col("doc_id") == F.col("_keeper"))
         .drop("_keeper")
     )
-    sh = _shingles_of(s1x).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n")
-    ).localCheckpoint()
-    dfh = sh.groupBy("lang", "h").agg(
-        F.count(F.lit(1)).alias("df")
-    ).localCheckpoint()
+    sh = _ck("sh", _shingles_of(s1x))
+    sizes = _ck(
+        "sizes", sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    dfh = _ck(
+        "dfh", sh.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
+    )
     cold_keys = dfh.filter(F.col("df") <= DD.SHINGLE_MAX_DF).select("lang", "h")
     hot_keys = dfh.filter(F.col("df") > DD.SHINGLE_MAX_DF).select("lang", "h")
-    idx_cold = sh.join(cold_keys, ["lang", "h"], "left_semi").localCheckpoint()
-    idx_hot = sh.join(hot_keys, ["lang", "h"], "left_semi").select(
-        "doc_id", "h"
-    ).localCheckpoint()
-    bgrams = (
-        _grams8_of(bench).select("gram").distinct().localCheckpoint()
+    idx_cold = _ck(
+        "idx_cold", sh.join(cold_keys, ["lang", "h"], "left_semi")
     )
+    idx_hot = _ck(
+        "idx_hot",
+        sh.join(hot_keys, ["lang", "h"], "left_semi").select("doc_id", "h"),
+    )
+    bgrams = _ck("bgrams", _grams8_of(bench).select("gram").distinct())
 
     # ---- staged micro-batches ----
     flat = SJ.stage_microbatches(
@@ -1177,7 +1210,11 @@ def fd_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fuzzy_flagged(
-    hc: DataFrame, bc: DataFrame, hb: DataFrame, bb: DataFrame
+    hc: DataFrame,
+    bc: DataFrame,
+    hb: DataFrame,
+    bb: DataFrame,
+    scratch: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding + exact shingle-Jaccard verify between a
     corpus side (hashes ``hc``, band keys ``bc``) and a benchmark side
@@ -1195,10 +1232,15 @@ def fuzzy_flagged(
     call, not once per consumer (r13 optimization; the
     minhash_dedup_pairs discipline applied to the bipartite form —
     re-persisting an already-persisted input is a benign CacheManager
-    no-op)."""
+    no-op).  A PER-BATCH caller (the streaming twin probes with a fresh
+    batch-side frame every micro-batch, a distinct plan the CacheManager
+    cannot dedupe — ADVICE r13 cache-leak class) passes ``scratch`` and
+    unpersists after the batch materializes."""
     from pyspark.storagelevel import StorageLevel
 
     hc = hc.persist(StorageLevel.MEMORY_AND_DISK)
+    if scratch is not None:
+        scratch.append(hc)
     cands = (
         bc.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(

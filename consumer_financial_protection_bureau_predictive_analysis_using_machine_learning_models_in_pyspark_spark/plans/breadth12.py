@@ -235,10 +235,14 @@ def stream_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _FD_STREAM_DIRS[sf_dir]
     hb, bb = fuzzy_bench_index_for(spark, sf_dir)
 
-    def probe(batch_df: DataFrame) -> DataFrame:
+    def probe(batch_df: DataFrame):
+        # scratch: fuzzy_flagged persists the batch-side hash frame — a
+        # distinct plan every micro-batch; returning it lets the runner
+        # unpersist after the batch write (ADVICE r13 cache-leak class)
+        scratch: list = []
         hc = DD.shingle_hashes(batch_df)
         bc = DD.minhash_band_keys(hc)
-        return fuzzy_flagged(hc, bc, hb, bb)
+        return fuzzy_flagged(hc, bc, hb, bb, scratch=scratch), scratch
 
     schema = spark.read.parquet(flat).schema
     stream = (

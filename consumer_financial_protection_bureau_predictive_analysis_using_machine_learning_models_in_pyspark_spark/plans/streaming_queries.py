@@ -33,24 +33,28 @@ def _drain(
     spark: SparkSession,
     stream: DataFrame,
     mode: str = "append",
-    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain to a memory sink with a pinned state-partition count.
 
     A streaming query's state-store partition count is fixed at FIRST start
     from ``spark.sql.shuffle.partitions`` — under a vanilla session that is
     200, i.e. 200 state-store providers to open/commit per micro-batch for
-    sf0.01-sized fixtures.  The pin itself lives in
-    ``streaming.jobs.pinned_state_partitions`` (held by ``run_to_memory``):
-    every stream commits the deliberate ``STREAM_STATE_PARTITIONS`` sizing
-    (env ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``, default 8 — r13: each
-    stateful op commits one state delta per partition per micro-batch, so
-    an inherited 32/200 multiplies fixed checkpoint I/O for no parallelism
-    gain at per-batch state sizes; production sizes it to state volume).
+    sf0.01-sized fixtures.  The pin lives in
+    ``streaming.jobs.pinned_state_partitions``, held by ``run_to_memory`` →
+    ``_start_and_drain`` around query start (the moment the state layout is
+    locked): every stream commits the deliberate ``STREAM_STATE_PARTITIONS``
+    sizing (env ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``, default 8 — r13:
+    each stateful op commits one state delta per partition per micro-batch,
+    so an inherited 32/200 multiplies fixed checkpoint I/O for no
+    parallelism gain at per-batch state sizes; production sizes it to state
+    volume).  (ADVICE r13: the former ``shuffle_partitions`` parameter here
+    was dead — ``_start_and_drain`` re-pins with no argument at start, so an
+    outer override never reached the query — removed rather than threaded
+    through: no caller ever passed it, and one knob with one spelling
+    beats two.)
     """
-    with SJ.pinned_state_partitions(spark, shuffle_partitions):
-        name = f"stream_sink_{os.getpid()}_{next(_SINK_IDS)}"
-        SJ.run_to_memory(stream, name, output_mode=mode)
+    name = f"stream_sink_{os.getpid()}_{next(_SINK_IDS)}"
+    SJ.run_to_memory(stream, name, output_mode=mode)
     return spark.table(name)
 
 
@@ -387,10 +391,17 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # artifact this entry serves): unmaterialized, every micro-batch
     # re-ran the loser anti-join as part of its probe plan (r13
     # optimization; localCheckpoint also truncates the CC lineage the
-    # losers frame carries)
-    canon_assigned = idx.assigned.join(
-        losers, "neighbor_id", "left_anti"
-    ).localCheckpoint()
+    # losers frame carries).  swap_local_checkpoint: each cold re-run
+    # rebuilds this artifact, and a localCheckpoint is invisible to the
+    # CacheManager — without the swap the session accumulated one dead
+    # checkpointed RDD per run (r14 hygiene sweep, pinned in
+    # tests/test_cache_hygiene.py)
+    from ..operators.cache import swap_local_checkpoint
+
+    canon_assigned = swap_local_checkpoint(
+        f"stream_semantic_dedup.canon:{sf_dir}",
+        idx.assigned.join(losers, "neighbor_id", "left_anti").localCheckpoint(),
+    )
     canon_idx = SIM.IvfIndex(canon_assigned, idx.centroids, idx.n_assign)
 
     stream = SJ.read_embeddings_stream(spark, flat, max_files_per_trigger=1)

@@ -554,6 +554,11 @@ def run_streaming_semantic_dedup(
         else:  # first batch: no kept_dir yet
             assigned = base
         idx = SIM.IvfIndex(assigned, index.centroids, index.n_assign)
+        # scratch: the operator's internal per-batch persists (corpus_hits)
+        # are released below — every micro-batch builds a distinct plan, so
+        # without the release the stream accumulates one dead cache entry
+        # per batch for its whole lifetime (ADVICE r13)
+        scratch: list = []
         st = SIM.semantic_dedup_incremental(
             idx,
             batch_df,
@@ -561,6 +566,7 @@ def run_streaming_semantic_dedup(
             n_probe_cells=n_probe_cells,
             id_col=id_col,
             vec_col=vec_col,
+            scratch=scratch,
         ).persist()
         (
             st.withColumn("_batch_id", F.lit(batch_id))
@@ -589,6 +595,8 @@ def run_streaming_semantic_dedup(
             .parquet(kept_dir)
         )
         st.unpersist()
+        for frame in scratch:
+            frame.unpersist()
 
     w = (
         stream.writeStream.foreachBatch(process)
@@ -1202,17 +1210,29 @@ def run_streaming_model_scoring(
     The model rides the closure (driver-resident, broadcast to executors
     by Spark's task serialization exactly as in batch ``transform``);
     nothing is re-fit per batch, so per-batch cost is one narrow scoring
-    pass over the batch."""
+    pass over the batch.
+
+    ``score_fn`` may return either the scored frame, or a
+    ``(scored, scratch)`` tuple where ``scratch`` lists internally
+    persisted per-batch frames — they are unpersisted after the batch's
+    write completes, so a probe that caches a batch-derived frame (a
+    distinct plan every micro-batch, un-dedupable by the CacheManager)
+    does not leak one cache entry per batch for the stream's lifetime
+    (ADVICE r13)."""
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
+        res = score_fn(batch_df)
+        scored, scratch = res if isinstance(res, tuple) else (res, [])
         (
-            score_fn(batch_df)
+            scored
             .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
             .parquet(out_dir)
         )
+        for frame in scratch:
+            frame.unpersist()
 
     w = (
         stream.writeStream.foreachBatch(score)
